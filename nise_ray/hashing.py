@@ -1,0 +1,166 @@
+"""Deterministic, platform-stable hash kernels (pure numpy / hashlib).
+
+All uint64 arithmetic relies on numpy's well-defined modular wraparound for
+unsigned integers — identical results on any platform/endianness because we
+never reinterpret raw memory across widths except through explicit
+little-endian byte views.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_SPLITMIX_C1 = U64(0x9E3779B97F4A7C15)
+_SPLITMIX_C2 = U64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C3 = U64(0x94D049BB133111EB)
+_POLY_C = U64(0x100000001B3)  # FNV-1a 64 prime, used as fold multiplier
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """SplitMix64 finalizer — a bijection on uint64 (public domain, Steele
+    et al. 'Fast splittable pseudorandom number generators', OOPSLA'14)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, dtype=U64)
+        x = x + _SPLITMIX_C1
+        x = (x ^ (x >> U64(30))) * _SPLITMIX_C2
+        x = (x ^ (x >> U64(27))) * _SPLITMIX_C3
+        return x ^ (x >> U64(31))
+
+
+def blake2b64(data: bytes) -> int:
+    """First 8 bytes (little-endian) of keyless blake2b — platform-stable."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def doc_key(repo: str, path: str, commit: str) -> int:
+    """Surrogate uint64 document key (config v2; see nise_ray.config)."""
+    return blake2b64(repo.encode() + b"\x00" + path.encode() + b"\x00" + commit.encode())
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def poly_fold(mat: np.ndarray) -> np.ndarray:
+    """Fold the last axis of a uint64 array with acc = acc*C + v, then
+    splitmix64-finalize. Vectorized over all leading axes."""
+    mat = np.asarray(mat, dtype=U64)
+    acc = np.zeros(mat.shape[:-1], dtype=U64)
+    for j in range(mat.shape[-1]):
+        acc = acc * _POLY_C + mat[..., j]
+    return splitmix64(acc)
+
+
+def minhash_seeds(k: int, seed: int) -> np.ndarray:
+    """K permutation seeds drawn from PCG64(seed) — draw order fixed."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 2**64, size=k, dtype=U64)
+
+
+EMPTY_SIG_VALUE = np.uint32(0xFFFFFFFF)
+
+
+def minhash_signatures(
+    shingles: np.ndarray, offsets: np.ndarray, seeds: np.ndarray, chunk: int = 16
+) -> np.ndarray:
+    """MinHash signatures for D docs given their concatenated shingle hashes.
+
+    shingles : uint64[M]  — all docs' shingle hashes, concatenated
+    offsets  : int64[D+1] — doc d owns shingles[offsets[d]:offsets[d+1]]
+    seeds    : uint64[K]
+    returns  : uint32[D, K]; empty docs get EMPTY_SIG_VALUE everywhere.
+
+    h_i(x) = splitmix64(x ^ seed_i) >> 32  (a permutation of uint64,
+    truncated to its high 32 bits for storage). Computed in K-chunks to
+    bound the M x chunk intermediate, with per-doc mins via
+    np.minimum.reduceat (no Python loop over docs or shingles).
+    """
+    shingles = np.asarray(shingles, dtype=U64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    d = len(offsets) - 1
+    k = len(seeds)
+    out = np.full((d, k), EMPTY_SIG_VALUE, dtype=np.uint32)
+    if len(shingles) == 0 or d == 0:
+        return out
+    lengths = np.diff(offsets)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+    # reduceat over only non-empty segments (equal adjacent indices would
+    # otherwise yield garbage rows for empty docs)
+    starts = offsets[nonempty]
+    for c0 in range(0, k, chunk):
+        s = seeds[c0 : c0 + chunk]
+        mat = splitmix64(shingles[:, None] ^ s[None, :])  # M x c
+        h32 = (mat >> U64(32)).astype(np.uint32)
+        mins = np.minimum.reduceat(h32, starts, axis=0)
+        out[nonempty, c0 : c0 + len(s)] = mins
+    return out
+
+
+def band_keys(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Per-doc LSH band keys: uint64[D, bands].
+
+    key[d, b] = splitmix64( poly_fold(sig[d, b*r:(b+1)*r]) ^ splitmix64(b) ).
+    """
+    d, k = sigs.shape
+    assert k == bands * rows_per_band
+    grouped = sigs.reshape(d, bands, rows_per_band).astype(U64)
+    folded = poly_fold(grouped)  # D x bands
+    band_salt = splitmix64(np.arange(bands, dtype=U64))
+    return splitmix64(folded ^ band_salt[None, :])
+
+
+def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc from unique shingle hashes (weight 1 each).
+
+    Bit j of the fingerprint is 1 iff more than half the doc's shingle
+    hashes have bit j set (Charikar STOC'02). Empty docs get 0.
+    """
+    shingles = np.asarray(shingles, dtype=U64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    d = len(offsets) - 1
+    out = np.zeros(d, dtype=U64)
+    if len(shingles) == 0 or d == 0:
+        return out
+    lengths = np.diff(offsets)
+    nonempty = np.flatnonzero(lengths > 0)
+    if len(nonempty) == 0:
+        return out
+    # bits[m, j] = bit j (LSB-first) of shingles[m]
+    le_bytes = shingles.astype("<u8").view(np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(le_bytes, axis=1, bitorder="little")  # M x 64
+    counts = np.add.reduceat(bits.astype(np.int64), offsets[nonempty], axis=0)
+    maj = (2 * counts > lengths[nonempty, None]).astype(np.uint8)  # D' x 64
+    packed = np.packbits(maj, axis=1, bitorder="little")  # D' x 8 bytes
+    out[nonempty] = packed.copy().view("<u8").ravel().astype(U64)
+    return out
+
+
+def simhash_block_keys(simhash: np.ndarray, blocks: int = 4) -> np.ndarray:
+    """Manku block keys: uint64[D, blocks]; key = splitmix64(block_bits ^
+    splitmix64(block_id + 0xB10C)). With 4 x 16-bit blocks, any pair at
+    Hamming distance <= 3 shares at least one identical block."""
+    simhash = np.asarray(simhash, dtype=U64)
+    width = U64(64 // blocks)
+    mask = (U64(1) << width) - U64(1)
+    ids = np.arange(blocks, dtype=U64)
+    salts = splitmix64(ids + U64(0xB10C))
+    blocks_vals = (simhash[:, None] >> (ids[None, :] * width)) & mask
+    return splitmix64(blocks_vals ^ salts[None, :])
+
+
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between uint64 arrays (broadcasting)."""
+    x = (np.asarray(a, dtype=U64) ^ np.asarray(b, dtype=U64))
+    dist = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(8):
+        dist += _POPCOUNT_TABLE[(x & U64(0xFF)).astype(np.uint8)]
+        x = x >> U64(8)
+    return dist

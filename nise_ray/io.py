@@ -1,0 +1,59 @@
+"""Corpus ingest / output sinks.
+
+Input contract (BASELINE.json input_hint): a Parquet table with columns
+(repo, path, commit, lang, content) — all strings. Unexpected columns are
+projected away at the READ (column pruning, nothing else leaves storage);
+missing required columns are a hard error.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+REQUIRED_COLUMNS = ["repo", "path", "commit", "content"]
+
+
+def read_corpus(path: str | list[str], **read_kwargs) -> "ray.data.Dataset":
+    """ray.data.read_parquet with schema validation + column pruning."""
+    sample = path[0] if isinstance(path, list) else path
+    try:
+        schema = pq.ParquetDataset(sample).schema
+        names = set(schema.names)
+        missing = [c for c in REQUIRED_COLUMNS if c not in names]
+        if missing:
+            raise ValueError(f"corpus at {sample} missing required columns {missing}")
+        cols = [c for c in CORPUS_COLUMNS if c in names]
+    except (OSError, pa.ArrowInvalid):
+        cols = CORPUS_COLUMNS
+    return ray.data.read_parquet(path, columns=cols, **read_kwargs)
+
+
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Adapt the driver's `documents` table (doc_id, text, lang, source,
+    n_chars) to the corpus schema — used by bench + entry smoke paths."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def adapt(b: pa.Table) -> pa.Table:
+        doc_id = b.column("doc_id")
+        return pa.table({
+            "repo": b.column("source"),
+            "path": pa.compute.binary_join_element_wise(
+                pa.array(["doc"] * b.num_rows),
+                pa.compute.cast(doc_id, pa.string()), ""),
+            "commit": pa.array([""] * b.num_rows, pa.string()),
+            "lang": b.column("lang"),
+            "content": b.column("text"),
+        })
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def write_assignments(ds: "ray.data.Dataset", out_dir: str) -> None:
+    ds.select_columns([
+        "repo", "path", "commit", "doc_key", "content_sha256", "cluster_id",
+    ]).write_parquet(out_dir)

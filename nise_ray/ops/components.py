@@ -1,0 +1,199 @@
+"""Stage G — connected components over verified dup edges.
+
+Two paths, chosen by edge count (cfg.driver_cc_max_edges):
+
+* driver fold (default at moderate edge counts): the verified edge set is
+  ORDERS of magnitude smaller than the corpus (only near-dup pairs);
+  stream it with iter_batches and run union-find with path compression.
+  This is the "residual small graph folded on the driver" of SURVEY §4.1.
+
+* distributed hash-to-min (Rastogi et al., ICDE'13): iterated
+  ``groupby(node).map_groups`` rounds over a (node, member) pair dataset —
+  each round sends the group min to every member and every member to the
+  min; converges in O(log n) rounds. Convergence detected with an
+  order-insensitive XOR checksum over the per-round label table, capped at
+  cfg.cc_max_rounds. Used when edges exceed the driver threshold; also
+  exercised directly in tests.
+
+Cluster label = min doc_key in the component (deterministic, order-free).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.config import DedupConfig
+from nise_ray.hashing import U64, splitmix64
+
+LABEL_SCHEMA = pa.schema([("doc_key", pa.uint64()), ("cluster_id", pa.uint64())])
+
+
+# ---------------------------------------------------------------- driver path
+
+class UnionFind:
+    """Array-free union-find over arbitrary uint64 keys (dict-based)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if rb < ra:  # root is always the min key -> label == root
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.parent.setdefault(ra, ra)
+
+    def labels(self) -> pa.Table:
+        nodes = np.fromiter(self.parent.keys(), dtype=U64, count=len(self.parent))
+        labels = np.fromiter((self.find(int(n)) for n in nodes), dtype=U64,
+                             count=len(nodes))
+        return pa.table({"doc_key": pa.array(nodes, pa.uint64()),
+                         "cluster_id": pa.array(labels, pa.uint64())})
+
+
+def driver_components(edges_ds: "ray.data.Dataset") -> pa.Table:
+    """Stream edges to the driver, union-find, return (doc_key, cluster_id)
+    for every node that appears in an edge."""
+    uf = UnionFind()
+    for batch in edges_ds.select_columns(["u", "v"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        for a, b in zip(u.tolist(), v.tolist()):
+            uf.union(a, b)
+    return uf.labels()
+
+
+# ----------------------------------------------------------- distributed path
+
+def _htm_round(group: pa.Table) -> pa.Table:
+    members = group.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    node = group.column("node")[0].as_py()
+    members = np.unique(np.append(members, np.uint64(node)))
+    m = members[0]
+    # send min to all, all to min
+    nodes_out = np.concatenate([members, np.full(len(members), m, dtype=U64)])
+    members_out = np.concatenate([np.full(len(members), m, dtype=U64), members])
+    return pa.table({"node": pa.array(nodes_out, pa.uint64()),
+                     "member": pa.array(members_out, pa.uint64())})
+
+
+def _label_gen(group: pa.Table) -> pa.Table:
+    members = group.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    node = group.column("node")[0].as_py()
+    m = min(int(members.min()), node)
+    return pa.table({"doc_key": pa.array([node], pa.uint64()),
+                     "cluster_id": pa.array([m], pa.uint64())})
+
+
+def _labels_checksum(labels_ds: "ray.data.Dataset") -> int:
+    def batch_xor(b: pa.Table) -> pa.Table:
+        n = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        l = b.column("cluster_id").to_numpy(zero_copy_only=False).astype(U64)
+        h = splitmix64(n ^ splitmix64(l))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"x": pa.array([int(x)], pa.uint64())})
+
+    total = 0
+    for row in labels_ds.map_batches(batch_xor, batch_format="pyarrow").take_all():
+        total ^= row["x"]
+    return total
+
+
+def distributed_components(edges_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    """Hash-to-min connected components; returns Dataset(doc_key, cluster_id)."""
+    def edges_to_pairs(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(U64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(U64)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.uint64()),
+            "member": pa.array(np.concatenate([v, u]), pa.uint64()),
+        })
+
+    pairs = edges_ds.select_columns(["u", "v"]).map_batches(
+        edges_to_pairs, batch_format="pyarrow")
+    prev_sum: int | None = None
+    for _ in range(cfg.cc_max_rounds):
+        pairs = pairs.groupby("node").map_groups(
+            _htm_round, batch_format="pyarrow").materialize()
+        labels = pairs.groupby("node").map_groups(_label_gen, batch_format="pyarrow")
+        checksum = _labels_checksum(labels)
+        if checksum == prev_sum:
+            break
+        prev_sum = checksum
+    else:
+        raise RuntimeError(
+            f"hash-to-min did not converge in {cfg.cc_max_rounds} rounds")
+    return pairs.groupby("node").map_groups(_label_gen, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- label attach
+
+def attach_labels(signed_ds: "ray.data.Dataset", labels: pa.Table | "ray.data.Dataset",
+                  cfg: DedupConfig) -> "ray.data.Dataset":
+    """Attach cluster_id to every doc; unclustered docs label themselves.
+
+    Small label maps are broadcast once via ray.put and looked up inside
+    map_batches (no shuffle); beyond cfg.broadcast_label_max the label table
+    becomes a Dataset and a distributed left-outer hash join is used.
+    """
+    if isinstance(labels, pa.Table):
+        n_labels = labels.num_rows
+    else:
+        n_labels = labels.count()
+
+    if n_labels <= cfg.broadcast_label_max:
+        if not isinstance(labels, pa.Table):
+            labels = pa.concat_tables(
+                [ray.get(r) for r in labels.to_arrow_refs()])
+        keys = labels.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        vals = labels.column("cluster_id").to_numpy(zero_copy_only=False).astype(U64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        class Labeler:
+            def __init__(self) -> None:
+                self.keys, self.vals = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+                pos = np.searchsorted(self.keys, dk)
+                pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+                if len(self.keys):
+                    hit = self.keys[pos] == dk
+                    cluster = np.where(hit, self.vals[pos], dk)
+                else:
+                    cluster = dk
+                return b.append_column("cluster_id", pa.array(cluster, pa.uint64()))
+
+        return signed_ds.map_batches(Labeler, batch_format="pyarrow",
+                                     concurrency=(1, 8))
+
+    # large label map: distributed join
+    labels_ds = labels if not isinstance(labels, pa.Table) else ray.data.from_arrow(labels)
+    joined = signed_ds.join(labels_ds, join_type="left_outer", on=("doc_key",),
+                            num_partitions=max(cfg.shuffle_partitions, 64))
+
+    def fill(b: pa.Table) -> pa.Table:
+        dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        cl = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        cl = np.where(pa.compute.is_null(b.column("cluster_id")).to_numpy(
+            zero_copy_only=False), dk, cl.astype(U64))
+        return b.set_column(b.schema.get_field_index("cluster_id"), "cluster_id",
+                            pa.array(cl, pa.uint64()))
+
+    return joined.map_batches(fill, batch_format="pyarrow")

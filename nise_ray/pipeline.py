@@ -1,0 +1,252 @@
+"""Pipeline orchestration — the full batch dedup run (SURVEY §4.1).
+
+    read_parquet -> Signer (actor-pool map_batches, zero-copy Arrow)
+      -> exact edges        groupby(content_sha256)            [shuffle 1]
+      -> minhash edges      band explode -> groupby(band_key)  [shuffle 2]
+      -> simhash edges      block explode -> groupby(block)    [shuffle 2b]
+      -> union + distinct   groupby(u, v)                      [shuffle 3]
+      -> connected components (driver union-find | hash-to-min)
+      -> label attach (broadcast lookup | distributed join) -> assignments
+
+The driver holds only: the DAG, the config, manifest metadata, and — on the
+small-graph fast path — the verified-edge union-find. Every dataset stays
+a streaming ray.data.Dataset; full materialization happens only at stage
+checkpoints (partitioned parquet) when a run_dir is given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shutil
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from nise_ray.checkpoint import RunContext, lineage_wrap
+from nise_ray.config import DedupConfig
+from nise_ray.io import read_corpus
+from nise_ray.ops.components import (
+    attach_labels,
+    distributed_components,
+    driver_components,
+)
+from nise_ray.ops.exact import exact_edge_gen
+from nise_ray.ops.lsh import (
+    EDGE_SCHEMA,
+    explode_bands,
+    make_pair_gen,
+    make_salted_pair_gen,
+)
+from nise_ray.ops.sign import Signer
+from nise_ray.ops.simhash_stage import explode_simhash_blocks, make_simhash_pair_gen
+from nise_ray.ops.substring import explode_fingerprints, make_substring_pair_gen
+
+_SRC_RANK = {"exact": 0, "minhash": 1, "simhash": 2, "substring": 3}
+
+ASSIGNMENT_COLUMNS = [
+    "repo", "path", "commit", "lang", "doc_key", "content_sha256",
+    "n_bytes", "n_tokens", "n_shingles", "cluster_id",
+]
+
+
+def edge_distinct(group: pa.Table) -> pa.Table:
+    """Keep one row per (u, v): highest-priority source, then max est."""
+    if group.num_rows == 1:
+        return group
+    srcs = group.column("src").to_pylist()
+    est = group.column("est").to_numpy(zero_copy_only=False)
+    best = min(range(len(srcs)),
+               key=lambda i: (_SRC_RANK.get(srcs[i], 9), -float(est[i])))
+    return group.take([best])
+
+
+@dataclasses.dataclass
+class DedupResult:
+    assignments: "ray.data.Dataset"
+    edges: "ray.data.Dataset"
+    substring_pairs: "ray.data.Dataset | None"
+    stats: dict[str, Any]
+    run_dir: str | None = None
+
+
+def _stage(ctx: RunContext | None, name: str, build,
+           empty_schema: pa.Schema | None = None):
+    """Stage checkpoint wrapper: resume reads completed stages back from
+    partitioned parquet; fresh runs write-through then stream from disk."""
+    if ctx is None:
+        return build().materialize(), False
+    if ctx.resume and ctx.is_complete(name):
+        return ray.data.read_parquet(ctx.stage_dir(name)), True
+    ds = build()
+    out_dir = ctx.stage_dir(name)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(out_dir)
+    import glob
+    import os
+    if not glob.glob(os.path.join(out_dir, "*.parquet")):
+        # a stage can legitimately produce zero rows (e.g. no simhash
+        # pairs); keep the checkpoint readable with the right schema
+        os.makedirs(out_dir, exist_ok=True)
+        schema = empty_schema
+        if schema is None:
+            ray_schema = ds.schema(fetch_if_missing=True)
+            schema = getattr(ray_schema, "base_schema", None) or pa.schema([])
+        pq.write_table(schema.empty_table(), os.path.join(out_dir, "empty.parquet"))
+    ctx.mark_complete(name)
+    return ray.data.read_parquet(out_dir), False
+
+
+def _edge_select(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.select_columns(["u", "v", "est", "src"])
+
+
+def dedup_pipeline(
+    corpus: "str | list[str] | ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    run_dir: str | None = None,
+    resume: bool = False,
+) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    ctx = RunContext(run_dir, cfg, resume=resume) if run_dir else None
+    t_start = time.time()
+
+    corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
+                 else corpus)
+
+    # ---- stage A: sign (stateful actor pool, zero-copy Arrow) -----------
+    def build_signed():
+        sign_fn = Signer
+        kwargs: dict[str, Any] = dict(
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+            concurrency=cfg.sign_concurrency or (1, 32),
+        )
+        ds = corpus_ds.map_batches(sign_fn, **kwargs)
+        if ctx is not None:
+            wrapped = lineage_wrap(lambda b: b, ctx.manifest_dir("signed"),
+                                   ctx.run_id, "signed")
+            ds = ds.map_batches(wrapped, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        return ds
+
+    signed, _ = _stage(ctx, "signed", build_signed)
+
+    # ---- edge-producing branches ---------------------------------------
+    edge_sets: list[ray.data.Dataset] = []
+
+    if cfg.exact_enabled:
+        def build_exact():
+            return signed.select_columns(["content_sha256", "doc_key"]) \
+                .groupby("content_sha256") \
+                .map_groups(exact_edge_gen, batch_format="pyarrow")
+        exact_edges, _ = _stage(ctx, "edges_exact", build_exact, EDGE_SCHEMA)
+        edge_sets.append(_edge_select(exact_edges))
+
+    if cfg.minhash_enabled:
+        def build_minhash():
+            exploded = signed.map_batches(
+                lambda b: explode_bands(b, cfg),
+                batch_format="pyarrow", zero_copy_batch=True)
+            if cfg.salt_shards > 1:
+                phase1 = exploded.groupby("bkey").map_groups(
+                    make_salted_pair_gen(cfg), batch_format="pyarrow")
+
+                def split_edges(b: pa.Table) -> pa.Table:
+                    mask = pa.compute.invert(b.column("is_rep"))
+                    return b.filter(mask).select(["u", "v", "est", "src"])
+
+                def split_reps(b: pa.Table) -> pa.Table:
+                    return b.filter(b.column("is_rep")).select(
+                        ["band_key", "doc_key", "sha64", "minhash"])
+
+                edges1 = phase1.map_batches(split_edges, batch_format="pyarrow")
+                reps = phase1.map_batches(split_reps, batch_format="pyarrow")
+                edges2 = reps.groupby("band_key").map_groups(
+                    make_pair_gen(cfg), batch_format="pyarrow")
+                return edges1.union(_edge_select(edges2))
+            return exploded.groupby("bkey").map_groups(
+                make_pair_gen(cfg), batch_format="pyarrow")
+        mh_edges, _ = _stage(ctx, "edges_minhash", build_minhash, EDGE_SCHEMA)
+        edge_sets.append(_edge_select(mh_edges))
+
+    if cfg.simhash_enabled:
+        def build_simhash():
+            exploded = signed.map_batches(
+                lambda b: explode_simhash_blocks(b, cfg),
+                batch_format="pyarrow", zero_copy_batch=True)
+            return exploded.groupby("block_key").map_groups(
+                make_simhash_pair_gen(cfg), batch_format="pyarrow")
+        sh_edges, _ = _stage(ctx, "edges_simhash", build_simhash, EDGE_SCHEMA)
+        edge_sets.append(_edge_select(sh_edges))
+
+    # ---- union + distinct ----------------------------------------------
+    def build_edges():
+        if not edge_sets:
+            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+        ds = edge_sets[0]
+        for other in edge_sets[1:]:
+            ds = ds.union(other)
+        return ds.groupby(["u", "v"]).map_groups(
+            edge_distinct, batch_format="pyarrow")
+    edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA)
+
+    # ---- connected components ------------------------------------------
+    n_edges = edges.count()
+    stats: dict[str, Any] = {"n_edges": n_edges}
+    if n_edges == 0:
+        labels: pa.Table | ray.data.Dataset = pa.table(
+            {"doc_key": pa.array([], pa.uint64()),
+             "cluster_id": pa.array([], pa.uint64())})
+        stats["cc_path"] = "empty"
+    elif n_edges <= cfg.driver_cc_max_edges:
+        labels = driver_components(edges)
+        stats["cc_path"] = "driver_union_find"
+        stats["n_clusters"] = int(
+            len(np.unique(labels.column("cluster_id").to_numpy(
+                zero_copy_only=False))))
+    else:
+        labels = distributed_components(edges, cfg)
+        stats["cc_path"] = "distributed_hash_to_min"
+
+    # ---- label attach + assignments ------------------------------------
+    def build_assignments():
+        ds = attach_labels(signed, labels, cfg)
+        return ds.select_columns(ASSIGNMENT_COLUMNS)
+    assignments, _ = _stage(ctx, "assignments", build_assignments)
+
+    stats["n_docs"] = signed.count()
+    stats["n_labeled_docs"] = (labels.num_rows if isinstance(labels, pa.Table)
+                               else labels.count())
+    stats["wall_s"] = time.time() - t_start
+    stats["config_hash"] = cfg.config_hash()
+    if ctx is not None:
+        ctx.mark_complete("pipeline", stats={k: v for k, v in stats.items()})
+
+    return DedupResult(assignments=assignments, edges=edges,
+                       substring_pairs=None, stats=stats,
+                       run_dir=run_dir)
+
+
+def substring_pairs(
+    corpus: "str | list[str] | ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+) -> "ray.data.Dataset":
+    """Stage E'' as an independent branch over the corpus (it needs raw
+    content, which the signed table intentionally drops)."""
+    cfg = cfg or DedupConfig()
+    corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
+                 else corpus)
+    fps = corpus_ds.map_batches(
+        lambda b: explode_fingerprints(b, cfg),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = fps.groupby("fp").map_groups(
+        make_substring_pair_gen(cfg), batch_format="pyarrow")
+    return pairs.groupby(["u", "v"]).map_groups(
+        edge_distinct, batch_format="pyarrow")
