@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in nise_ray library code) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() exposes every implemented operator family from SURVEY.md §3 plus
+the training-data ops (dedup / similarity search / text analysis); each
+SQL-expressible one has a matching oracle_sql() entry with IDENTICAL
+column names (the driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +14,199 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full near-dup detection + clustering over the
+    sf0.001 documents table adapted to the corpus schema."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.pipeline import dedup_pipeline
+
+    corpus = corpus_from_documents(SF0001)
+    result = dedup_pipeline(corpus, DedupConfig())
+    return result.assignments
+
+
+# --------------------------------------------------------------------------
+# query callables (each takes sf_dir, returns Dataset | pandas | pa.Table)
+# --------------------------------------------------------------------------
+
+def _q_exact_dedup(sf_dir: str):
+    from nise_ray.ops.dedupx import exact_dedup_documents
+    return exact_dedup_documents(sf_dir)
+
+
+def _q_token_stats(sf_dir: str):
+    from nise_ray.ops.textstats import token_stats
+    return token_stats(sf_dir)
+
+
+def _q_quality(sf_dir: str):
+    from nise_ray.ops.textstats import quality_scores
+    return quality_scores(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from nise_ray.ops.textstats import fingerprints
+    return fingerprints(sf_dir)
+
+
+def _q_lang_distribution(sf_dir: str):
+    import pyarrow as pa
+
+    import ray
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    counted = ds.groupby("lang").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "n_docs"])
+
+    return counted.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_embedding_norms(sf_dir: str):
+    from nise_ray.ops.ann import embedding_norms
+    return embedding_norms(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str):
+    from nise_ray.ops.ann import brute_force_topk
+    return brute_force_topk(sf_dir, n_queries=5, k=10)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    from nise_ray.ops.ann import lsh_topk
+    return lsh_topk(sf_dir, n_queries=5, k=10)
+
+
+def _q_language_id(sf_dir: str):
+    from nise_ray.ops.textstats import language_id
+    return language_id(sf_dir)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from nise_ray.ops.dedupx import minhash_dedup_documents
+    return minhash_dedup_documents(sf_dir)
+
+
+def _q_simhash_docs(sf_dir: str):
+    from nise_ray.ops.dedupx import simhash_documents
+    return simhash_documents(sf_dir)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from nise_ray.ops.dedupx import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(sf_dir)
+
+
+def _q_embedding_dups(sf_dir: str):
+    from nise_ray.ops.ann import embedding_dup_pairs
+    # the synthetic embeddings are near-orthogonal (max cosine ~0.4), so a
+    # realistic 0.95+ near-dup threshold finds nothing; 0.3 exercises the
+    # LSH-bucket + within-bucket verify machinery on this data
+    return embedding_dup_pairs(sf_dir, threshold=0.3)
+
+
+def _q_substring_pairs(sf_dir: str):
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.pipeline import substring_pairs
+    return substring_pairs(corpus_from_documents(sf_dir), DedupConfig())
+
+
+def _q_dedup_flagship(sf_dir: str):
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.pipeline import dedup_pipeline
+    res = dedup_pipeline(corpus_from_documents(sf_dir), DedupConfig())
+    return res.assignments.select_columns(
+        ["repo", "path", "content_sha256", "cluster_id"])
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray
+    from nise_ray.ops.multimodal import ImageFeatureExtractor, make_fake_media_table
+    media = ray.data.from_arrow(make_fake_media_table(n=128, seed=42))
+    return media.map_batches(
+        ImageFeatureExtractor, fn_constructor_kwargs={"fake": True},
+        batch_size=32, concurrency=(1, 4), batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- dedup family (SURVEY §3) ---------------------------------
+        "exact_dedup_docs": _q_exact_dedup,
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_docs": _q_simhash_docs,
+        "ngram_jaccard_pairs_docs": _q_ngram_jaccard,
+        "substring_pairs_docs": _q_substring_pairs,
+        "dedup_flagship": _q_dedup_flagship,
+        # --- similarity search ----------------------------------------
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "embedding_norms": _q_embedding_norms,
+        "embedding_dup_pairs": _q_embedding_dups,
+        # --- text analysis --------------------------------------------
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "doc_fingerprints": _q_fingerprints,
+        "lang_distribution": _q_lang_distribution,
+        "language_id": _q_language_id,
+        # --- multimodal plumbing (deterministic stub decode) ----------
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_c,
+                   CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                             / length(text) END AS alpha_ratio
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT q.qid AS query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cosine
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.qid
+            QUALIFY row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                         e.vec_id) <= 10
+        """,
+        # minhash_dedup_docs / simhash_docs / ngram_jaccard_pairs_docs /
+        # substring_pairs_docs / dedup_flagship / ann_topk_lsh /
+        # embedding_dup_pairs / language_id / multimodal_features:
+        # not ANSI-SQL-expressible (LSH sampling, hash fingerprints,
+        # heuristic scoring, stub decoding) -> rows-only checks.
+    }

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table (doc_id, text, lang, source, n_chars).
+
+All are stateless vectorized ``map_batches`` stages; the semantics are
+pinned to be exactly reproducible in ANSI SQL (DuckDB oracle) where
+possible — see __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+_WORD_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+# tiny stopword lists for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pas", "une", "que", "pour"},
+    "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con", "para"},
+}
+
+
+def token_stats_batch(b: pa.Table) -> pa.Table:
+    texts = b.column("text").to_pylist()
+    n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
+                           dtype=np.int64, count=len(texts))
+    n_words = np.fromiter((len(_WORD_RE.findall(t)) for t in texts),
+                          dtype=np.int64, count=len(texts))
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+    })
+
+
+def quality_batch(b: pa.Table) -> pa.Table:
+    texts = b.column("text").to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_lines = np.empty(n, dtype=np.int64)
+    alpha_ratio = np.empty(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        n_chars[i] = len(t)
+        n_lines[i] = t.count("\n") + 1
+        n_alpha = len(_ALPHA_RE.findall(t))
+        # exact integer-ratio double (bit-identical to SQL n_alpha/len)
+        alpha_ratio[i] = n_alpha / n_chars[i] if n_chars[i] else 0.0
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_chars_c": pa.array(n_chars, pa.int64()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+    })
+
+
+def fingerprint_batch(b: pa.Table) -> pa.Table:
+    """Document fingerprint: sha256 hex of the raw text (exact identity)."""
+    texts = b.column("text").to_pylist()
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "fingerprint": pa.array(
+            [hashlib.sha256(t.encode()).hexdigest() for t in texts], pa.string()),
+    })
+
+
+class LanguageId:
+    """Stopword/character-class language heuristic (actor-pool stage —
+    marker sets are built once per actor)."""
+
+    def __init__(self) -> None:
+        self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+        self.word_re = re.compile(r"[a-zA-Z']+")
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            words = [w.lower() for w in self.word_re.findall(t[:4000])]
+            if not words:
+                preds.append("unknown")
+                scores.append(0.0)
+                continue
+            counts = {lang: sum(w in ws for w in words)
+                      for lang, ws in self.markers.items()}
+            lang = max(sorted(counts), key=lambda k: counts[k])
+            total = counts[lang]
+            preds.append(lang if total > 0 else "unknown")
+            scores.append(round(total / len(words), 4))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+            "lang_score": pa.array(scores, pa.float64()),
+        })
+
+
+def token_stats(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quality_scores(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def language_id(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LanguageId, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))
