@@ -1,0 +1,148 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+    python bench.py                 # full bench over $GRAFT_SF_DIR
+    python bench.py --scaling       # same headline at 8 and 32 CPUs in
+                                    # fresh processes; reports efficiency
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "files_per_s": ..., ...}
+
+The headline pipeline is the full near-dup dedup run over a deterministic
+synthetic source-code corpus sized to the tier (generated once, cached in
+/tmp — generation time is excluded from timings). Secondary queries run
+over the driver's $GRAFT_SF_DIR documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_FILES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+CACHE_ROOT = "/tmp/nise_bench_cache"
+
+
+def ensure_bench_corpus(sf_name: str) -> str:
+    n_files = SF_FILES.get(sf_name, 100_000)
+    out_dir = os.path.join(CACHE_ROOT, f"{sf_name}-{n_files}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    import pyarrow.parquet as pq
+
+    from nise_ray.fixtures import gen_bench_corpus
+    os.makedirs(out_dir, exist_ok=True)
+    t = gen_bench_corpus(seed=42, n_files=n_files)
+    per = 25_000
+    for i, s0 in enumerate(range(0, t.num_rows, per)):
+        pq.write_table(t.slice(s0, per), os.path.join(out_dir, f"part-{i:04d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from nise_ray.config import DedupConfig
+    from nise_ray.pipeline import dedup_pipeline, substring_pairs
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = ensure_bench_corpus(sf_name)
+    n_files = SF_FILES.get(sf_name, 100_000)
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    # --- headline: full dedup pipeline over the bench corpus -------------
+    t0 = time.time()
+    res = dedup_pipeline(corpus_dir, DedupConfig())
+    dt = time.time() - t0
+    queries["dedup_corpus"] = round(dt, 3)
+    extra["files_per_s"] = round(n_files / dt, 1)
+    extra["n_edges"] = res.stats["n_edges"]
+    extra["n_clusters"] = res.stats.get("n_clusters")
+
+    if not headline_only:
+        t0 = time.time()
+        substring_pairs(corpus_dir, DedupConfig()).count()
+        queries["substring_corpus"] = round(time.time() - t0, 3)
+
+        import __ray_entry__ as entry_mod
+        qs = entry_mod.queries()
+        for name in ["exact_dedup_docs", "minhash_dedup_docs", "token_stats",
+                     "quality_scores", "ann_topk", "ann_topk_lsh",
+                     "language_id"]:
+            t0 = time.time()
+            out = qs[name](sf_dir)
+            if hasattr(out, "count"):
+                out.count()  # force execution of lazy Datasets
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "dedup+training-data ops wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
+    """BASELINE.md protocol: identical headline job at two parallelism
+    levels in FRESH processes; efficiency = (T_low/T_high)/(cpus_ratio)."""
+    results = {}
+    for c in cpus:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(c), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[c] = json.loads(line)
+    lo, hi = cpus
+    t_lo = results[lo]["queries"]["dedup_corpus"]
+    t_hi = results[hi]["queries"]["dedup_corpus"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N->4N CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": results[lo]["sf"],
+        "throughput_files_per_s": {str(c): results[c]["files_per_s"]
+                                   for c in cpus},
+        "wall_s": {str(c): results[c]["queries"]["dedup_corpus"] for c in cpus},
+        "cpus": list(cpus),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--headline-only", action="store_true")
+    args = p.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus,
+                                   headline_only=args.headline_only)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -240,6 +240,86 @@ def gen_corpus(seed: int = 42, n_base: int = 120, max_lines: int = 400,
                    truth_clusters=pa.table(tc))
 
 
+def gen_bench_corpus(seed: int = 42, n_files: int = 100_000) -> pa.Table:
+    """Bulk corpus generator for throughput benches (no truth tables).
+
+    Vectorized construction: a pool of pre-rendered source lines, files as
+    bulk-sampled line index slices, plus planted exact clones (5%), one
+    boilerplate file cloned into 2% of rows (skew case) and near-dup
+    mutations (10%). Orders of magnitude faster than gen_corpus because
+    the RNG is called in bulk, not per line.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = _identifiers(rng, 400)
+    kw = [k for ks in _KEYWORDS.values() for k in ks]
+
+    # --- line pool -------------------------------------------------------
+    pool_n = 60_000
+    shape = rng.integers(0, 4, pool_n)
+    a_i = rng.integers(0, len(vocab), pool_n)
+    b_i = rng.integers(0, len(vocab), pool_n)
+    c_i = rng.integers(0, len(vocab), pool_n)
+    k_i = rng.integers(0, len(kw), pool_n)
+    lit = rng.integers(0, 1000, pool_n)
+    pool = []
+    for s, ai, bi, ci, ki, li in zip(shape, a_i, b_i, c_i, k_i, lit):
+        a, b, c, k = vocab[ai], vocab[bi], vocab[ci], kw[ki]
+        if s == 0:
+            pool.append(f"{k} {a}({b}, {c}):")
+        elif s == 1:
+            pool.append(f"    {a} = {b}.{c}({li})")
+        elif s == 2:
+            pool.append(f"    {k} {a} {b} {li}")
+        else:
+            pool.append(f"    {a}_{b} += {c}[{li}]")
+
+    # --- base files ------------------------------------------------------
+    lengths = rng.integers(30, 250, n_files)
+    total = int(lengths.sum())
+    line_idx = rng.integers(0, pool_n, total)
+    offs = np.zeros(n_files + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    contents: list[str] = [
+        "\n".join([pool[j] for j in line_idx[offs[i]:offs[i + 1]]])
+        for i in range(n_files)
+    ]
+
+    # --- planted structure ----------------------------------------------
+    n_exact = n_files // 20
+    src = rng.integers(0, n_files, n_exact)
+    dst = rng.integers(0, n_files, n_exact)
+    for s, d in zip(src, dst):
+        if s != d:
+            contents[d] = contents[s]
+    boiler = contents[int(rng.integers(0, n_files))]
+    for d in rng.integers(0, n_files, n_files // 50):
+        contents[d] = boiler
+    n_near = n_files // 10
+    nsrc = rng.integers(0, n_files, n_near)
+    ndst = rng.integers(0, n_files, n_near)
+    repl = rng.integers(0, pool_n, n_near)
+    for s, d, r in zip(nsrc, ndst, repl):
+        if s == d:
+            continue
+        lines = contents[s].split("\n")
+        cut = max(1, len(lines) // 20)
+        start = int(r) % max(1, len(lines) - cut)
+        lines[start:start + cut] = [pool[(int(r) + t) % pool_n] for t in range(cut)]
+        contents[d] = "\n".join(lines)
+
+    langs = np.array(_LANGS)[rng.integers(0, len(_LANGS), n_files)]
+    repo_ids = rng.zipf(1.4, n_files) % 500
+    commits = rng.integers(0, 2**63, n_files)
+    return pa.table({
+        "repo": pa.array([f"org{r % 37}/repo{r}" for r in repo_ids], pa.string()),
+        "path": pa.array([f"src/m{i % 97}/f{i}.{_LANG_EXT[l]}"
+                          for i, l in enumerate(langs)], pa.string()),
+        "commit": pa.array([f"{c:016x}" for c in commits], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })
+
+
 def write_fixture(fx: Fixture, out_dir: str, rows_per_file: int = 25_000) -> list[str]:
     """Write the corpus as multiple parquet files (partition-level resume +
     scaling need >1 input file) plus the truth tables. Returns file list."""

@@ -80,24 +80,40 @@ def driver_components(edges_ds: "ray.data.Dataset") -> pa.Table:
 
 # ----------------------------------------------------------- distributed path
 
-def _htm_round(group: pa.Table) -> pa.Table:
-    members = group.column("member").to_numpy(zero_copy_only=False).astype(U64)
-    node = group.column("node")[0].as_py()
-    members = np.unique(np.append(members, np.uint64(node)))
-    m = members[0]
-    # send min to all, all to min
-    nodes_out = np.concatenate([members, np.full(len(members), m, dtype=U64)])
-    members_out = np.concatenate([np.full(len(members), m, dtype=U64), members])
-    return pa.table({"node": pa.array(nodes_out, pa.uint64()),
-                     "member": pa.array(members_out, pa.uint64())})
+def _htm_round_batch(batch: pa.Table) -> pa.Table:
+    """One hash-to-min round over a hash partition sorted by node —
+    fully vectorized (np.minimum.reduceat segment mins): for each node u
+    with members C(u), emit (x, m) and (m, x) for all x in C(u) ∪ {u},
+    m = min(C(u) ∪ {u})."""
+    from nise_ray.ops.groupapply import segments
+    if batch.num_rows == 0:
+        return batch
+    node = batch.column("node").to_numpy(zero_copy_only=False).astype(U64)
+    member = batch.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    starts, counts = segments(node)
+    seg_min = np.minimum(np.minimum.reduceat(member, starts), node[starts])
+    m_rep = np.repeat(seg_min, counts)
+    node_vals = node[starts]
+    out_node = np.concatenate([member, m_rep, node_vals, seg_min])
+    out_member = np.concatenate([m_rep, member, seg_min, node_vals])
+    # within-partition dedup to damp the row explosion between rounds
+    pairs = np.stack([out_node, out_member], axis=1)
+    pairs = np.unique(pairs, axis=0)
+    return pa.table({"node": pa.array(pairs[:, 0], pa.uint64()),
+                     "member": pa.array(pairs[:, 1], pa.uint64())})
 
 
-def _label_gen(group: pa.Table) -> pa.Table:
-    members = group.column("member").to_numpy(zero_copy_only=False).astype(U64)
-    node = group.column("node")[0].as_py()
-    m = min(int(members.min()), node)
-    return pa.table({"doc_key": pa.array([node], pa.uint64()),
-                     "cluster_id": pa.array([m], pa.uint64())})
+def _label_batch(batch: pa.Table) -> pa.Table:
+    """(node -> min member) per segment, vectorized."""
+    from nise_ray.ops.groupapply import segments
+    if batch.num_rows == 0:
+        return LABEL_SCHEMA.empty_table()
+    node = batch.column("node").to_numpy(zero_copy_only=False).astype(U64)
+    member = batch.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    starts, _ = segments(node)
+    label = np.minimum(np.minimum.reduceat(member, starts), node[starts])
+    return pa.table({"doc_key": pa.array(node[starts], pa.uint64()),
+                     "cluster_id": pa.array(label, pa.uint64())})
 
 
 def _labels_checksum(labels_ds: "ray.data.Dataset") -> int:
@@ -124,13 +140,16 @@ def distributed_components(edges_ds: "ray.data.Dataset", cfg: DedupConfig) -> "r
             "member": pa.array(np.concatenate([v, u]), pa.uint64()),
         })
 
+    from nise_ray.ops.groupapply import hash_group_apply
+
     pairs = edges_ds.select_columns(["u", "v"]).map_batches(
         edges_to_pairs, batch_format="pyarrow")
+    n_parts = cfg.shuffle_partitions
     prev_sum: int | None = None
     for _ in range(cfg.cc_max_rounds):
-        pairs = pairs.groupby("node").map_groups(
-            _htm_round, batch_format="pyarrow").materialize()
-        labels = pairs.groupby("node").map_groups(_label_gen, batch_format="pyarrow")
+        pairs = hash_group_apply(pairs, ["node"], _htm_round_batch,
+                                 n_parts).materialize()
+        labels = hash_group_apply(pairs, ["node"], _label_batch, n_parts)
         checksum = _labels_checksum(labels)
         if checksum == prev_sum:
             break
@@ -138,7 +157,7 @@ def distributed_components(edges_ds: "ray.data.Dataset", cfg: DedupConfig) -> "r
     else:
         raise RuntimeError(
             f"hash-to-min did not converge in {cfg.cc_max_rounds} rounds")
-    return pairs.groupby("node").map_groups(_label_gen, batch_format="pyarrow")
+    return hash_group_apply(pairs, ["node"], _label_batch, n_parts)
 
 
 # ------------------------------------------------------------- label attach

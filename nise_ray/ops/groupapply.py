@@ -1,0 +1,92 @@
+"""Explicit hash-partitioned group processing (the fast shuffle path).
+
+``groupby().map_groups()`` costs one Python call per group — catastrophic
+when the key space is millions of mostly-singleton LSH buckets. Instead:
+
+    ds.repartition(num_blocks=P, keys=[k], sort=True)   # hash shuffle
+      .map_batches(fn, batch_size=None)                 # one call PER BLOCK
+
+Each block holds complete key groups (hash co-location), sorted by key, so
+``fn`` finds group boundaries vectorized (np.flatnonzero on key changes),
+drops singleton groups in one mask, and only touches real work. This is
+also literally the "explicit hash-partitioned shuffle" the north rule asks
+for — partition count is pinned in config, recorded in manifests, and
+stable across resumes.
+
+Requires DataContext.shuffle_strategy = HASH_SHUFFLE (set lazily here).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.context import DataContext, ShuffleStrategy
+
+
+def _apply_hash_shuffle(ctx: DataContext) -> None:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    cap = max(2, min(cpus, 64))
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = cap
+    ctx.default_hash_shuffle_parallelism = min(
+        ctx.default_hash_shuffle_parallelism, 4 * cap)
+
+
+def use_hash_shuffle(ds: "ray.data.Dataset | None" = None) -> None:
+    """Switch Ray Data to hash-shuffle aggregation, with aggregator-actor
+    counts capped to the cluster CPU count — the library default
+    (default_hash_shuffle_parallelism=200) spawns more aggregator actors
+    than small clusters have CPUs and deadlocks the pipeline.
+
+    Datasets capture their DataContext at CREATION time, so for an
+    already-built dataset the captured context must be patched too —
+    pass it as ``ds``."""
+    _apply_hash_shuffle(DataContext.get_current())
+    if ds is not None:
+        _apply_hash_shuffle(ds.context)
+
+
+def default_partitions(requested: int = 0) -> int:
+    """Partition count: pinned by config when given (checkpoint stability),
+    else 2x available CPUs (bounded)."""
+    if requested > 0:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(256, 2 * cpus))
+
+
+def hash_group_apply(ds: "ray.data.Dataset", keys: list[str],
+                     fn: Callable[[pa.Table], pa.Table],
+                     num_partitions: int = 0, sort: bool = True,
+                     **map_kwargs) -> "ray.data.Dataset":
+    """Apply ``fn`` once per hash partition; each call sees complete key
+    groups (sorted by ``keys`` when sort=True)."""
+    use_hash_shuffle(ds)
+    rp = ds.repartition(num_blocks=default_partitions(num_partitions),
+                        keys=keys, sort=sort)
+    return rp.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True, **map_kwargs)
+
+
+def segments(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of equal-value runs in a sorted array."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    return starts, counts

@@ -146,39 +146,134 @@ def _estimate(sig_a: np.ndarray, sig_b: np.ndarray, k: int) -> np.float32:
     return np.float32((sig_a == sig_b).sum() / k)
 
 
+def _bucket_edges(doc_keys: np.ndarray, sha64: np.ndarray, sigs: np.ndarray,
+                  tau: float, cap: int, k: int, src: str) -> list[pa.Table]:
+    """Verified edges for ONE bucket (sha-dedup, cap + star chunking)."""
+    doc_keys, sigs = _dedupe_by_sha(doc_keys, sha64, sigs)
+    m = len(doc_keys)
+    if m < 2:
+        return []
+    if m <= cap:
+        return _pairwise_verified(doc_keys, sigs, tau, k, src)
+    order = np.argsort(doc_keys)
+    doc_keys, sigs = doc_keys[order], sigs[order]
+    parts: list[pa.Table] = []
+    for c0 in range(0, m, cap):
+        dk = doc_keys[c0 : c0 + cap]
+        sg = sigs[c0 : c0 + cap]
+        parts.extend(_pairwise_verified(dk, sg, tau, k, src))
+        if c0 > 0:
+            est = _estimate(sigs[0], sg[0], k)
+            if est >= tau:
+                parts.append(edges_table(
+                    np.array([doc_keys[0]]), np.array([dk[0]]),
+                    np.array([est]), src))
+    return parts
+
+
 def make_pair_gen(cfg: DedupConfig, src: str = "minhash"):
-    """map_groups fn: one band bucket -> verified candidate-pair edges."""
+    """Per-group fn: one band bucket -> verified candidate-pair edges."""
     tau, cap, k = cfg.tau, cfg.bucket_cap, cfg.minhash_k
 
     def pair_gen(group: pa.Table) -> pa.Table:
         doc_keys = group.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
         sha64 = group.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
         sigs = sig_matrix(group.column("minhash"), k)
-        doc_keys, sigs = _dedupe_by_sha(doc_keys, sha64, sigs)
-        m = len(doc_keys)
-        if m < 2:
-            return empty_edges()
-        if m <= cap:
-            parts = _pairwise_verified(doc_keys, sigs, tau, k, src)
-        else:
-            order = np.argsort(doc_keys)
-            doc_keys, sigs = doc_keys[order], sigs[order]
-            parts = []
-            for c0 in range(0, m, cap):
-                dk = doc_keys[c0 : c0 + cap]
-                sg = sigs[c0 : c0 + cap]
-                parts.extend(_pairwise_verified(dk, sg, tau, k, src))
-                if c0 > 0:
-                    est = _estimate(sigs[0], sg[0], k)
-                    if est >= tau:
-                        parts.append(edges_table(
-                            np.array([doc_keys[0]]), np.array([dk[0]]),
-                            np.array([est]), src))
+        parts = _bucket_edges(doc_keys, sha64, sigs, tau, cap, k, src)
         if not parts:
             return empty_edges()
         return pa.concat_tables(parts)
 
     return pair_gen
+
+
+def make_batch_pair_gen(cfg: DedupConfig, src: str = "minhash",
+                        key_col: str = "bkey"):
+    """Block-level fn for hash_group_apply: the batch is sorted by key_col
+    and contains complete buckets; singleton buckets (the vast majority)
+    are skipped in one vectorized mask."""
+    from nise_ray.ops.groupapply import segments
+    tau, cap, k = cfg.tau, cfg.bucket_cap, cfg.minhash_k
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_edges()
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        starts, counts = segments(keys)
+        multi = counts >= 2
+        if not multi.any():
+            return empty_edges()
+        doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
+        sigs = sig_matrix(batch.column("minhash"), k)
+        parts: list[pa.Table] = []
+        for s, c in zip(starts[multi], counts[multi]):
+            parts.extend(_bucket_edges(doc_keys[s:s + c], sha64[s:s + c],
+                                       sigs[s:s + c], tau, cap, k, src))
+        if not parts:
+            return empty_edges()
+        return pa.concat_tables(parts)
+
+    return batch_fn
+
+
+def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
+    """Phase-1 block fn for the salted path: per (band_key, salt) shard,
+    verified within-shard edges + one rep row per shard (vectorized rep
+    selection: first row of each segment after (key, doc_key) lexsort)."""
+    from nise_ray.ops.groupapply import segments
+    tau, cap, k = cfg.tau, cfg.bucket_cap, cfg.minhash_k
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        rep_schema_cols = ["band_key", "doc_key", "sha64", "minhash"]
+        if batch.num_rows == 0:
+            return pa.table({
+                "is_rep": pa.array([], pa.bool_()),
+                "u": pa.array([], pa.uint64()), "v": pa.array([], pa.uint64()),
+                "est": pa.array([], pa.float32()), "src": pa.array([], pa.string()),
+                "band_key": pa.array([], pa.uint64()),
+                "doc_key": pa.array([], pa.uint64()),
+                "sha64": pa.array([], pa.uint64()),
+                "minhash": pa.array([], pa.binary(4 * k)),
+            })
+        keys = batch.column("bkey").to_numpy(zero_copy_only=False)
+        doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
+        sigs = sig_matrix(batch.column("minhash"), k)
+        # re-sort by (key, doc_key) so each segment's first row is its rep
+        order = np.lexsort((doc_keys, keys))
+        keys, doc_keys, sha64, sigs = keys[order], doc_keys[order], sha64[order], sigs[order]
+        starts, counts = segments(keys)
+        # edges for multi-member shards
+        parts: list[pa.Table] = []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            parts.extend(_bucket_edges(doc_keys[s:s + c], sha64[s:s + c],
+                                       sigs[s:s + c], tau, cap, k, src))
+        edges = pa.concat_tables(parts) if parts else empty_edges()
+        # one rep row per shard
+        rep_rows = batch.take(pa.array(order[starts]))
+        n_e, n_r = edges.num_rows, rep_rows.num_rows
+        return pa.table({
+            "is_rep": pa.array([False] * n_e + [True] * n_r, pa.bool_()),
+            "u": pa.concat_arrays([edges.column("u").combine_chunks(),
+                                   pa.nulls(n_r, pa.uint64())]),
+            "v": pa.concat_arrays([edges.column("v").combine_chunks(),
+                                   pa.nulls(n_r, pa.uint64())]),
+            "est": pa.concat_arrays([edges.column("est").combine_chunks(),
+                                     pa.nulls(n_r, pa.float32())]),
+            "src": pa.concat_arrays([edges.column("src").combine_chunks(),
+                                     pa.nulls(n_r, pa.string())]),
+            "band_key": pa.concat_arrays([pa.nulls(n_e, pa.uint64()),
+                                          rep_rows.column("band_key").combine_chunks()]),
+            "doc_key": pa.concat_arrays([pa.nulls(n_e, pa.uint64()),
+                                         rep_rows.column("doc_key").combine_chunks()]),
+            "sha64": pa.concat_arrays([pa.nulls(n_e, pa.uint64()),
+                                       rep_rows.column("sha64").combine_chunks()]),
+            "minhash": pa.concat_arrays([pa.nulls(n_e, pa.binary(4 * k)),
+                                         rep_rows.column("minhash").combine_chunks()]),
+        })
+
+    return batch_fn
 
 
 def make_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):

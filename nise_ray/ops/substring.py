@@ -74,6 +74,51 @@ def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     })
 
 
+def _substring_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray, cap: int):
+    order = np.lexsort((doc_keys, sha64))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = sha64[order][1:] != sha64[order][:-1]
+    doc_keys = np.sort(doc_keys[order[first]])
+    m = len(doc_keys)
+    if m < 2:
+        return None
+    if m <= cap:
+        ii, jj = np.triu_indices(m, k=1)
+        return doc_keys[ii], doc_keys[jj]
+    # hot fingerprint (ubiquitous boilerplate): star to bucket min
+    return np.full(m - 1, doc_keys[0], dtype=U64), doc_keys[1:]
+
+
+def make_batch_substring_pair_gen(cfg: DedupConfig):
+    """Block-level fn for hash_group_apply keyed on fp."""
+    from nise_ray.ops.groupapply import segments
+    cap = cfg.bucket_cap
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_edges()
+        keys = batch.column("fp").to_numpy(zero_copy_only=False)
+        starts, counts = segments(keys)
+        multi = counts >= 2
+        if not multi.any():
+            return empty_edges()
+        doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+        sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
+        us, vs = [], []
+        for s, c in zip(starts[multi], counts[multi]):
+            pair = _substring_bucket_pairs(doc_keys[s:s + c], sha64[s:s + c], cap)
+            if pair is not None:
+                us.append(pair[0])
+                vs.append(pair[1])
+        if not us:
+            return empty_edges()
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        return edges_table(u, v, np.ones(len(u), dtype=np.float32), "substring")
+
+    return batch_fn
+
+
 def make_substring_pair_gen(cfg: DedupConfig):
     cap = cfg.bucket_cap
 

@@ -35,16 +35,23 @@ from nise_ray.ops.components import (
     distributed_components,
     driver_components,
 )
-from nise_ray.ops.exact import exact_edge_gen
+from nise_ray.ops.exact import exact_batch_edge_gen
+from nise_ray.ops.groupapply import hash_group_apply, segments, use_hash_shuffle
 from nise_ray.ops.lsh import (
     EDGE_SCHEMA,
     explode_bands,
-    make_pair_gen,
-    make_salted_pair_gen,
+    make_batch_pair_gen,
+    make_batch_salted_pair_gen,
 )
 from nise_ray.ops.sign import Signer
-from nise_ray.ops.simhash_stage import explode_simhash_blocks, make_simhash_pair_gen
-from nise_ray.ops.substring import explode_fingerprints, make_substring_pair_gen
+from nise_ray.ops.simhash_stage import (
+    explode_simhash_blocks,
+    make_batch_simhash_pair_gen,
+)
+from nise_ray.ops.substring import (
+    explode_fingerprints,
+    make_batch_substring_pair_gen,
+)
 
 _SRC_RANK = {"exact": 0, "minhash": 1, "simhash": 2, "substring": 3}
 
@@ -63,6 +70,27 @@ def edge_distinct(group: pa.Table) -> pa.Table:
     best = min(range(len(srcs)),
                key=lambda i: (_SRC_RANK.get(srcs[i], 9), -float(est[i])))
     return group.take([best])
+
+
+def edge_distinct_batch(batch: pa.Table) -> pa.Table:
+    """Block-level (u, v) distinct for hash_group_apply (sort=False): one
+    full lexsort by (u, v, src-rank, -est), then first row per (u, v) —
+    zero per-group Python."""
+    if batch.num_rows <= 1:
+        return batch
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    est = batch.column("est").to_numpy(zero_copy_only=False)
+    src_codes = batch.column("src").combine_chunks().dictionary_encode()
+    dict_rank = np.array([_SRC_RANK.get(s, 9)
+                          for s in src_codes.dictionary.to_pylist()],
+                         dtype=np.int8)
+    rank = dict_rank[src_codes.indices.to_numpy(zero_copy_only=False)]
+    order = np.lexsort((-est, rank, v, u))
+    su, sv = u[order], v[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+    return batch.take(pa.array(order[first]))
 
 
 @dataclasses.dataclass
@@ -114,6 +142,7 @@ def dedup_pipeline(
     cfg = cfg or DedupConfig()
     ctx = RunContext(run_dir, cfg, resume=resume) if run_dir else None
     t_start = time.time()
+    use_hash_shuffle()
 
     corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
                  else corpus)
@@ -141,11 +170,13 @@ def dedup_pipeline(
     # ---- edge-producing branches ---------------------------------------
     edge_sets: list[ray.data.Dataset] = []
 
+    n_parts = cfg.shuffle_partitions
+
     if cfg.exact_enabled:
         def build_exact():
-            return signed.select_columns(["content_sha256", "doc_key"]) \
-                .groupby("content_sha256") \
-                .map_groups(exact_edge_gen, batch_format="pyarrow")
+            narrow = signed.select_columns(["sha64", "content_sha256", "doc_key"])
+            return hash_group_apply(narrow, ["sha64"], exact_batch_edge_gen,
+                                    n_parts)
         exact_edges, _ = _stage(ctx, "edges_exact", build_exact, EDGE_SCHEMA)
         edge_sets.append(_edge_select(exact_edges))
 
@@ -155,8 +186,8 @@ def dedup_pipeline(
                 lambda b: explode_bands(b, cfg),
                 batch_format="pyarrow", zero_copy_batch=True)
             if cfg.salt_shards > 1:
-                phase1 = exploded.groupby("bkey").map_groups(
-                    make_salted_pair_gen(cfg), batch_format="pyarrow")
+                phase1 = hash_group_apply(
+                    exploded, ["bkey"], make_batch_salted_pair_gen(cfg), n_parts)
 
                 def split_edges(b: pa.Table) -> pa.Table:
                     mask = pa.compute.invert(b.column("is_rep"))
@@ -168,11 +199,12 @@ def dedup_pipeline(
 
                 edges1 = phase1.map_batches(split_edges, batch_format="pyarrow")
                 reps = phase1.map_batches(split_reps, batch_format="pyarrow")
-                edges2 = reps.groupby("band_key").map_groups(
-                    make_pair_gen(cfg), batch_format="pyarrow")
+                edges2 = hash_group_apply(
+                    reps, ["band_key"],
+                    make_batch_pair_gen(cfg, key_col="band_key"), n_parts)
                 return edges1.union(_edge_select(edges2))
-            return exploded.groupby("bkey").map_groups(
-                make_pair_gen(cfg), batch_format="pyarrow")
+            return hash_group_apply(exploded, ["bkey"],
+                                    make_batch_pair_gen(cfg), n_parts)
         mh_edges, _ = _stage(ctx, "edges_minhash", build_minhash, EDGE_SCHEMA)
         edge_sets.append(_edge_select(mh_edges))
 
@@ -181,8 +213,8 @@ def dedup_pipeline(
             exploded = signed.map_batches(
                 lambda b: explode_simhash_blocks(b, cfg),
                 batch_format="pyarrow", zero_copy_batch=True)
-            return exploded.groupby("block_key").map_groups(
-                make_simhash_pair_gen(cfg), batch_format="pyarrow")
+            return hash_group_apply(exploded, ["block_key"],
+                                    make_batch_simhash_pair_gen(cfg), n_parts)
         sh_edges, _ = _stage(ctx, "edges_simhash", build_simhash, EDGE_SCHEMA)
         edge_sets.append(_edge_select(sh_edges))
 
@@ -193,8 +225,8 @@ def dedup_pipeline(
         ds = edge_sets[0]
         for other in edge_sets[1:]:
             ds = ds.union(other)
-        return ds.groupby(["u", "v"]).map_groups(
-            edge_distinct, batch_format="pyarrow")
+        return hash_group_apply(ds, ["u", "v"], edge_distinct_batch,
+                                n_parts, sort=False)
     edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA)
 
     # ---- connected components ------------------------------------------
@@ -241,12 +273,13 @@ def substring_pairs(
     """Stage E'' as an independent branch over the corpus (it needs raw
     content, which the signed table intentionally drops)."""
     cfg = cfg or DedupConfig()
+    use_hash_shuffle()
     corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
                  else corpus)
     fps = corpus_ds.map_batches(
         lambda b: explode_fingerprints(b, cfg),
         batch_format="pyarrow", zero_copy_batch=True)
-    pairs = fps.groupby("fp").map_groups(
-        make_substring_pair_gen(cfg), batch_format="pyarrow")
-    return pairs.groupby(["u", "v"]).map_groups(
-        edge_distinct, batch_format="pyarrow")
+    pairs = hash_group_apply(fps, ["fp"], make_batch_substring_pair_gen(cfg),
+                             cfg.shuffle_partitions)
+    return hash_group_apply(pairs, ["u", "v"], edge_distinct_batch,
+                            cfg.shuffle_partitions, sort=False)

@@ -11,6 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from nise_ray.util import collect_table
+
 from nise_ray.config import DedupConfig
 from nise_ray.fixtures import gen_corpus
 from nise_ray.hashing import doc_key as doc_key_fn
@@ -23,9 +25,8 @@ def e2e(ray_session, small_fixture):
     import ray
     ds = ray.data.from_arrow(small_fixture.corpus)
     result = dedup_pipeline(ds, DedupConfig())
-    assignments = pa.concat_tables(
-        [ray.get(r) for r in result.assignments.to_arrow_refs()])
-    edges = pa.concat_tables([ray.get(r) for r in result.edges.to_arrow_refs()])
+    assignments = collect_table(result.assignments)
+    edges = collect_table(result.edges)
     return small_fixture, result, assignments, edges
 
 
@@ -137,7 +138,7 @@ def test_determinism_two_runs(ray_session, small_fixture):
     for _ in range(2):
         ds = ray.data.from_arrow(small_fixture.corpus)
         res = dedup_pipeline(ds, cfg)
-        t = pa.concat_tables([ray.get(r) for r in res.assignments.to_arrow_refs()])
+        t = collect_table(res.assignments)
         idx = pa.compute.sort_indices(
             t, sort_keys=[("doc_key", "ascending")])
         outs.append(t.take(idx).select(["doc_key", "cluster_id", "content_sha256"]))
@@ -149,7 +150,7 @@ def test_substring_stage_finds_planted_blocks(ray_session, small_fixture):
     fx = small_fixture
     ds = ray.data.from_arrow(fx.corpus)
     sp = substring_pairs(ds, DedupConfig())
-    t = pa.concat_tables([ray.get(r) for r in sp.to_arrow_refs()])
+    t = collect_table(sp)
     found = set(zip(t.column("u").to_pylist(), t.column("v").to_pylist()))
     # the planted substring family must be fully pairwise-connected
     want = [(u, v) for u, v, kind, _ in _truth_keys(fx) if kind == "substring"]

@@ -6,13 +6,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from nise_ray.util import collect_table
+
 from nise_ray.config import DedupConfig
 from nise_ray.pipeline import dedup_pipeline
 
 
 def _assignments_table(result):
     import ray
-    t = pa.concat_tables([ray.get(r) for r in result.assignments.to_arrow_refs()])
+    t = collect_table(result.assignments)
     return t.sort_by("doc_key").select(["doc_key", "cluster_id", "content_sha256"])
 
 
@@ -80,7 +82,7 @@ def test_salted_path_preserves_recall(ray_session, small_fixture):
     cfg = DedupConfig(salt_shards=4, bucket_cap=50)
     ds = ray.data.from_arrow(small_fixture.corpus)
     res = dedup_pipeline(ds, cfg)
-    edges = pa.concat_tables([ray.get(r) for r in res.edges.to_arrow_refs()])
+    edges = collect_table(res.edges)
     uf = UnionFind()
     for u, v in zip(edges.column("u").to_pylist(), edges.column("v").to_pylist()):
         uf.union(u, v)

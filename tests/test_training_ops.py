@@ -1,0 +1,156 @@
+"""Tests for the training-data operators (ANN, textstats, dedupx,
+multimodal plumbing) and the index build/query surface."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import _embedding_matrix, _normalize, brute_force_topk
+    got = brute_force_topk(SF, n_queries=3, k=5)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = _normalize(_embedding_matrix(t))
+    vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(vids)
+    for qpos in range(3):
+        qi = order[qpos]
+        sims = m @ m[qi]
+        mask = vids != vids[qi]
+        cand = np.flatnonzero(mask)
+        best = cand[np.lexsort((vids[cand], -sims[cand]))][:5]
+        expect = list(vids[best])
+        got_q = got.filter(pa.compute.equal(got.column("query_id"), int(vids[qi])))
+        assert got_q.column("vec_id").to_pylist() == expect
+
+
+def test_lsh_topk_recall(ray_session):
+    from nise_ray.ops.ann import brute_force_topk, lsh_topk
+    exact = brute_force_topk(SF, n_queries=5, k=10)
+    approx = lsh_topk(SF, n_queries=5, k=10, n_tables=16, n_bits=6)
+    exact_set = set(zip(exact.column("query_id").to_pylist(),
+                        exact.column("vec_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(),
+                         approx.column("vec_id").to_pylist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH ANN recall {recall}"  # approximate by design
+
+
+def test_token_stats_match_python(ray_session):
+    import re
+
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.textstats import token_stats
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in token_stats(SF).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rx = re.compile(r"[A-Za-z0-9_]+")
+    for did, text in zip(t.column("doc_id").to_pylist()[:50],
+                         t.column("text").to_pylist()[:50]):
+        assert got[did] == len(rx.findall(text))
+
+
+def test_exact_dedup_docs_counts(ray_session):
+    from nise_ray.ops.dedupx import exact_dedup_documents
+    from nise_ray.util import collect_table
+    t = collect_table(exact_dedup_documents(SF))
+    assert t.column("n_dups").to_pylist().count(0) == 0
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert sum(t.column("n_dups").to_pylist()) == n_docs
+
+
+def test_language_id_scores(ray_session):
+    from nise_ray.ops.textstats import language_id
+    rows = language_id(SF).take_all()
+    assert all(0.0 <= r["lang_score"] <= 1.0 for r in rows)
+    assert all(r["lang_pred"] in {"en", "de", "fr", "es", "unknown"} for r in rows)
+
+
+def test_multimodal_feature_stage(ray_session):
+    import ray
+
+    from nise_ray.ops.multimodal import (
+        FrameSampler,
+        ImageFeatureExtractor,
+        make_fake_media_table,
+    )
+    media = make_fake_media_table(n=30, seed=1)
+    ds = ray.data.from_arrow(media)
+    feats = ds.map_batches(ImageFeatureExtractor,
+                           fn_constructor_kwargs={"fake": True},
+                           batch_size=8, concurrency=(1, 2),
+                           batch_format="pyarrow")
+    t = pa.concat_tables([ray.get(r) for r in feats.to_arrow_refs()])
+    assert t.num_rows == 30
+    assert t.column("feature").type.list_size == 64
+    # deterministic across runs
+    t2 = pa.concat_tables([ray.get(r) for r in ds.map_batches(
+        ImageFeatureExtractor, fn_constructor_kwargs={"fake": True},
+        batch_size=8, concurrency=(1, 2), batch_format="pyarrow").to_arrow_refs()])
+    assert t.sort_by("media_id").equals(t2.sort_by("media_id"))
+
+    vids = ds.filter(lambda r: r["kind"] == "video")
+    frames = vids.map_batches(FrameSampler,
+                              fn_constructor_kwargs={"n_frames": 3, "fake": True},
+                              batch_size=8, concurrency=(1, 2),
+                              batch_format="pyarrow")
+    ft = pa.concat_tables([ray.get(r) for r in frames.to_arrow_refs()])
+    assert ft.num_rows == vids.count() * 3
+
+    # real decode path: clearly-marked NotImplementedError
+    ex = ImageFeatureExtractor(fake=False)
+    with pytest.raises(NotImplementedError):
+        ex(media.slice(0, 2))
+
+
+def test_index_build_and_query(ray_session, small_fixture, tmp_path):
+    import ray
+
+    from nise_ray.config import DedupConfig
+    from nise_ray.hashing import doc_key as doc_key_fn
+    from nise_ray.index import build_index, query_index
+    from nise_ray.util import collect_table
+
+    fx = small_fixture
+    index_dir = str(tmp_path / "index")
+    build_index(ray.data.from_arrow(fx.corpus), index_dir, DedupConfig())
+
+    # query with 5 corpus rows that have known near-dups (exact clones)
+    tp = fx.truth_pairs
+    exact_rows = [i for i in range(tp.num_rows)
+                  if tp.column("kind")[i].as_py() == "exact"][:5]
+    keys = {}
+    q_rows = []
+    corpus_keys = {}
+    for i in range(fx.corpus.num_rows):
+        r = (fx.corpus.column("repo")[i].as_py(), fx.corpus.column("path")[i].as_py(),
+             fx.corpus.column("commit")[i].as_py())
+        corpus_keys[r] = doc_key_fn(*r)
+    for i in exact_rows:
+        triple = (tp.column("u_repo")[i].as_py(), tp.column("u_path")[i].as_py(),
+                  tp.column("u_commit")[i].as_py())
+        v_triple = (tp.column("v_repo")[i].as_py(), tp.column("v_path")[i].as_py(),
+                    tp.column("v_commit")[i].as_py())
+        keys[corpus_keys[triple]] = corpus_keys[v_triple]
+    # build the query table: rows of the corpus whose doc_key is in keys
+    sel = []
+    for i in range(fx.corpus.num_rows):
+        r = (fx.corpus.column("repo")[i].as_py(), fx.corpus.column("path")[i].as_py(),
+             fx.corpus.column("commit")[i].as_py())
+        if corpus_keys[r] in keys:
+            sel.append(i)
+    qt = fx.corpus.take(pa.array(sel))
+    matches = collect_table(query_index(index_dir, qt, DedupConfig(), top_k=5))
+    by_q: dict[int, list[int]] = {}
+    for q, m2 in zip(matches.column("query_key").to_pylist(),
+                     matches.column("match_key").to_pylist()):
+        by_q.setdefault(q, []).append(m2)
+    for qk, expect_match in keys.items():
+        assert qk in by_q, f"query {qk} returned no matches"
+        assert expect_match in by_q[qk], "exact clone not in top-k matches"
