@@ -31,7 +31,7 @@ import dataclasses
 import hashlib
 import json
 
-CONFIG_VERSION = 2
+CONFIG_VERSION = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +46,7 @@ class DedupConfig:
 
     # --- MinHash / LSH ---------------------------------------------------
     minhash_k: int = 128          # signature length, = bands * rows
+    minhash_mode: str = "oph"     # "oph" (one-permutation, O(M)) | "kperm"
     bands: int = 16
     rows_per_band: int = 8
     tau: float = 0.7              # verify threshold on estimated Jaccard

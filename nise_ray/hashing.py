@@ -54,6 +54,23 @@ def poly_fold(mat: np.ndarray) -> np.ndarray:
     return splitmix64(acc)
 
 
+def rolling_poly_hash(data: np.ndarray, k: int) -> np.ndarray:
+    """Hash of every k-gram of `data` (uint64 view), bit-identical to
+    ``poly_fold(sliding_window_view(data, k))`` but computed with
+    logarithmic doubling: h_2s(i) = h_s(i) * C^s + h_s(i+s), so log2(k)
+    vectorized passes instead of k. Requires power-of-two k."""
+    assert k & (k - 1) == 0, "rolling_poly_hash requires power-of-two k"
+    with np.errstate(over="ignore"):
+        h = np.asarray(data, dtype=U64).copy()
+        span = 1
+        mult = _POLY_C
+        while span < k:
+            h = h[:-span] * mult + h[span:]
+            mult = mult * mult
+            span *= 2
+    return splitmix64(h)
+
+
 def minhash_seeds(k: int, seed: int) -> np.ndarray:
     """K permutation seeds drawn from PCG64(seed) — draw order fixed."""
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -101,6 +118,54 @@ def minhash_signatures(
     return out
 
 
+def oph_signatures(shingles: np.ndarray, offsets: np.ndarray, k: int,
+                   seed_val: int) -> np.ndarray:
+    """One-Permutation-Hashing MinHash (Li/Owen/Zhang NIPS'12) with
+    rotation densification (Shrivastava & Li, ICML'14).
+
+    One splitmix64 pass over all shingles; low bits pick the bucket
+    (k must be a power of two), high 32 bits are the value; per-(doc,
+    bucket) minima via one stable argsort + minimum.reduceat. ~K x less
+    hashing work than K independent permutations at comparable estimator
+    quality; empty buckets borrow circularly from the next filled bucket.
+    Empty docs get EMPTY_SIG_VALUE everywhere.
+    """
+    shingles = np.asarray(shingles, dtype=U64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    d = len(offsets) - 1
+    assert k & (k - 1) == 0, "oph requires power-of-two K"
+    out = np.full((d, k), EMPTY_SIG_VALUE, dtype=np.uint32)
+    m = len(shingles)
+    if m == 0 or d == 0:
+        return out
+    mixed = splitmix64(shingles ^ U64(seed_val))
+    bucket = (mixed & U64(k - 1)).astype(np.int64)
+    value = (mixed >> U64(32)).astype(np.uint32)
+    doc_idx = np.repeat(np.arange(d, dtype=np.int64), np.diff(offsets))
+    combined = doc_idx * k + bucket
+    order = np.argsort(combined, kind="stable")
+    sc = combined[order]
+    starts = np.flatnonzero(np.diff(sc, prepend=sc[0] - 1))
+    mins = np.minimum.reduceat(value[order], starts)
+    out.ravel()[sc[starts]] = mins
+
+    # rotation densification: empty buckets take the value of the next
+    # filled bucket (circular), vectorized across docs
+    lengths = np.diff(offsets)
+    nonempty_docs = lengths > 0
+    sig = out[nonempty_docs]
+    empty = sig == EMPTY_SIG_VALUE
+    shift = 1
+    while empty.any() and shift < k:
+        rolled = np.roll(sig, -shift, axis=1)
+        fill = empty & (rolled != EMPTY_SIG_VALUE)
+        sig[fill] = rolled[fill]
+        empty &= ~fill
+        shift += 1
+    out[nonempty_docs] = sig
+    return out
+
+
 def band_keys(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     """Per-doc LSH band keys: uint64[D, bands].
 
@@ -133,7 +198,7 @@ def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarr
     # bits[m, j] = bit j (LSB-first) of shingles[m]
     le_bytes = shingles.astype("<u8").view(np.uint8).reshape(-1, 8)
     bits = np.unpackbits(le_bytes, axis=1, bitorder="little")  # M x 64
-    counts = np.add.reduceat(bits.astype(np.int64), offsets[nonempty], axis=0)
+    counts = np.add.reduceat(bits.astype(np.int32), offsets[nonempty], axis=0)
     maj = (2 * counts > lengths[nonempty, None]).astype(np.uint8)  # D' x 64
     packed = np.packbits(maj, axis=1, bitorder="little")  # D' x 8 bytes
     out[nonempty] = packed.copy().view("<u8").ravel().astype(U64)

@@ -24,6 +24,7 @@ from nise_ray.hashing import (
     U64,
     minhash_seeds,
     minhash_signatures,
+    oph_signatures,
     simhash_from_shingles,
 )
 from nise_ray.ops.normalize import TokenHasher, normalize_text, shingle_hashes, tokenize
@@ -42,6 +43,7 @@ class Signer:
     def __init__(self, cfg: DedupConfig) -> None:
         self.cfg = cfg
         self.seeds = minhash_seeds(cfg.minhash_k, cfg.seed)
+        self.oph_seed = int(self.seeds[0])
         self.hasher = TokenHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -79,7 +81,11 @@ class Signer:
 
         all_shingles = (np.concatenate(shingle_arrays) if shingle_arrays
                         else np.empty(0, dtype=U64))
-        sigs = minhash_signatures(all_shingles, offsets, self.seeds)  # n x K u32
+        if cfg.minhash_mode == "oph":
+            sigs = oph_signatures(all_shingles, offsets, cfg.minhash_k,
+                                  self.oph_seed)  # n x K u32
+        else:
+            sigs = minhash_signatures(all_shingles, offsets, self.seeds)
         simhash = simhash_from_shingles(all_shingles, offsets)
 
         sig_bytes = sigs.astype("<u4").tobytes()

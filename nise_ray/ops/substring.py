@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from nise_ray.config import DedupConfig
-from nise_ray.hashing import U64, poly_fold
+from nise_ray.hashing import U64, rolling_poly_hash
 from nise_ray.ops.lsh import edges_table, empty_edges
 from nise_ray.ops.normalize import normalize_text
 
@@ -38,8 +38,7 @@ def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
     n = len(data)
     if n < k:
         return np.empty(0, dtype=U64)
-    grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(U64)
-    h = poly_fold(grams)  # one hash per gram position
+    h = rolling_poly_hash(data, k)  # one hash per gram position (log2 k passes)
     if len(h) <= w:
         return np.unique(h.min(keepdims=True))
     mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)

@@ -172,10 +172,17 @@ def dedup_pipeline(
 
     n_parts = cfg.shuffle_partitions
 
+    def _lineage(fn, stage: str):
+        """Per-partition lineage records for shuffle stages (R14)."""
+        if ctx is None:
+            return fn
+        return lineage_wrap(fn, ctx.manifest_dir(stage), ctx.run_id, stage)
+
     if cfg.exact_enabled:
         def build_exact():
             narrow = signed.select_columns(["sha64", "content_sha256", "doc_key"])
-            return hash_group_apply(narrow, ["sha64"], exact_batch_edge_gen,
+            return hash_group_apply(narrow, ["sha64"],
+                                    _lineage(exact_batch_edge_gen, "edges_exact"),
                                     n_parts)
         exact_edges, _ = _stage(ctx, "edges_exact", build_exact, EDGE_SCHEMA)
         edge_sets.append(_edge_select(exact_edges))
@@ -203,8 +210,9 @@ def dedup_pipeline(
                     reps, ["band_key"],
                     make_batch_pair_gen(cfg, key_col="band_key"), n_parts)
                 return edges1.union(_edge_select(edges2))
-            return hash_group_apply(exploded, ["bkey"],
-                                    make_batch_pair_gen(cfg), n_parts)
+            return hash_group_apply(
+                exploded, ["bkey"],
+                _lineage(make_batch_pair_gen(cfg), "edges_minhash"), n_parts)
         mh_edges, _ = _stage(ctx, "edges_minhash", build_minhash, EDGE_SCHEMA)
         edge_sets.append(_edge_select(mh_edges))
 
@@ -213,8 +221,10 @@ def dedup_pipeline(
             exploded = signed.map_batches(
                 lambda b: explode_simhash_blocks(b, cfg),
                 batch_format="pyarrow", zero_copy_batch=True)
-            return hash_group_apply(exploded, ["block_key"],
-                                    make_batch_simhash_pair_gen(cfg), n_parts)
+            return hash_group_apply(
+                exploded, ["block_key"],
+                _lineage(make_batch_simhash_pair_gen(cfg), "edges_simhash"),
+                n_parts)
         sh_edges, _ = _stage(ctx, "edges_simhash", build_simhash, EDGE_SCHEMA)
         edge_sets.append(_edge_select(sh_edges))
 
@@ -225,7 +235,8 @@ def dedup_pipeline(
         ds = edge_sets[0]
         for other in edge_sets[1:]:
             ds = ds.union(other)
-        return hash_group_apply(ds, ["u", "v"], edge_distinct_batch,
+        return hash_group_apply(ds, ["u", "v"],
+                                _lineage(edge_distinct_batch, "edges"),
                                 n_parts, sort=False)
     edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA)
 
