@@ -51,31 +51,51 @@ def build_index(corpus: "str | list[str] | ray.data.Dataset", index_dir: str,
     sign_dataset(corpus_ds, cfg).write_parquet(index_dir)
 
 
-def _make_cross_pair_gen(cfg: DedupConfig, min_est: float):
+def _cross_pairs_for_bucket(doc_keys, sigs, q_mask, cap, k, min_est):
+    qi = np.flatnonzero(q_mask)
+    ci = np.flatnonzero(~q_mask)
+    if len(qi) == 0 or len(ci) == 0:
+        return None
+    if len(ci) > cap:  # hot bucket: truncate deterministically
+        ci = ci[np.argsort(doc_keys[ci])[:cap]]
+    out_q, out_c, out_e = [], [], []
+    for s0 in range(0, len(qi), 128):
+        block = qi[s0 : s0 + 128]
+        eq = (sigs[block][:, None, :] == sigs[ci][None, :, :]).sum(
+            axis=2, dtype=np.int32)
+        est = eq.astype(np.float32) / np.float32(k)
+        ii, jj = np.nonzero(est >= min_est)
+        out_q.append(doc_keys[block][ii])
+        out_c.append(doc_keys[ci][jj])
+        out_e.append(est[ii, jj])
+    return out_q, out_c, out_e
+
+
+def _make_cross_pair_batch_gen(cfg: DedupConfig, min_est: float):
+    """Block-level fn (hash_group_apply on bkey): cross-side candidate
+    pairs with inline verification, vectorized over each bucket."""
+    from nise_ray.ops.groupapply import segments
     k = cfg.minhash_k
     cap = cfg.bucket_cap
 
-    def pair_gen(group: pa.Table) -> pa.Table:
-        side = np.asarray(group.column("side").to_pylist())
-        q_mask = side == "q"
-        if not q_mask.any() or q_mask.all():
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return MATCH_SCHEMA.empty_table()
-        doc_keys = group.column("doc_key").to_numpy(zero_copy_only=False)
-        sigs = sig_matrix(group.column("minhash"), k)
-        qi = np.flatnonzero(q_mask)
-        ci = np.flatnonzero(~q_mask)
-        if len(ci) > cap:  # hot bucket: truncate deterministically
-            ci = ci[np.argsort(doc_keys[ci])[:cap]]
+        keys = batch.column("bkey").to_numpy(zero_copy_only=False)
+        starts, counts = segments(keys)
+        multi = counts >= 2
+        if not multi.any():
+            return MATCH_SCHEMA.empty_table()
+        doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False)
+        sigs = sig_matrix(batch.column("minhash"), k)
+        q_mask = np.asarray(
+            pa.compute.equal(batch.column("side"), "q").to_pandas().values)
         out_q, out_c, out_e = [], [], []
-        for s0 in range(0, len(qi), 128):
-            block = qi[s0 : s0 + 128]
-            eq = (sigs[block][:, None, :] == sigs[ci][None, :, :]).sum(
-                axis=2, dtype=np.int32)
-            est = eq.astype(np.float32) / np.float32(k)
-            ii, jj = np.nonzero(est >= min_est)
-            out_q.append(doc_keys[block][ii])
-            out_c.append(doc_keys[ci][jj])
-            out_e.append(est[ii, jj])
+        for s, c in zip(starts[multi], counts[multi]):
+            r = _cross_pairs_for_bucket(doc_keys[s:s + c], sigs[s:s + c],
+                                        q_mask[s:s + c], cap, k, min_est)
+            if r is not None:
+                out_q.extend(r[0]); out_c.extend(r[1]); out_e.extend(r[2])
         if not out_q:
             return MATCH_SCHEMA.empty_table()
         return pa.table({
@@ -84,20 +104,31 @@ def _make_cross_pair_gen(cfg: DedupConfig, min_est: float):
             "est": pa.array(np.concatenate(out_e), pa.float32()),
         })
 
-    return pair_gen
+    return batch_fn
 
 
-def _topk_gen(top_k: int):
-    def topk(group: pa.Table) -> pa.Table:
-        est = group.column("est").to_numpy(zero_copy_only=False)
-        mk = group.column("match_key").to_numpy(zero_copy_only=False)
-        # dedupe matches found via several bands: keep max est per match
-        order = np.lexsort((-est, mk))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = mk[order][1:] != mk[order][:-1]
-        keep = order[first]
-        sel = keep[np.lexsort((mk[keep], -est[keep]))][:top_k]
-        return group.take(pa.array(sel))
+def _batch_topk_gen(top_k: int):
+    """Block-level per-query top-k (batch sorted by query_key): dedupe
+    matches found via several bands (max est per match), rank est desc."""
+    from nise_ray.ops.groupapply import segments
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        qk = batch.column("query_key").to_numpy(zero_copy_only=False)
+        starts, counts = segments(qk)
+        est = batch.column("est").to_numpy(zero_copy_only=False)
+        mk = batch.column("match_key").to_numpy(zero_copy_only=False)
+        keep_rows = []
+        for s, c in zip(starts, counts):
+            sl = slice(s, s + c)
+            order = np.lexsort((-est[sl], mk[sl])) + s
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = mk[order][1:] != mk[order][:-1]
+            kept = order[first]
+            sel = kept[np.lexsort((mk[kept], -est[kept]))][:top_k]
+            keep_rows.append(sel)
+        return batch.take(pa.array(np.concatenate(keep_rows)))
 
     return topk
 
@@ -119,9 +150,12 @@ def query_index(index_dir: str, queries: "ray.data.Dataset | pa.Table",
             return ex.append_column("side", pa.array([side] * ex.num_rows))
         return fn
 
+    from nise_ray.ops.groupapply import hash_group_apply
+
     exploded = signed_q.map_batches(tag("q"), batch_format="pyarrow").union(
         signed_c.map_batches(tag("c"), batch_format="pyarrow"))
-    matches = exploded.groupby("bkey").map_groups(
-        _make_cross_pair_gen(cfg, min_est), batch_format="pyarrow")
-    return matches.groupby("query_key").map_groups(
-        _topk_gen(top_k), batch_format="pyarrow")
+    matches = hash_group_apply(exploded, ["bkey"],
+                               _make_cross_pair_batch_gen(cfg, min_est),
+                               cfg.shuffle_partitions)
+    return hash_group_apply(matches, ["query_key"], _batch_topk_gen(top_k),
+                            cfg.shuffle_partitions)
