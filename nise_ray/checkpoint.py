@@ -24,7 +24,6 @@ import time
 import uuid
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from nise_ray.config import DedupConfig
 

@@ -79,6 +79,12 @@ class DedupConfig:
     exact_enabled: bool = True
     minhash_enabled: bool = True
 
+    # --- extension hook (SURVEY §3.9) ------------------------------------
+    # pure function str -> str replacing the default normalizer; the hash
+    # of its SOURCE is folded into config_hash so a changed hook is a
+    # changed config (manifest-recorded, resume-guarded)
+    custom_normalizer: "object | None" = None
+
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.minhash_k:
             raise ValueError("minhash_k must equal bands * rows_per_band")
@@ -87,9 +93,20 @@ class DedupConfig:
 
     def config_hash(self) -> str:
         """Stable hash of the full config + version, recorded in manifests."""
-        payload = {"config_version": CONFIG_VERSION, **dataclasses.asdict(self)}
-        blob = json.dumps(payload, sort_keys=True).encode()
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
     def to_dict(self) -> dict:
-        return {"config_version": CONFIG_VERSION, **dataclasses.asdict(self)}
+        d = {"config_version": CONFIG_VERSION, **dataclasses.asdict(self)}
+        fn = d.pop("custom_normalizer", None)
+        if fn is not None:
+            import inspect
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):
+                src = repr(fn)
+            d["custom_normalizer_src_sha"] = hashlib.sha256(
+                src.encode()).hexdigest()[:16]
+        else:
+            d["custom_normalizer_src_sha"] = None
+        return d

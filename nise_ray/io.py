@@ -53,6 +53,26 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(adapt, batch_format="pyarrow")
 
 
+def filter_corpus(ds: "ray.data.Dataset", lang: str | None = None,
+                  repo_prefix: str | None = None) -> "ray.data.Dataset":
+    """Optional user predicate filters (SURVEY §3.2), pushed through a
+    vectorized Arrow compute mask — no row iteration."""
+    if lang is None and repo_prefix is None:
+        return ds
+
+    def apply(b: pa.Table) -> pa.Table:
+        mask = None
+        if lang is not None:
+            m = pa.compute.equal(b.column("lang"), lang)
+            mask = m if mask is None else pa.compute.and_(mask, m)
+        if repo_prefix is not None:
+            m = pa.compute.starts_with(b.column("repo"), pattern=repo_prefix)
+            mask = m if mask is None else pa.compute.and_(mask, m)
+        return b.filter(mask)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write_assignments(ds: "ray.data.Dataset", out_dir: str) -> None:
     ds.select_columns([
         "repo", "path", "commit", "doc_key", "content_sha256", "cluster_id",

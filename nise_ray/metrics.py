@@ -36,6 +36,43 @@ def cluster_histogram(assignments: "ray.data.Dataset") -> pa.Table:
     return t.rename_columns(["size", "n_clusters"]).sort_by("size")
 
 
+def band_bucket_histogram(signed_ds: "ray.data.Dataset", cfg) -> pa.Table:
+    """Skew telemetry (north-rule R13): distribution of LSH band-bucket
+    sizes — (bucket_size, n_buckets). Runs the band explode + one hash
+    shuffle; vectorized segment counts, no per-group Python."""
+    import numpy as np
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.ops.lsh import explode_bands
+
+    exploded = signed_ds.map_batches(
+        lambda b: explode_bands(b, cfg),
+        batch_format="pyarrow", zero_copy_batch=True).select_columns(["bkey"])
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        keys = b.column("bkey").to_numpy(zero_copy_only=False)
+        _, counts = segments(keys)
+        sizes, n = np.unique(counts, return_counts=True)
+        return pa.table({"bucket_size": pa.array(sizes, pa.int64()),
+                         "n_buckets": pa.array(n, pa.int64())})
+
+    per_part = hash_group_apply(exploded, ["bkey"], count_batch,
+                                cfg.shuffle_partitions)
+
+    def merge(b: pa.Table) -> pa.Table:
+        import numpy as np
+        sizes = b.column("bucket_size").to_numpy(zero_copy_only=False)
+        n = b.column("n_buckets").to_numpy(zero_copy_only=False)
+        order = np.argsort(sizes, kind="stable")
+        s, idx = np.unique(sizes[order], return_index=True)
+        sums = np.add.reduceat(n[order], idx)
+        return pa.table({"bucket_size": pa.array(s, pa.int64()),
+                         "n_buckets": pa.array(sums, pa.int64())})
+
+    t = collect_table(per_part)
+    return merge(t) if t.num_rows else t
+
+
 def lineage_summary(ctx: RunContext) -> dict:
     """Per-stage rollup of the per-batch lineage manifests."""
     import os

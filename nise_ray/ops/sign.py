@@ -45,6 +45,7 @@ class Signer:
         self.seeds = minhash_seeds(cfg.minhash_k, cfg.seed)
         self.oph_seed = int(self.seeds[0])
         self.hasher = TokenHasher()
+        self.normalize = cfg.custom_normalizer or normalize_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -73,7 +74,7 @@ class Signer:
             sha_hex.append(dig.hex())
             sha64[i] = int.from_bytes(dig[:8], "little")
             n_bytes[i] = len(raw)
-            toks = tokenize(normalize_text(contents[i]))
+            toks = tokenize(self.normalize(contents[i]))
             n_tokens[i] = len(toks)
             sh = shingle_hashes(self.hasher.hash_tokens(toks), cfg.shingle_w)
             shingle_arrays.append(sh)

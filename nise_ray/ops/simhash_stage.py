@@ -16,7 +16,7 @@ import pyarrow as pa
 
 from nise_ray.config import DedupConfig
 from nise_ray.hashing import U64, hamming64, simhash_block_keys
-from nise_ray.ops.lsh import _dedupe_by_sha, edges_table, empty_edges, sig_matrix
+from nise_ray.ops.lsh import edges_table, empty_edges, sig_matrix
 
 
 def explode_simhash_blocks(batch: pa.Table, cfg: DedupConfig) -> pa.Table:

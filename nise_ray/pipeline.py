@@ -36,7 +36,7 @@ from nise_ray.ops.components import (
     driver_components,
 )
 from nise_ray.ops.exact import exact_batch_edge_gen
-from nise_ray.ops.groupapply import hash_group_apply, segments, use_hash_shuffle
+from nise_ray.ops.groupapply import hash_group_apply, use_hash_shuffle
 from nise_ray.ops.lsh import (
     EDGE_SCHEMA,
     explode_bands,
