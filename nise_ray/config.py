@@ -68,8 +68,9 @@ class DedupConfig:
     substring_min_len: int = 100
 
     # --- execution -------------------------------------------------------
-    batch_size: int = 1024        # rows per map_batches call in sign stage
-    sign_concurrency: int | None = None   # actor-pool size; None = tasks autoscale
+    batch_size: int = 256         # rows per map_batches call in sign stage
+    sign_concurrency: int | None = None   # explicit actor-pool size; None = task path
+                                          # with per-worker signer cache (default)
     driver_cc_max_edges: int = 5_000_000  # <= this: driver union-find, else distributed
     cc_max_rounds: int = 24               # distributed hash-to-min round cap
     broadcast_label_max: int = 5_000_000  # label-map broadcast threshold

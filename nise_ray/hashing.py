@@ -195,10 +195,17 @@ def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarr
     nonempty = np.flatnonzero(lengths > 0)
     if len(nonempty) == 0:
         return out
-    # bits[m, j] = bit j (LSB-first) of shingles[m]
+    # Per-byte processing: expand only 8 bit columns at a time (M x 8
+    # uint8, ~M*8 bytes peak) and accumulate in int32 straight from uint8.
+    # A full M x 64 bit matrix (plus an int32 astype) allocates ~40x more
+    # and collapses under many concurrent workers (allocation/page churn).
     le_bytes = shingles.astype("<u8").view(np.uint8).reshape(-1, 8)
-    bits = np.unpackbits(le_bytes, axis=1, bitorder="little")  # M x 64
-    counts = np.add.reduceat(bits.astype(np.int32), offsets[nonempty], axis=0)
+    starts = offsets[nonempty]
+    counts = np.empty((len(nonempty), 64), dtype=np.int32)
+    for byte in range(8):
+        bb = np.unpackbits(le_bytes[:, byte, None], axis=1, bitorder="little")
+        counts[:, byte * 8:(byte + 1) * 8] = np.add.reduceat(
+            bb, starts, axis=0, dtype=np.int32)
     maj = (2 * counts > lengths[nonempty, None]).astype(np.uint8)  # D' x 64
     packed = np.packbits(maj, axis=1, bitorder="little")  # D' x 8 bytes
     out[nonempty] = packed.copy().view("<u8").ravel().astype(U64)

@@ -26,7 +26,7 @@ import ray
 from nise_ray.config import DedupConfig
 from nise_ray.io import read_corpus
 from nise_ray.ops.lsh import explode_bands, sig_matrix
-from nise_ray.ops.sign import Signer
+from nise_ray.ops.sign import Signer, make_sign_fn
 
 MATCH_SCHEMA = pa.schema([
     ("query_key", pa.uint64()),
@@ -36,10 +36,13 @@ MATCH_SCHEMA = pa.schema([
 
 
 def sign_dataset(ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
-    return ds.map_batches(Signer, fn_constructor_args=(cfg,),
-                          batch_format="pyarrow", batch_size=cfg.batch_size,
-                          zero_copy_batch=True,
-                          concurrency=cfg.sign_concurrency or (1, 32))
+    if cfg.sign_concurrency:
+        return ds.map_batches(Signer, fn_constructor_args=(cfg,),
+                              batch_format="pyarrow", batch_size=cfg.batch_size,
+                              zero_copy_batch=True,
+                              concurrency=cfg.sign_concurrency)
+    return ds.map_batches(make_sign_fn(cfg), batch_format="pyarrow",
+                          batch_size=cfg.batch_size, zero_copy_batch=True)
 
 
 def build_index(corpus: "str | list[str] | ray.data.Dataset", index_dir: str,

@@ -81,22 +81,41 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
     partial = ds.map_batches(Scorer, batch_format="pyarrow",
                              zero_copy_batch=True, concurrency=(1, 8))
+    # per-batch pre-topk already shrank the data to ~|queries| x k rows per
+    # block — the global merge is driver-sized, no shuffle needed
+    return _merge_topk(collect_table(partial), k, round_to, exclude_self=True)
 
-    def topk(group: pa.Table) -> pa.Table:
-        vids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        qid = group.column("query_id")[0].as_py()
-        cos = group.column("cosine").to_numpy(zero_copy_only=False)
-        mask = vids != qid  # exclude self
-        vids, cos = vids[mask], cos[mask]
-        order = np.lexsort((vids, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "vec_id": pa.array(vids[order], pa.int64()),
-            "cosine": pa.array(np.round(cos[order], round_to), pa.float64()),
-        })
 
-    result = partial.groupby("query_id").map_groups(topk, batch_format="pyarrow")
-    return collect_table(result)
+def _merge_topk(partial: pa.Table, k: int, round_to: int,
+                exclude_self: bool = False) -> pa.Table:
+    """Driver-side per-query top-k merge of partial candidate tables."""
+    if partial.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    qid = partial.column("query_id").to_numpy(zero_copy_only=False)
+    vid = partial.column("vec_id").to_numpy(zero_copy_only=False)
+    cos = partial.column("cosine").to_numpy(zero_copy_only=False)
+    out_q, out_v, out_c = [], [], []
+    for q in np.unique(qid):
+        m = qid == q
+        if exclude_self:
+            m &= vid != q
+        v, c = vid[m], cos[m]
+        # dedupe matches (several blocks/tables can emit the same vec)
+        order = np.lexsort((-c, v))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = v[order][1:] != v[order][:-1]
+        keep = order[first]
+        sel = keep[np.lexsort((v[keep], -c[keep]))][:k]
+        out_q.append(np.full(len(sel), q, dtype=np.int64))
+        out_v.append(v[sel])
+        out_c.append(np.round(c[sel], round_to))
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+    })
 
 
 def _srp_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -160,20 +179,7 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_tables: int = 8,
 
     partial = ds.map_batches(Bucketer, batch_format="pyarrow",
                              zero_copy_batch=True, concurrency=(1, 8))
-
-    def topk(group: pa.Table) -> pa.Table:
-        vids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        qid = group.column("query_id")[0].as_py()
-        cos = group.column("cosine").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vids, -cos))[:k]
-        return pa.table({
-            "query_id": pa.array(np.full(len(order), qid, dtype=np.int64)),
-            "vec_id": pa.array(vids[order], pa.int64()),
-            "cosine": pa.array(np.round(cos[order], round_to), pa.float64()),
-        })
-
-    result = partial.groupby("query_id").map_groups(topk, batch_format="pyarrow")
-    return collect_table(result)
+    return _merge_topk(collect_table(partial), k, round_to)
 
 
 def embedding_norms(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":

@@ -56,11 +56,10 @@ def minhash_dedup_documents(sf_dir: str, cfg: DedupConfig | None = None) -> pa.T
 def simhash_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.Dataset":
     """(doc_id, simhash_hex) fingerprints for every document."""
     cfg = cfg or DedupConfig()
-    from nise_ray.ops.sign import Signer
+    from nise_ray.ops.sign import make_sign_fn
     corpus = corpus_from_documents(sf_dir)
-    signed = corpus.map_batches(Signer, fn_constructor_args=(cfg,),
-                                batch_format="pyarrow", zero_copy_batch=True,
-                                batch_size=cfg.batch_size, concurrency=(1, 8))
+    signed = corpus.map_batches(make_sign_fn(cfg), batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=cfg.batch_size)
 
     def project(b: pa.Table) -> pa.Table:
         doc_ids = np.array([int(p[3:]) for p in b.column("path").to_pylist()],

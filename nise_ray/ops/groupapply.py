@@ -32,10 +32,21 @@ def _apply_hash_shuffle(ctx: DataContext) -> None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    cap = max(2, min(cpus, 64))
+    # Aggregators are long-lived actors; several concurrent shuffle
+    # operators each spawn their own pool, so (a) keep the per-op pool
+    # small and (b) make each aggregator reserve only a sliver of CPU —
+    # otherwise aggregator reservations starve the map tasks that feed
+    # them (observed: a fused 4-shuffle pipeline ran 10x slower with
+    # default 1-CPU aggregators).
+    # Sweep on a 32-CPU node, 860MB band shuffle (see BASELINE.md):
+    #   agg=4  parts=32  cpu=0.05 -> 13.1s      agg=8 parts=64 cpu=0.05 -> 14.7s
+    #   agg=16 parts=128 cpu=0.05 -> 31.8s      agg=8 parts=64 cpu=1.0  -> 24.0s
+    # => few aggregators, low CPU reservation, moderate partition counts.
+    cap = max(2, min(cpus // 4 or 1, 8))
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = cap
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.default_hash_shuffle_parallelism = min(
         ctx.default_hash_shuffle_parallelism, 4 * cap)
 
@@ -56,14 +67,15 @@ def use_hash_shuffle(ds: "ray.data.Dataset | None" = None) -> None:
 
 def default_partitions(requested: int = 0) -> int:
     """Partition count: pinned by config when given (checkpoint stability),
-    else 2x available CPUs (bounded)."""
+    else ~CPU count (bounded) — more partitions measurably SLOW the hash
+    shuffle aggregators (see sweep in use_hash_shuffle)."""
     if requested > 0:
         return requested
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, min(256, 2 * cpus))
+    return max(8, min(128, cpus))
 
 
 def hash_group_apply(ds: "ray.data.Dataset", keys: list[str],

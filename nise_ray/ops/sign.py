@@ -36,6 +36,24 @@ SIGNED_COLUMNS = [
     "minhash", "simhash",
 ]
 
+# per-worker-process signer cache for the task-based sign path: Ray reuses
+# worker processes across tasks, so seeds + token cache are built once per
+# worker — the stateful-stage benefit without pinning CPU slots to a
+# fixed actor pool (which starves upstream read tasks on a full cluster)
+_SIGNER_CACHE: dict[str, "Signer"] = {}
+
+
+def make_sign_fn(cfg: DedupConfig):
+    key = cfg.config_hash()
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        signer = _SIGNER_CACHE.get(key)
+        if signer is None:
+            signer = _SIGNER_CACHE.setdefault(key, Signer(cfg))
+        return signer(batch)
+
+    return sign_batch
+
 
 class Signer:
     """Callable class for ``map_batches`` (actor pool when concurrency set)."""

@@ -43,10 +43,16 @@ from nise_ray.ops.lsh import (
     make_batch_pair_gen,
     make_batch_salted_pair_gen,
 )
-from nise_ray.ops.sign import Signer
+from nise_ray.ops.sign import Signer, make_sign_fn
 from nise_ray.ops.simhash_stage import (
     explode_simhash_blocks,
     make_batch_simhash_pair_gen,
+)
+from nise_ray.ops.unified import (
+    broadcast_sig_map,
+    explode_unified,
+    make_sig_verifier,
+    make_unified_pair_gen,
 )
 from nise_ray.ops.substring import (
     explode_fingerprints,
@@ -103,13 +109,24 @@ class DedupResult:
 
 
 def _stage(ctx: RunContext | None, name: str, build,
-           empty_schema: pa.Schema | None = None):
+           empty_schema: pa.Schema | None = None,
+           timings: "dict[str, float] | None" = None):
     """Stage checkpoint wrapper: resume reads completed stages back from
     partitioned parquet; fresh runs write-through then stream from disk."""
-    if ctx is None:
-        return build().materialize(), False
-    if ctx.resume and ctx.is_complete(name):
-        return ray.data.read_parquet(ctx.stage_dir(name)), True
+    t0 = time.time()
+    try:
+        if ctx is None:
+            return build().materialize(), False
+        if ctx.resume and ctx.is_complete(name):
+            return ray.data.read_parquet(ctx.stage_dir(name)), True
+        return _stage_checkpointed(ctx, name, build, empty_schema)
+    finally:
+        if timings is not None:
+            timings[name] = round(time.time() - t0, 3)
+
+
+def _stage_checkpointed(ctx: RunContext, name: str, build,
+                        empty_schema: pa.Schema | None):
     ds = build()
     out_dir = ctx.stage_dir(name)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -147,17 +164,19 @@ def dedup_pipeline(
     corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
                  else corpus)
 
-    # ---- stage A: sign (stateful actor pool, zero-copy Arrow) -----------
+    # ---- stage A: sign (stateful, zero-copy Arrow). Default: task path
+    # with a per-worker signer cache — elastic, no CPU-slot pinning; set
+    # cfg.sign_concurrency for an explicit actor pool. ------------------
     def build_signed():
-        sign_fn = Signer
-        kwargs: dict[str, Any] = dict(
-            fn_constructor_args=(cfg,),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            zero_copy_batch=True,
-            concurrency=cfg.sign_concurrency or (1, 32),
-        )
-        ds = corpus_ds.map_batches(sign_fn, **kwargs)
+        if cfg.sign_concurrency:
+            ds = corpus_ds.map_batches(
+                Signer, fn_constructor_args=(cfg,), batch_format="pyarrow",
+                batch_size=cfg.batch_size, zero_copy_batch=True,
+                concurrency=cfg.sign_concurrency)
+        else:
+            ds = corpus_ds.map_batches(
+                make_sign_fn(cfg), batch_format="pyarrow",
+                batch_size=cfg.batch_size, zero_copy_batch=True)
         if ctx is not None:
             wrapped = lineage_wrap(lambda b: b, ctx.manifest_dir("signed"),
                                    ctx.run_id, "signed")
@@ -165,7 +184,8 @@ def dedup_pipeline(
                                 zero_copy_batch=True)
         return ds
 
-    signed, _ = _stage(ctx, "signed", build_signed)
+    stage_timings: dict[str, float] = {}
+    signed, _ = _stage(ctx, "signed", build_signed, timings=stage_timings)
 
     # ---- edge-producing branches ---------------------------------------
     edge_sets: list[ray.data.Dataset] = []
@@ -178,16 +198,54 @@ def dedup_pipeline(
             return fn
         return lineage_wrap(fn, ctx.manifest_dir(stage), ctx.run_id, stage)
 
-    if cfg.exact_enabled:
+    # In-memory runs FUSE the three edge branches into one streaming
+    # execution (no per-branch materialization barrier — the streaming
+    # executor runs all branch shuffles concurrently, which is where the
+    # scaling headroom is). Checkpointed runs keep per-stage barriers so
+    # resume can skip each branch independently.
+    fused = ctx is None
+
+    def _branch(name, build):
+        if fused:
+            return build()
+        ds, _ = _stage(ctx, name, build, EDGE_SCHEMA, stage_timings)
+        return ds
+
+    # Default: UNIFIED candidate shuffle — exact + band + block rows share
+    # one explode and ONE keyed exchange (separate shuffle operators each
+    # spawn an aggregator fleet and contend; measured 3-4x slower). The
+    # salted two-phase band path keeps the per-branch plan below.
+    unified = cfg.salt_shards == 1 and cfg.minhash_enabled
+    # post-verification: shuffle narrow candidate rows (no 4K-byte sig per
+    # exploded row — ~10x less exchange volume) and verify (u, v) pairs
+    # afterwards against a broadcast signature map. Only sound while the
+    # sig map fits the driver/object store; beyond broadcast_label_max the
+    # carried-signature inline verify (distributed-safe) is used.
+    post_verify = False
+    if unified:
+        post_verify = signed.count() <= cfg.broadcast_label_max
+
+        def build_candidates():
+            exploded = signed.map_batches(
+                lambda b: explode_unified(b, cfg, carry_sigs=not post_verify),
+                batch_format="pyarrow", zero_copy_batch=True)
+            return hash_group_apply(
+                exploded, ["key"],
+                _lineage(make_unified_pair_gen(cfg, verify=not post_verify),
+                         "edges_candidates"),
+                n_parts)
+        edge_sets.append(_edge_select(_branch("edges_candidates",
+                                              build_candidates)))
+
+    if cfg.exact_enabled and not unified:
         def build_exact():
             narrow = signed.select_columns(["sha64", "content_sha256", "doc_key"])
             return hash_group_apply(narrow, ["sha64"],
                                     _lineage(exact_batch_edge_gen, "edges_exact"),
                                     n_parts)
-        exact_edges, _ = _stage(ctx, "edges_exact", build_exact, EDGE_SCHEMA)
-        edge_sets.append(_edge_select(exact_edges))
+        edge_sets.append(_edge_select(_branch("edges_exact", build_exact)))
 
-    if cfg.minhash_enabled:
+    if cfg.minhash_enabled and not unified:
         def build_minhash():
             exploded = signed.map_batches(
                 lambda b: explode_bands(b, cfg),
@@ -213,10 +271,9 @@ def dedup_pipeline(
             return hash_group_apply(
                 exploded, ["bkey"],
                 _lineage(make_batch_pair_gen(cfg), "edges_minhash"), n_parts)
-        mh_edges, _ = _stage(ctx, "edges_minhash", build_minhash, EDGE_SCHEMA)
-        edge_sets.append(_edge_select(mh_edges))
+        edge_sets.append(_edge_select(_branch("edges_minhash", build_minhash)))
 
-    if cfg.simhash_enabled:
+    if cfg.simhash_enabled and not unified:
         def build_simhash():
             exploded = signed.map_batches(
                 lambda b: explode_simhash_blocks(b, cfg),
@@ -225,20 +282,32 @@ def dedup_pipeline(
                 exploded, ["block_key"],
                 _lineage(make_batch_simhash_pair_gen(cfg), "edges_simhash"),
                 n_parts)
-        sh_edges, _ = _stage(ctx, "edges_simhash", build_simhash, EDGE_SCHEMA)
-        edge_sets.append(_edge_select(sh_edges))
+        edge_sets.append(_edge_select(_branch("edges_simhash", build_simhash)))
 
-    # ---- union + distinct ----------------------------------------------
+    # ---- union + distinct (+ deferred verification) ---------------------
     def build_edges():
         if not edge_sets:
             return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
         ds = edge_sets[0]
         for other in edge_sets[1:]:
             ds = ds.union(other)
-        return hash_group_apply(ds, ["u", "v"],
-                                _lineage(edge_distinct_batch, "edges"),
-                                n_parts, sort=False)
-    edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA)
+        distinct = hash_group_apply(ds, ["u", "v"],
+                                    _lineage(edge_distinct_batch, "edges"),
+                                    n_parts, sort=False)
+        if post_verify:
+            distinct = distinct.materialize()
+            from nise_ray.util import collect_table
+            uv = collect_table(distinct.select_columns(["u", "v"]))
+            needed = np.unique(np.concatenate([
+                uv.column("u").to_numpy(zero_copy_only=False),
+                uv.column("v").to_numpy(zero_copy_only=False),
+            ])) if uv.num_rows else np.empty(0, dtype=np.uint64)
+            ref = broadcast_sig_map(signed, cfg.minhash_k, needed)
+            distinct = distinct.map_batches(
+                make_sig_verifier(ref, cfg), batch_format="pyarrow",
+                zero_copy_batch=True, concurrency=(1, 8))
+        return distinct
+    edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA, stage_timings)
 
     # ---- connected components ------------------------------------------
     n_edges = edges.count()
@@ -262,11 +331,13 @@ def dedup_pipeline(
     def build_assignments():
         ds = attach_labels(signed, labels, cfg)
         return ds.select_columns(ASSIGNMENT_COLUMNS)
-    assignments, _ = _stage(ctx, "assignments", build_assignments)
+    assignments, _ = _stage(ctx, "assignments", build_assignments,
+                            timings=stage_timings)
 
     stats["n_docs"] = signed.count()
     stats["n_labeled_docs"] = (labels.num_rows if isinstance(labels, pa.Table)
                                else labels.count())
+    stats["stage_wall_s"] = stage_timings
     stats["wall_s"] = time.time() - t_start
     stats["config_hash"] = cfg.config_hash()
     if ctx is not None:
