@@ -72,6 +72,8 @@ class DedupConfig:
     sign_concurrency: int | None = None   # explicit actor-pool size; None = task path
                                           # with per-worker signer cache (default)
     driver_cc_max_edges: int = 5_000_000  # <= this: driver union-find, else distributed
+    driver_pairs_max: int = 20_000_000    # <= this: driver-side distinct+verify
+                                          # (numpy), else distributed shuffle
     cc_max_rounds: int = 24               # distributed hash-to-min round cap
     broadcast_label_max: int = 5_000_000  # label-map broadcast threshold
     shuffle_partitions: int = 0           # 0 = let Ray Data decide

@@ -285,12 +285,60 @@ def dedup_pipeline(
         edge_sets.append(_edge_select(_branch("edges_simhash", build_simhash)))
 
     # ---- union + distinct (+ deferred verification) ---------------------
+    def _driver_distinct_verify(cand: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Driver fast path (scale-gated): collect the narrow candidate
+        rows, numpy-lexsort distinct, verify against the needed-keys sig
+        map — avoids a whole (u, v) exchange whose row count is small
+        relative to the corpus. Distributed fallback: hash shuffle +
+        broadcast verifier (below)."""
+        from nise_ray.util import collect_table
+        t = collect_table(cand)
+        if t.num_rows == 0:
+            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        est = t.column("est").to_numpy(zero_copy_only=False)
+        src_codes = t.column("src").combine_chunks().dictionary_encode()
+        rank_map = np.array([_SRC_RANK.get(s, 9)
+                             for s in src_codes.dictionary.to_pylist()],
+                            dtype=np.int8)
+        rank = rank_map[src_codes.indices.to_numpy(zero_copy_only=False)]
+        order = np.lexsort((-est, rank, v, u))
+        su, sv = u[order], v[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+        keep = order[first]
+        t = t.take(pa.array(keep))
+        if post_verify:
+            uu = u[keep]
+            vv = v[keep]
+            needed = np.unique(np.concatenate([uu, vv]))
+            ref = broadcast_sig_map(signed, cfg.minhash_k, needed)
+            keys, sigs = ray.get(ref)
+            ee = est[keep].copy()
+            need = ee < 0
+            if need.any():
+                iu = np.clip(np.searchsorted(keys, uu[need]), 0, len(keys) - 1)
+                iv = np.clip(np.searchsorted(keys, vv[need]), 0, len(keys) - 1)
+                ok = (keys[iu] == uu[need]) & (keys[iv] == vv[need])
+                match = (sigs[iu] == sigs[iv]).sum(axis=1)
+                ee[need] = np.where(
+                    ok, match.astype(np.float32) / np.float32(cfg.minhash_k),
+                    np.float32(0.0))
+            t = t.set_column(t.schema.get_field_index("est"), "est",
+                             pa.array(ee.astype(np.float32), pa.float32()))
+            t = t.filter(pa.array(ee >= cfg.tau))
+        return ray.data.from_arrow(t)
+
     def build_edges():
         if not edge_sets:
             return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
         ds = edge_sets[0]
         for other in edge_sets[1:]:
             ds = ds.union(other)
+        ds = ds.materialize()
+        if ds.count() <= cfg.driver_pairs_max:
+            return _driver_distinct_verify(ds)
         distinct = hash_group_apply(ds, ["u", "v"],
                                     _lineage(edge_distinct_batch, "edges"),
                                     n_parts, sort=False)
