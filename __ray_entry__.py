@@ -125,6 +125,39 @@ def _q_dedup_flagship(sf_dir: str):
         ["repo", "path", "content_sha256", "cluster_id"])
 
 
+def _q_windowed_events(sf_dir: str):
+    from nise_ray.ops.events import windowed_event_counts
+    return windowed_event_counts(sf_dir, hours=1)
+
+
+def _q_user_event_stats(sf_dir: str):
+    from nise_ray.ops.events import user_event_stats
+    return user_event_stats(sf_dir)
+
+
+def _q_top_docs_by_len(sf_dir: str):
+    from nise_ray.ops.events import top_docs_by_len
+    return top_docs_by_len(sf_dir, k=20)
+
+
+def _q_index_query(sf_dir: str):
+    """Build the LSH index over the documents-adapted corpus and query it
+    with its own first 20 docs (batch self-query; rows-only check)."""
+    import tempfile
+
+    import ray
+    from nise_ray.config import DedupConfig
+    from nise_ray.index import build_index, query_index
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.util import collect_table
+    cfg = DedupConfig()
+    corpus = corpus_from_documents(sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        build_index(corpus, d, cfg)
+        q = collect_table(corpus_from_documents(sf_dir).sort("path").limit(20))
+        return collect_table(query_index(d, q, cfg, top_k=5))
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray
     from nise_ray.ops.multimodal import ImageFeatureExtractor, make_fake_media_table
@@ -154,6 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
+        # --- events / relational ops ----------------------------------
+        "windowed_events": _q_windowed_events,
+        "user_event_stats": _q_user_event_stats,
+        "top_docs_by_len": _q_top_docs_by_len,
+        # --- index build/query (reference's online surface) -----------
+        "index_query": _q_index_query,
         # --- multimodal plumbing (deterministic stub decode) ----------
         "multimodal_features": _q_multimodal_features,
     }
@@ -203,6 +242,22 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.qid
                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
                          e.vec_id) <= 10
+        """,
+        "windowed_events": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_event_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "top_docs_by_len": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
         # minhash_dedup_docs / simhash_docs / ngram_jaccard_pairs_docs /
         # substring_pairs_docs / dedup_flagship / ann_topk_lsh /

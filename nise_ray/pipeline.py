@@ -410,6 +410,19 @@ def substring_pairs(
         lambda b: explode_fingerprints(b, cfg),
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = hash_group_apply(fps, ["fp"], make_batch_substring_pair_gen(cfg),
-                             cfg.shuffle_partitions)
+                             cfg.shuffle_partitions).materialize()
+    if pairs.count() <= cfg.driver_pairs_max:
+        # driver fast path (scale-gated, mirrors the main edge distinct)
+        from nise_ray.util import collect_table
+        t = collect_table(pairs)
+        if t.num_rows == 0:
+            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = ((u[order][1:] != u[order][:-1])
+                     | (v[order][1:] != v[order][:-1]))
+        return ray.data.from_arrow(t.take(pa.array(order[first])))
     return hash_group_apply(pairs, ["u", "v"], edge_distinct_batch,
                             cfg.shuffle_partitions, sort=False)
