@@ -358,6 +358,7 @@ def dedup_pipeline(
     edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA, stage_timings)
 
     # ---- connected components ------------------------------------------
+    t_cc = time.time()
     n_edges = edges.count()
     stats: dict[str, Any] = {"n_edges": n_edges}
     if n_edges == 0:
@@ -374,6 +375,8 @@ def dedup_pipeline(
     else:
         labels = distributed_components(edges, cfg)
         stats["cc_path"] = "distributed_hash_to_min"
+
+    stage_timings["components"] = round(time.time() - t_cc, 3)
 
     # ---- label attach + assignments ------------------------------------
     def build_assignments():
