@@ -78,6 +78,14 @@ class DedupConfig:
     broadcast_label_max: int = 5_000_000  # label-map broadcast threshold
     shuffle_partitions: int = 0           # 0 = let Ray Data decide
 
+    # --- verification strategy -------------------------------------------
+    # "auto": narrow exchange + broadcast sig map while the corpus fits
+    #         broadcast_label_max, else carried signatures (inline verify)
+    # "carry": always carry sigs through the exchange (distributed-safe)
+    # "join": narrow exchange + two-sided distributed signature hash join
+    #         (no broadcast, no driver state — the 10^12-file setting)
+    verify_mode: str = "auto"
+
     # --- stage toggles ----------------------------------------------------
     exact_enabled: bool = True
     minhash_enabled: bool = True

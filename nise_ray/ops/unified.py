@@ -283,6 +283,46 @@ def broadcast_sig_map(signed, k: int, needed_keys: np.ndarray | None = None):
     return ray.put((keys[order], np.ascontiguousarray(sigs[order])))
 
 
+def join_verify(pairs, signed, cfg: DedupConfig, num_partitions: int = 64):
+    """Fully distributed verification: two hash joins attach both
+    endpoints' signatures to each (u, v) pair, then a vectorized filter
+    keeps est >= tau. No driver collection, no broadcast — the correct
+    path when even the needed-keys sig map exceeds the object store
+    (10^10+ candidate pairs at 10^12-file scale)."""
+    import ray  # noqa: F401
+
+    sigs = signed.select_columns(["doc_key", "minhash"])
+    k = cfg.minhash_k
+    tau = cfg.tau
+
+    j1 = pairs.join(sigs, join_type="inner", num_partitions=num_partitions,
+                    on=("u",), right_on=("doc_key",), right_suffix="_u")
+    j2 = j1.join(sigs, join_type="inner", num_partitions=num_partitions,
+                 on=("v",), right_on=("doc_key",), right_suffix="_v")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_edges()
+        cols = batch.column_names
+        mh_u = next(c for c in cols if c.startswith("minhash") and c != "minhash_v")
+        sig_u = sig_matrix(batch.column(mh_u), k)
+        sig_v = sig_matrix(batch.column("minhash_v"), k)
+        est = batch.column("est").to_numpy(zero_copy_only=False).copy()
+        need = est < 0
+        if need.any():
+            match = (sig_u[need] == sig_v[need]).sum(axis=1)
+            est[need] = match.astype(np.float32) / np.float32(k)
+        out = pa.table({
+            "u": batch.column("u"),
+            "v": batch.column("v"),
+            "est": pa.array(est.astype(np.float32), pa.float32()),
+            "src": batch.column("src"),
+        })
+        return out.filter(pa.array(est >= tau))
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def make_sig_verifier(ref, cfg: DedupConfig):
     """map_batches class: attach estimated Jaccard to (u, v) pairs from the
     broadcast signature map; drop non-exact pairs below tau."""

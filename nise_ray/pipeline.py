@@ -51,6 +51,7 @@ from nise_ray.ops.simhash_stage import (
 from nise_ray.ops.unified import (
     broadcast_sig_map,
     explode_unified,
+    join_verify,
     make_sig_verifier,
     make_unified_pair_gen,
 )
@@ -216,22 +217,27 @@ def dedup_pipeline(
     # spawn an aggregator fleet and contend; measured 3-4x slower). The
     # salted two-phase band path keeps the per-branch plan below.
     unified = cfg.salt_shards == 1 and cfg.minhash_enabled
-    # post-verification: shuffle narrow candidate rows (no 4K-byte sig per
-    # exploded row — ~10x less exchange volume) and verify (u, v) pairs
-    # afterwards against a broadcast signature map. Only sound while the
-    # sig map fits the driver/object store; beyond broadcast_label_max the
-    # carried-signature inline verify (distributed-safe) is used.
-    post_verify = False
-    if unified:
-        post_verify = signed.count() <= cfg.broadcast_label_max
+    # Verification strategy (cfg.verify_mode): a NARROW exchange (no
+    # 4K-byte sig per exploded row, ~10x less volume) defers pair
+    # verification to either a broadcast sig map ("broadcast", gated on
+    # corpus size) or a two-sided distributed signature hash join
+    # ("join", the 10^12-file configuration); "carry" ships sigs through
+    # the exchange and verifies inline.
+    verify_mode = cfg.verify_mode
+    if verify_mode == "auto":
+        verify_mode = ("broadcast" if unified
+                       and signed.count() <= cfg.broadcast_label_max
+                       else "carry")
+    narrow = unified and verify_mode in ("broadcast", "join")
 
+    if unified:
         def build_candidates():
             exploded = signed.map_batches(
-                lambda b: explode_unified(b, cfg, carry_sigs=not post_verify),
+                lambda b: explode_unified(b, cfg, carry_sigs=not narrow),
                 batch_format="pyarrow", zero_copy_batch=True)
             return hash_group_apply(
                 exploded, ["key"],
-                _lineage(make_unified_pair_gen(cfg, verify=not post_verify),
+                _lineage(make_unified_pair_gen(cfg, verify=not narrow),
                          "edges_candidates"),
                 n_parts)
         edge_sets.append(_edge_select(_branch("edges_candidates",
@@ -309,7 +315,7 @@ def dedup_pipeline(
         first[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
         keep = order[first]
         t = t.take(pa.array(keep))
-        if post_verify:
+        if narrow:
             uu = u[keep]
             vv = v[keep]
             needed = np.unique(np.concatenate([uu, vv]))
@@ -337,24 +343,31 @@ def dedup_pipeline(
         for other in edge_sets[1:]:
             ds = ds.union(other)
         ds = ds.materialize()
-        if ds.count() <= cfg.driver_pairs_max:
+        if verify_mode != "join" and ds.count() <= cfg.driver_pairs_max:
             return _driver_distinct_verify(ds)
         distinct = hash_group_apply(ds, ["u", "v"],
                                     _lineage(edge_distinct_batch, "edges"),
                                     n_parts, sort=False)
-        if post_verify:
-            distinct = distinct.materialize()
-            from nise_ray.util import collect_table
-            uv = collect_table(distinct.select_columns(["u", "v"]))
-            needed = np.unique(np.concatenate([
-                uv.column("u").to_numpy(zero_copy_only=False),
-                uv.column("v").to_numpy(zero_copy_only=False),
-            ])) if uv.num_rows else np.empty(0, dtype=np.uint64)
-            ref = broadcast_sig_map(signed, cfg.minhash_k, needed)
-            distinct = distinct.map_batches(
-                make_sig_verifier(ref, cfg), batch_format="pyarrow",
-                zero_copy_batch=True, concurrency=(1, 8))
-        return distinct
+        if not narrow:
+            return distinct  # carried sigs: already verified inline
+        if verify_mode == "join":
+            # fully distributed: two-sided signature hash join (no
+            # broadcast, no driver state — the 10^12-file configuration)
+            from nise_ray.ops.groupapply import default_partitions
+            return join_verify(distinct, signed, cfg,
+                               default_partitions(n_parts))
+        # broadcast verifier over the needed-keys sig map
+        distinct = distinct.materialize()
+        from nise_ray.util import collect_table
+        uv = collect_table(distinct.select_columns(["u", "v"]))
+        needed = np.unique(np.concatenate([
+            uv.column("u").to_numpy(zero_copy_only=False),
+            uv.column("v").to_numpy(zero_copy_only=False),
+        ])) if uv.num_rows else np.empty(0, dtype=np.uint64)
+        ref = broadcast_sig_map(signed, cfg.minhash_k, needed)
+        return distinct.map_batches(
+            make_sig_verifier(ref, cfg), batch_format="pyarrow",
+            zero_copy_batch=True, concurrency=(1, 8))
     edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA, stage_timings)
 
     # ---- connected components ------------------------------------------

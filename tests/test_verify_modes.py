@@ -1,0 +1,33 @@
+"""The three verification strategies must produce identical edge sets."""
+
+import pyarrow as pa
+import pytest
+
+from nise_ray.config import DedupConfig
+from nise_ray.pipeline import dedup_pipeline
+from nise_ray.util import collect_table
+
+
+def _edges(fx, cfg):
+    import ray
+    res = dedup_pipeline(ray.data.from_arrow(fx.corpus), cfg)
+    t = collect_table(res.edges)
+    return set(zip(t.column("u").to_pylist(), t.column("v").to_pylist(),
+                   t.column("src").to_pylist()))
+
+
+def test_verify_modes_agree(ray_session, small_fixture):
+    base = _edges(small_fixture, DedupConfig())           # auto -> broadcast
+    carry = _edges(small_fixture, DedupConfig(verify_mode="carry"))
+    join = _edges(small_fixture, DedupConfig(verify_mode="join"))
+    assert base == carry
+    assert base == join
+
+
+def test_join_mode_distributed_distinct(ray_session, small_fixture):
+    # force the fully distributed plan: join verify + shuffle distinct
+    cfg = DedupConfig(verify_mode="join", driver_pairs_max=0,
+                      driver_cc_max_edges=0)
+    base = _edges(small_fixture, DedupConfig())
+    dist = _edges(small_fixture, cfg)
+    assert base == dist
