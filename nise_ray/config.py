@@ -77,6 +77,8 @@ class DedupConfig:
     cc_max_rounds: int = 24               # distributed hash-to-min round cap
     broadcast_label_max: int = 5_000_000  # label-map broadcast threshold
     shuffle_partitions: int = 0           # 0 = let Ray Data decide
+    sign_chunk_files: int = 0             # files per sign checkpoint chunk
+                                          # (0 = auto: max(8, n_files/16))
 
     # --- verification strategy -------------------------------------------
     # "auto": narrow exchange + broadcast sig map while the corpus fits

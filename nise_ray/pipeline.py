@@ -151,6 +151,66 @@ def _edge_select(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.select_columns(["u", "v", "est", "src"])
 
 
+def _sign_chunked(ctx: RunContext, cfg: DedupConfig,
+                  corpus: "str | list[str]") -> "ray.data.Dataset":
+    """Partition-level checkpointing for the sign stage: the input FILE
+    LIST is split into chunks, each signed and checkpointed as
+    stage=signed/chunk=NNNNN; a resumed run re-signs only incomplete
+    chunks (north-rule "resumes from per-partition checkpoints"). Chunk
+    identity = position in the sorted file list, fingerprinted in each
+    chunk's _SUCCESS marker."""
+    import glob
+    import hashlib as _hashlib
+    import os
+
+    if isinstance(corpus, str):
+        if os.path.isdir(corpus):
+            files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+        else:
+            files = [corpus]
+    else:
+        files = sorted(corpus)
+    if not files:
+        raise ValueError(f"no parquet files under {corpus}")
+    chunk_size = cfg.sign_chunk_files or max(8, len(files) // 16)
+    chunks = [files[i:i + chunk_size] for i in range(0, len(files), chunk_size)]
+
+    sign_fn = make_sign_fn(cfg)
+    wrapped = lineage_wrap(sign_fn, ctx.manifest_dir("signed"),
+                           ctx.run_id, "signed")
+    out_dirs: list[str] = []
+    for i, chunk in enumerate(chunks):
+        cdir = os.path.join(ctx.stage_dir("signed"), f"chunk={i:05d}")
+        # marker OUTSIDE the chunk dir so read_parquet(cdir) sees only parquet
+        marker = cdir + ".done.json"
+        fp = _hashlib.sha256(("\n".join(os.path.basename(f) for f in chunk)
+                              + ctx.cfg.config_hash()).encode()).hexdigest()[:16]
+        if ctx.resume and os.path.exists(marker):
+            import json as _json
+            with open(marker) as f:
+                if _json.load(f).get("fingerprint") == fp:
+                    out_dirs.append(cdir)
+                    continue
+        shutil.rmtree(cdir, ignore_errors=True)
+        ds = read_corpus(chunk).map_batches(
+            wrapped, batch_format="pyarrow", batch_size=cfg.batch_size,
+            zero_copy_batch=True)
+        ds.write_parquet(cdir)
+        from nise_ray.checkpoint import _atomic_write_json
+        _atomic_write_json(marker, {
+            "run_id": ctx.run_id, "stage": "signed", "chunk": i,
+            "fingerprint": fp, "n_files": len(chunk),
+            "completed_at": time.time(),
+        })
+        out_dirs.append(cdir)
+    ctx.mark_complete("signed", n_chunks=len(chunks))
+    # read_parquet accepts one dir OR a list of FILES — expand chunk dirs
+    signed_files: list[str] = []
+    for d in out_dirs:
+        signed_files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return ray.data.read_parquet(signed_files)
+
+
 def dedup_pipeline(
     corpus: "str | list[str] | ray.data.Dataset",
     cfg: DedupConfig | None = None,
@@ -186,7 +246,12 @@ def dedup_pipeline(
         return ds
 
     stage_timings: dict[str, float] = {}
-    signed, _ = _stage(ctx, "signed", build_signed, timings=stage_timings)
+    if ctx is not None and isinstance(corpus, (str, list)):
+        t0 = time.time()
+        signed = _sign_chunked(ctx, cfg, corpus)
+        stage_timings["signed"] = round(time.time() - t0, 3)
+    else:
+        signed, _ = _stage(ctx, "signed", build_signed, timings=stage_timings)
 
     # ---- edge-producing branches ---------------------------------------
     edge_sets: list[ray.data.Dataset] = []

@@ -31,14 +31,18 @@ def test_resume_skips_completed_stages(ray_session, fixture_dir, tmp_path):
     cfg = DedupConfig()
     r1 = dedup_pipeline(f"{fixture_dir}/corpus", cfg, run_dir=run_dir)
     a1 = _assignments_table(r1)
-    mtime = os.path.getmtime(os.path.join(run_dir, "stage=signed", "_SUCCESS.json"))
+    import glob
+    chunk_markers = sorted(glob.glob(
+        os.path.join(run_dir, "stage=signed", "chunk=*.done.json")))
+    assert chunk_markers, "sign stage should checkpoint per chunk"
+    mtimes = {p: os.path.getmtime(p) for p in chunk_markers}
 
     r2 = dedup_pipeline(f"{fixture_dir}/corpus", cfg, run_dir=run_dir, resume=True)
     a2 = _assignments_table(r2)
     assert a1.equals(a2)
-    # completed stage was read back, not recomputed
-    assert os.path.getmtime(
-        os.path.join(run_dir, "stage=signed", "_SUCCESS.json")) == mtime
+    # completed sign chunks were read back, not recomputed
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, f"chunk recomputed: {p}"
 
 
 def test_resume_recomputes_truncated_stage(ray_session, fixture_dir, tmp_path):
