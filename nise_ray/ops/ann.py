@@ -204,7 +204,6 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
     via LSH bucketing + within-bucket exact scoring."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    rng = np.random.Generator(np.random.PCG64(seed))
     planes_holder = {}
 
     def bucket(b: pa.Table) -> pa.Table:

@@ -276,35 +276,3 @@ def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
     return batch_fn
 
 
-def make_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
-    """Phase-1 fn for the salted path: per (band_key, salt) shard, emit
-    verified within-shard edges plus one rep row carrying the shard-min
-    member's signature for the phase-2 rep join."""
-    inner = make_pair_gen(cfg, src)
-    k = cfg.minhash_k
-
-    def pair_gen(group: pa.Table) -> pa.Table:
-        edges = inner(group)
-        doc_keys = group.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-        i = int(np.argmin(doc_keys))
-        rep = pa.table({
-            "band_key": group.column("band_key").slice(i, 1),
-            "doc_key": group.column("doc_key").slice(i, 1),
-            "sha64": group.column("sha64").slice(i, 1),
-            "minhash": group.column("minhash").slice(i, 1),
-        })
-        n_e = edges.num_rows
-        merged = pa.table({
-            "is_rep": pa.array([False] * n_e + [True], pa.bool_()),
-            "u": pa.concat_arrays([edges.column("u").combine_chunks(), pa.array([0], pa.uint64())]),
-            "v": pa.concat_arrays([edges.column("v").combine_chunks(), pa.array([0], pa.uint64())]),
-            "est": pa.concat_arrays([edges.column("est").combine_chunks(), pa.array([0.0], pa.float32())]),
-            "src": pa.concat_arrays([edges.column("src").combine_chunks(), pa.array([src], pa.string())]),
-            "band_key": pa.concat_arrays([pa.nulls(n_e, pa.uint64()), rep.column("band_key").combine_chunks()]),
-            "doc_key": pa.concat_arrays([pa.nulls(n_e, pa.uint64()), rep.column("doc_key").combine_chunks()]),
-            "sha64": pa.concat_arrays([pa.nulls(n_e, pa.uint64()), rep.column("sha64").combine_chunks()]),
-            "minhash": pa.concat_arrays([pa.nulls(n_e, pa.binary(4 * k)), rep.column("minhash").combine_chunks()]),
-        })
-        return merged
-
-    return pair_gen

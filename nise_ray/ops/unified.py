@@ -236,8 +236,7 @@ def make_unified_pair_gen(cfg: DedupConfig, verify: bool = True):
             v = np.concatenate(exact_vs)
             parts.append(edges_table(u, v, np.ones(len(u), dtype=np.float32),
                                      "exact"))
-        for u, v, sname in zip(cand_us, cand_vs,
-                               [s for s in cand_src]):
+        for u, v, sname in zip(cand_us, cand_vs, cand_src):
             parts.append(edges_table(u, v, np.full(len(u), -1.0, np.float32),
                                      sname))
         if not parts:

@@ -68,15 +68,6 @@ ASSIGNMENT_COLUMNS = [
 ]
 
 
-def edge_distinct(group: pa.Table) -> pa.Table:
-    """Keep one row per (u, v): highest-priority source, then max est."""
-    if group.num_rows == 1:
-        return group
-    srcs = group.column("src").to_pylist()
-    est = group.column("est").to_numpy(zero_copy_only=False)
-    best = min(range(len(srcs)),
-               key=lambda i: (_SRC_RANK.get(srcs[i], 9), -float(est[i])))
-    return group.take([best])
 
 
 def edge_distinct_batch(batch: pa.Table) -> pa.Table:
