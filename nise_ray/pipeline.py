@@ -244,6 +244,24 @@ def dedup_pipeline(
     else:
         signed, _ = _stage(ctx, "signed", build_signed, timings=stage_timings)
 
+    n_docs = signed.count()
+    if n_docs == 0:
+        # empty corpus: short-circuit (Ray's hash-shuffle finalize chokes
+        # on column-less empty blocks; nothing to shuffle anyway)
+        empty = ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+        stats0 = {"n_edges": 0, "n_docs": 0, "n_labeled_docs": 0,
+                  "cc_path": "empty", "stage_wall_s": stage_timings,
+                  "wall_s": time.time() - t_start,
+                  "config_hash": cfg.config_hash()}
+        return DedupResult(
+            assignments=ray.data.from_arrow(
+                pa.schema([(c, pa.string()) for c in
+                           ("repo", "path", "commit", "lang", "content_sha256")]
+                          + [("doc_key", pa.uint64()), ("n_bytes", pa.int64()),
+                             ("n_tokens", pa.int64()), ("n_shingles", pa.int64()),
+                             ("cluster_id", pa.uint64())]).empty_table()),
+            edges=empty, substring_pairs=None, stats=stats0, run_dir=run_dir)
+
     # ---- edge-producing branches ---------------------------------------
     edge_sets: list[ray.data.Dataset] = []
 
@@ -282,7 +300,7 @@ def dedup_pipeline(
     verify_mode = cfg.verify_mode
     if verify_mode == "auto":
         verify_mode = ("broadcast" if unified
-                       and signed.count() <= cfg.broadcast_label_max
+                       and n_docs <= cfg.broadcast_label_max
                        else "carry")
     narrow = unified and verify_mode in ("broadcast", "join")
 
@@ -454,7 +472,7 @@ def dedup_pipeline(
     assignments, _ = _stage(ctx, "assignments", build_assignments,
                             timings=stage_timings)
 
-    stats["n_docs"] = signed.count()
+    stats["n_docs"] = n_docs
     stats["n_labeled_docs"] = (labels.num_rows if isinstance(labels, pa.Table)
                                else labels.count())
     stats["stage_wall_s"] = stage_timings
