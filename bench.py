@@ -24,6 +24,9 @@ import subprocess
 import sys
 import time
 
+# make `import nise_ray` / `import __ray_entry__` work regardless of CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 SF_FILES = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 # the scaling protocol needs compute to dominate fixed per-session costs
 # (worker spawn, read setup, shuffle-fleet spawn) -> 3x the bench tier
