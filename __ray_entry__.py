@@ -140,6 +140,11 @@ def _q_top_docs_by_len(sf_dir: str):
     return top_docs_by_len(sf_dir, k=20)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from nise_ray.ops.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
 def _q_index_query(sf_dir: str):
     """Build the LSH index over the documents-adapted corpus and query it
     with its own first 20 docs (batch self-query; rows-only check)."""
@@ -191,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "user_event_stats": _q_user_event_stats,
         "top_docs_by_len": _q_top_docs_by_len,
+        "pricing_summary": _q_pricing_summary,
         # --- index build/query (reference's online surface) -----------
         "index_query": _q_index_query,
         # --- multimodal plumbing (deterministic stub decode) ----------
@@ -258,6 +264,17 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
         """,
         # minhash_dedup_docs / simhash_docs / ngram_jaccard_pairs_docs /
         # substring_pairs_docs / dedup_flagship / ann_topk_lsh /
