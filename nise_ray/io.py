@@ -34,7 +34,12 @@ def read_corpus(path: str | list[str], **read_kwargs) -> "ray.data.Dataset":
 
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """Adapt the driver's `documents` table (doc_id, text, lang, source,
-    n_chars) to the corpus schema — used by bench + entry smoke paths."""
+    n_chars) to the corpus schema — used by bench + entry smoke paths.
+
+    `doc_id` rides along as a PASSTHROUGH column: the sign stage preserves
+    any column outside the 5-column corpus contract, so downstream queries
+    (cluster sizes, pair mapping) recover the documents key vectorized —
+    never by driver-side path parsing."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
 
@@ -48,6 +53,7 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
             "commit": pa.array([""] * b.num_rows, pa.string()),
             "lang": b.column("lang"),
             "content": b.column("text"),
+            "doc_id": pa.compute.cast(doc_id, pa.int64()),
         })
 
     return ds.map_batches(adapt, batch_format="pyarrow")

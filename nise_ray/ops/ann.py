@@ -3,15 +3,25 @@
 * brute_force_topk — exact cosine top-k: the query matrix is broadcast
   ONCE via ray.put and every batch does one numpy matmul against it
   (never re-shipped per batch); per-query global top-k via a tiny
-  groupby. This is the correctness baseline and stays exact at any corpus
-  size (the shuffle is only |queries| x k rows).
+  driver-side merge of per-batch partial top-ks. This is the correctness
+  baseline and stays exact at any corpus size (the merge is only
+  |queries| x k rows per block).
 
 * lsh_topk — the scale path: sign-random-projection LSH buckets both
   sides; only same-bucket candidates are scored. Probes multiple hash
   tables for recall; approximate by design (recall measured in tests).
+
+* embedding_dup_pairs — embedding-cosine near-dup pairs via SRP-LSH
+  bucketing + within-bucket exact scoring, routed through the explicit
+  hash-partitioned exchange (ops.groupapply.hash_group_apply — never
+  groupby().map_groups). Projection planes are built once on the driver
+  and broadcast via ray.put. Oversized buckets are block-wise scored up
+  to a hard cap with LOGGED truncation (no silent drops).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -19,6 +29,8 @@ import pyarrow as pa
 import ray
 
 from nise_ray.util import collect_table
+
+logger = logging.getLogger(__name__)
 
 
 def _embedding_matrix(b: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -41,16 +53,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _query_head(ds: "ray.data.Dataset", n: int) -> pa.Table:
+    """The n smallest-vec_id rows WITHOUT a global sort: each batch emits
+    its local n smallest (a filter, not a shuffle), the driver merges the
+    tiny union. At any corpus size only n rows per block move."""
+
+    def local_head(b: pa.Table) -> pa.Table:
+        if b.num_rows <= n:
+            return b
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argpartition(vids, n - 1)[:n])
+        return b.take(pa.array(keep))
+
+    cand = collect_table(ds.map_batches(local_head, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    return cand.sort_by("vec_id").slice(0, n)
+
+
 def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                      round_to: int = 4) -> pa.Table:
     """Exact cosine top-k of every corpus vector against the first
     n_queries vectors (by vec_id), self-matches excluded.
     Returns (query_id, vec_id, cosine) with cosine rounded for stable
     cross-engine comparison."""
+    from nise_ray.ops.groupapply import default_concurrency
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    # small, deterministic query set: lowest n_queries vec_ids
-    head = collect_table(ds.sort("vec_id").limit(n_queries))
+    # small, deterministic query set: lowest n_queries vec_ids (no global sort)
+    head = _query_head(ds, n_queries)
     q_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
     q_mat = _normalize(_embedding_matrix(head))
     ref = ray.put((q_ids, q_mat))
@@ -65,7 +95,7 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             sims = m @ self.q_mat.T  # n x q
             nq = len(self.q_ids)
             n = len(vec_ids)
-            # per-batch pre-topk: keep only k best per query to shrink shuffle
+            # per-batch pre-topk: keep only k best per query to shrink the merge
             keep = min(k + 1, n)
             out_q, out_v, out_s = [], [], []
             for j in range(nq):
@@ -80,7 +110,8 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             })
 
     partial = ds.map_batches(Scorer, batch_format="pyarrow",
-                             zero_copy_batch=True, concurrency=(1, 8))
+                             zero_copy_batch=True,
+                             concurrency=default_concurrency())
     # per-batch pre-topk already shrank the data to ~|queries| x k rows per
     # block — the global merge is driver-sized, no shuffle needed
     return _merge_topk(collect_table(partial), k, round_to, exclude_self=True)
@@ -134,12 +165,12 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_tables: int = 8,
              n_bits: int = 10, seed: int = 42, round_to: int = 4) -> pa.Table:
     """Approximate cosine top-k via sign-random-projection LSH: vectors are
     bucketed by n_tables independent b-bit codes; queries only score
-    vectors sharing a bucket (a groupby shuffle, no broadcast of the
-    corpus). Scale path for when the corpus side is too large for
-    brute-force scoring."""
+    vectors sharing a bucket. Scale path for when the corpus side is too
+    large for brute-force scoring."""
+    from nise_ray.ops.groupapply import default_concurrency
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    head = collect_table(ds.sort("vec_id").limit(n_queries))
+    head = _query_head(ds, n_queries)
     q_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
     q_mat = _normalize(_embedding_matrix(head))
     dim = q_mat.shape[1]
@@ -178,7 +209,8 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_tables: int = 8,
             })
 
     partial = ds.map_batches(Bucketer, batch_format="pyarrow",
-                             zero_copy_batch=True, concurrency=(1, 8))
+                             zero_copy_batch=True,
+                             concurrency=default_concurrency())
     return _merge_topk(collect_table(partial), k, round_to)
 
 
@@ -198,59 +230,123 @@ def embedding_norms(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
     return ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
-                        seed: int = 42) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (u < v, cosine >= threshold)
-    via LSH bucketing + within-bucket exact scoring."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    planes_holder = {}
+# hard ceiling on members scored per LSH bucket (block-wise O(m^2) scoring
+# below it; above it the bucket is truncated deterministically and LOGGED)
+_DUP_BUCKET_HARD_CAP = 20_000
+_DUP_SCORE_BLOCK = 512
 
-    def bucket(b: pa.Table) -> pa.Table:
-        m = _normalize(_embedding_matrix(b))
-        if "planes" not in planes_holder:
-            planes_holder["planes"] = np.random.Generator(
-                np.random.PCG64(seed)).standard_normal((8, 8, m.shape[1]))
-        codes = _srp_codes(m, planes_holder["planes"])  # n x T
-        n, t = codes.shape
-        vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        rep = np.repeat(np.arange(n), t)
-        emb = b.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        return pa.table({
-            "bucket": pa.array(codes.ravel(), pa.uint64()),
-            "vec_id": pa.array(vec_ids[rep], pa.int64()),
-            "embedding": emb.take(pa.array(rep)),
-        })
 
-    bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+def _dup_pair_batch_fn(threshold: float):
+    """Block fn for hash_group_apply keyed on `bucket`: per bucket segment,
+    block-wise cosine scoring of unique members (memory-bounded: one
+    _DUP_SCORE_BLOCK x m slab at a time, never an m x m matrix)."""
+    from nise_ray.ops.groupapply import segments
 
-    def pair_gen(group: pa.Table) -> pa.Table:
+    def batch_fn(batch: pa.Table) -> pa.Table:
         empty = pa.table({"u": pa.array([], pa.int64()),
                           "v": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
-        if group.num_rows < 2:
+        if batch.num_rows == 0:
             return empty
-        vids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        uniq, idx = np.unique(vids, return_index=True)
-        if len(uniq) < 2 or len(uniq) > 2000:
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        starts, counts = segments(buckets)
+        multi = counts >= 2
+        if not multi.any():
             return empty
-        m = _normalize(_embedding_matrix(group.take(pa.array(idx))))
-        sims = m @ m.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        if not len(ii):
+        vids_all = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        out_u, out_v, out_c = [], [], []
+        for s, c in zip(starts[multi], counts[multi]):
+            vids = vids_all[s:s + c]
+            uniq, idx = np.unique(vids, return_index=True)
+            m = len(uniq)
+            if m < 2:
+                continue
+            if m > _DUP_BUCKET_HARD_CAP:
+                logger.warning(
+                    "embedding_dup_pairs: bucket %d has %d members; scoring "
+                    "the %d smallest vec_ids only (deterministic truncation)",
+                    int(buckets[s]), m, _DUP_BUCKET_HARD_CAP)
+                uniq = uniq[:_DUP_BUCKET_HARD_CAP]
+                idx = idx[:_DUP_BUCKET_HARD_CAP]
+                m = _DUP_BUCKET_HARD_CAP
+            mat = _normalize(_embedding_matrix(
+                batch.slice(s, c).take(pa.array(idx))))
+            for b0 in range(0, m - 1, _DUP_SCORE_BLOCK):
+                blk = mat[b0:b0 + _DUP_SCORE_BLOCK]
+                sims = blk @ mat.T  # block x m
+                ii, jj = np.nonzero(sims >= threshold)
+                gi = ii + b0
+                keep = gi < jj  # upper triangle only
+                if keep.any():
+                    out_u.append(uniq[gi[keep]])
+                    out_v.append(uniq[jj[keep]])
+                    out_c.append(np.round(sims[ii[keep], jj[keep]], 4))
+        if not out_u:
             return empty
         return pa.table({
-            "u": pa.array(np.minimum(uniq[ii], uniq[jj]), pa.int64()),
-            "v": pa.array(np.maximum(uniq[ii], uniq[jj]), pa.int64()),
-            "cosine": pa.array(np.round(sims[ii, jj], 4), pa.float64()),
+            "u": pa.array(np.concatenate(out_u), pa.int64()),
+            "v": pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
         })
 
-    pairs = bucketed.groupby("bucket").map_groups(pair_gen, batch_format="pyarrow")
-    t = collect_table(pairs)
-    if t.num_rows == 0:
-        return t
-    # distinct across tables
-    df = t.to_pandas().drop_duplicates(subset=["u", "v"]).sort_values(["u", "v"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return batch_fn
+
+
+def _dup_distinct_batch(batch: pa.Table) -> pa.Table:
+    """(u, v) distinct across LSH tables — one lexsort per block."""
+    if batch.num_rows <= 1:
+        return batch
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (u[order][1:] != u[order][:-1]) | (v[order][1:] != v[order][:-1])
+    return batch.take(pa.array(order[first]))
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
+                        seed: int = 42, n_tables: int = 8,
+                        n_bits: int = 8) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs (u < v, cosine >= threshold):
+    SRP-LSH bucketing (planes broadcast once via ray.put), ONE hash
+    exchange on bucket, vectorized within-bucket scoring, then a (u, v)
+    distinct exchange across tables."""
+    from nise_ray.ops.groupapply import hash_group_apply
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    # planes built ONCE on the driver and broadcast — not per task
+    meta = collect_table(ds.limit(1))
+    dim = _embedding_matrix(meta).shape[1]
+    planes = np.random.Generator(np.random.PCG64(seed)).standard_normal(
+        (n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    class Bucketer:
+        def __init__(self) -> None:
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(b))
+            codes = _srp_codes(m, self.planes)  # n x T
+            n, t = codes.shape
+            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            rep = np.repeat(np.arange(n), t)
+            emb = b.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            return pa.table({
+                "bucket": pa.array(codes.ravel(), pa.uint64()),
+                "vec_id": pa.array(vec_ids[rep], pa.int64()),
+                "embedding": emb.take(pa.array(rep)),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    bucketed = ds.map_batches(Bucketer, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency())
+    pairs = hash_group_apply(bucketed, ["bucket"],
+                             _dup_pair_batch_fn(threshold)).materialize()
+    if pairs.count() == 0:
+        return pairs
+    return hash_group_apply(pairs, ["u", "v"], _dup_distinct_batch,
+                            sort=False).sort(["u", "v"])

@@ -66,16 +66,42 @@ class UnionFind:
 
 
 def driver_components(edges_ds: "ray.data.Dataset") -> pa.Table:
-    """Stream edges to the driver, union-find, return (doc_key, cluster_id)
-    for every node that appears in an edge."""
-    uf = UnionFind()
+    """Stream edges to the driver and label components with VECTORIZED
+    min-label propagation + pointer jumping (no per-edge Python loop):
+    each round pushes the min label across every edge with np.minimum.at,
+    then collapses label chains with label = label[label] until stable.
+    Converges in O(log diameter) rounds; every round is O(E) numpy work.
+    Returns (doc_key, cluster_id = min doc_key) for every node that
+    appears in an edge. Scale-gated by cfg.driver_cc_max_edges (the
+    distributed hash-to-min path takes over beyond it)."""
+    us, vs = [], []
     for batch in edges_ds.select_columns(["u", "v"]).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        for a, b in zip(u.tolist(), v.tolist()):
-            uf.union(a, b)
-    return uf.labels()
+            batch_format="pyarrow", batch_size=262144):
+        us.append(batch.column("u").to_numpy(zero_copy_only=False).astype(U64))
+        vs.append(batch.column("v").to_numpy(zero_copy_only=False).astype(U64))
+    if not us:
+        return LABEL_SCHEMA.empty_table()
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui = inv[:len(u)].astype(np.int64)
+    vi = inv[len(u):].astype(np.int64)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        np.minimum.at(label, ui, label[vi])
+        np.minimum.at(label, vi, label[ui])
+        # pointer jumping: collapse chains label -> label[label]
+        while True:
+            jumped = label[label]
+            if np.array_equal(jumped, label):
+                break
+            label = jumped
+        if np.array_equal(label, before):
+            break
+    # nodes is sorted ascending, so min label INDEX == min doc_key
+    return pa.table({"doc_key": pa.array(nodes, pa.uint64()),
+                     "cluster_id": pa.array(nodes[label], pa.uint64())})
 
 
 # ----------------------------------------------------------- distributed path
@@ -199,8 +225,9 @@ def attach_labels(signed_ds: "ray.data.Dataset", labels: pa.Table | "ray.data.Da
                     cluster = dk
                 return b.append_column("cluster_id", pa.array(cluster, pa.uint64()))
 
+        from nise_ray.ops.groupapply import default_concurrency
         return signed_ds.map_batches(Labeler, batch_format="pyarrow",
-                                     concurrency=(1, 8))
+                                     concurrency=default_concurrency())
 
     # large label map: distributed join
     labels_ds = labels if not isinstance(labels, pa.Table) else ray.data.from_arrow(labels)

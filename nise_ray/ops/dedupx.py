@@ -2,59 +2,118 @@
 training-data-pipeline surface (exact / MinHash-LSH / SimHash /
 n-gram-Jaccard dedup), re-using the corpus engine via the
 documents→corpus adapter.
+
+Scale discipline (round-2 rewrite): no `groupby(text)` (full-text shuffle
+keys), no driver-side collection of corpus-sized tables, no per-row path
+parsing. `doc_id` rides through the engine as a passthrough column
+(io.corpus_from_documents / ops.sign), exact dedup shuffles on the 64-bit
+sha prefix with full-digest verification inside segments, and doc_key→
+doc_id mapping is a scale-gated broadcast lookup with a distributed-join
+fallback (same pattern as ops.components.attach_labels).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
 
 import ray
 
-from nise_ray.util import collect_table
-
 from nise_ray.config import DedupConfig
+from nise_ray.hashing import U64
 from nise_ray.io import corpus_from_documents
 from nise_ray.pipeline import dedup_pipeline
 
 
+def _sha_prep_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, d0..d3): the full sha256 digest split
+    into four uint64 words — segment comparison downstream is then pure
+    numpy (full 256-bit equality, no string columns in the shuffle)."""
+    texts = b.column("text").to_pylist()
+    n = len(texts)
+    words = np.empty((n, 4), dtype=U64)
+    for i, t in enumerate(texts):
+        words[i] = np.frombuffer(hashlib.sha256(t.encode()).digest(), dtype="<u8")
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "d0": pa.array(words[:, 0], pa.uint64()),
+        "d1": pa.array(words[:, 1], pa.uint64()),
+        "d2": pa.array(words[:, 2], pa.uint64()),
+        "d3": pa.array(words[:, 3], pa.uint64()),
+    })
+
+
+def _exact_group_batch(batch: pa.Table) -> pa.Table:
+    """Per hash-partition block (complete d0 groups co-located): order by
+    the FULL digest, find equal-digest runs, emit (rep_doc_id = min doc_id,
+    n_dups = run length) — one vectorized pass, zero per-group Python."""
+    if batch.num_rows == 0:
+        return pa.table({"rep_doc_id": pa.array([], pa.int64()),
+                         "n_dups": pa.array([], pa.int64())})
+    d = [batch.column(c).to_numpy(zero_copy_only=False).astype(U64)
+         for c in ("d0", "d1", "d2", "d3")]
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((d[3], d[2], d[1], d[0]))
+    sd = [x[order] for x in d]
+    n = len(order)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or.reduce([sd_i[1:] != sd_i[:-1] for sd_i in sd], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    reps = np.minimum.reduceat(ids[order], starts)
+    return pa.table({
+        "rep_doc_id": pa.array(reps, pa.int64()),
+        "n_dups": pa.array(counts, pa.int64()),
+    })
+
+
 def exact_dedup_documents(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup groups: (rep_doc_id, n_dups) — one row per distinct
-    text, representative = min doc_id (hash-partition + per-group first)."""
+    text, representative = min doc_id. Hash-partition on the 64-bit sha
+    prefix (cheap uint64 shuffle key — never the text itself), full-digest
+    equality verified vectorized inside each segment."""
+    from nise_ray.ops.groupapply import hash_group_apply
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def group_fn(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "rep_doc_id": pa.array([int(ids.min())], pa.int64()),
-            "n_dups": pa.array([len(ids)], pa.int64()),
-        })
-
-    return ds.groupby("text").map_groups(group_fn, batch_format="pyarrow")
+    prepped = ds.map_batches(_sha_prep_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return hash_group_apply(prepped, ["d0"], _exact_group_batch)
 
 
-def minhash_dedup_documents(sf_dir: str, cfg: DedupConfig | None = None) -> pa.Table:
+def minhash_dedup_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.Dataset":
     """Near-dup clustering of documents: (doc_id, cluster_size) via the
     full corpus engine over the adapted documents table. cluster ids are
-    internal doc_keys, so the stable output is per-doc cluster size."""
+    internal doc_keys, so the stable output is per-doc cluster size —
+    computed with ONE hash exchange on cluster_id (nothing corpus-sized
+    reaches the driver)."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
     cfg = cfg or DedupConfig()
     corpus = corpus_from_documents(sf_dir)
     res = dedup_pipeline(corpus, cfg)
-    t = collect_table(res.assignments)
-    # path is "doc{doc_id}" by construction of the adapter
-    doc_ids = np.array([int(p[3:]) for p in t.column("path").to_pylist()],
-                       dtype=np.int64)
-    clusters = t.column("cluster_id").to_numpy(zero_copy_only=False)
-    uniq, inv, counts = np.unique(clusters, return_inverse=True, return_counts=True)
-    return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "cluster_size": pa.array(counts[inv], pa.int64()),
-    }).sort_by("doc_id")
+    assigns = res.assignments.select_columns(["doc_id", "cluster_id"])
+
+    def size_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_size": pa.array([], pa.int64())})
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        starts, counts = segments(cl)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_size": pa.array(np.repeat(counts, counts), pa.int64()),
+        })
+
+    sizes = hash_group_apply(assigns, ["cluster_id"], size_batch)
+    return sizes.sort("doc_id")
 
 
 def simhash_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.Dataset":
-    """(doc_id, simhash_hex) fingerprints for every document."""
+    """(doc_id, simhash_hex) fingerprints for every document — doc_id is
+    the passthrough column, projected vectorized from the signed table."""
     cfg = cfg or DedupConfig()
     from nise_ray.ops.sign import make_sign_fn
     corpus = corpus_from_documents(sf_dir)
@@ -62,39 +121,89 @@ def simhash_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.
                                 zero_copy_batch=True, batch_size=cfg.batch_size)
 
     def project(b: pa.Table) -> pa.Table:
-        doc_ids = np.array([int(p[3:]) for p in b.column("path").to_pylist()],
-                           dtype=np.int64)
         sh = b.column("simhash").to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_id": b.column("doc_id"),
             "simhash_hex": pa.array([f"{int(x):016x}" for x in sh], pa.string()),
         })
 
     return signed.map_batches(project, batch_format="pyarrow")
 
 
+def _doc_id_mapper(assigns: "ray.data.Dataset", cfg: DedupConfig):
+    """Broadcast (doc_key -> doc_id) lookup built ONCE via ray.put (scale-
+    gated on cfg.broadcast_label_max, mirroring attach_labels); returns a
+    map_batches class that maps u/v columns vectorized."""
+    from nise_ray.util import collect_table
+    t = collect_table(assigns.select_columns(["doc_key", "doc_id"]))
+    keys = t.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+    vals = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], vals[order]))
+
+    class PairMapper:
+        def __init__(self) -> None:
+            self.keys, self.vals = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_id_u": pa.array([], pa.int64()),
+                                 "doc_id_v": pa.array([], pa.int64()),
+                                 "est": pa.array([], pa.float32())})
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(U64)
+            v = b.column("v").to_numpy(zero_copy_only=False).astype(U64)
+            iu = np.clip(np.searchsorted(self.keys, u), 0, len(self.keys) - 1)
+            iv = np.clip(np.searchsorted(self.keys, v), 0, len(self.keys) - 1)
+            du = self.vals[iu]
+            dv = self.vals[iv]
+            return pa.table({
+                "doc_id_u": pa.array(np.minimum(du, dv), pa.int64()),
+                "doc_id_v": pa.array(np.maximum(du, dv), pa.int64()),
+                "est": b.column("est"),
+            })
+
+    return PairMapper
+
+
 def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
-                        cfg: DedupConfig | None = None) -> pa.Table:
+                        cfg: DedupConfig | None = None) -> "ray.data.Dataset":
     """Verified near-dup pairs (doc_id_u, doc_id_v, est) between documents
     — the n-gram-Jaccard dedup surface (LSH candidates, signature-verified
-    at threshold tau)."""
+    at threshold tau). doc_key -> doc_id mapping is a broadcast lookup
+    under the scale gate and a two-sided distributed join beyond it."""
+    from nise_ray.ops.groupapply import default_concurrency
     cfg = cfg or DedupConfig(tau=tau)
     corpus = corpus_from_documents(sf_dir)
     res = dedup_pipeline(corpus, cfg)
-    edges = collect_table(res.edges)
-    assign = collect_table(res.assignments)
-    key_to_doc = {}
-    for dk, p in zip(assign.column("doc_key").to_pylist(),
-                     assign.column("path").to_pylist()):
-        key_to_doc[dk] = int(p[3:])
-    us = [key_to_doc[u] for u in edges.column("u").to_pylist()]
-    vs = [key_to_doc[v] for v in edges.column("v").to_pylist()]
-    u = np.minimum(us, vs)
-    v = np.maximum(us, vs)
-    order = np.lexsort((v, u))
-    return pa.table({
-        "doc_id_u": pa.array(np.asarray(u)[order], pa.int64()),
-        "doc_id_v": pa.array(np.asarray(v)[order], pa.int64()),
-        "est": pa.array(edges.column("est").to_numpy(zero_copy_only=False)[order],
-                        pa.float32()),
-    })
+    edges = res.edges.select_columns(["u", "v", "est"])
+    assigns = res.assignments
+
+    n_docs = res.stats.get("n_docs") or assigns.count()
+    if n_docs <= cfg.broadcast_label_max:
+        mapper = _doc_id_mapper(assigns, cfg)
+        mapped = edges.map_batches(mapper, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   concurrency=default_concurrency())
+    else:
+        # distributed fallback: two hash joins attach each endpoint's doc_id
+        keymap = assigns.select_columns(["doc_key", "doc_id"])
+        j1 = edges.join(keymap, join_type="inner", num_partitions=64,
+                        on=("u",), right_on=("doc_key",), right_suffix="_u")
+        j2 = j1.join(keymap, join_type="inner", num_partitions=64,
+                     on=("v",), right_on=("doc_key",), right_suffix="_v")
+
+        def finish(b: pa.Table) -> pa.Table:
+            cols = b.column_names
+            du_col = next(c for c in cols
+                          if c.startswith("doc_id") and not c.endswith("_v")
+                          and c not in ("doc_id_u", "doc_id_v"))
+            du = b.column(du_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = b.column("doc_id_v").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "doc_id_u": pa.array(np.minimum(du, dv), pa.int64()),
+                "doc_id_v": pa.array(np.maximum(du, dv), pa.int64()),
+                "est": b.column("est"),
+            })
+
+        mapped = j2.map_batches(finish, batch_format="pyarrow")
+    return mapped.sort(["doc_id_u", "doc_id_v"])

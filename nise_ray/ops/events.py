@@ -51,7 +51,10 @@ def windowed_event_counts(sf_dir: str, hours: int = 1) -> "ray.data.Dataset":
         et = batch.column("event_type").combine_chunks().dictionary_encode()
         codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         val = batch.column("value").to_numpy(zero_copy_only=False)
-        combo = win * np.int64(64) + codes  # few event types
+        # windows are multiples of bucket_us -> compact window index, then
+        # 2^32 headroom for type codes (win * 64 + codes silently collides
+        # beyond 64 distinct event types)
+        combo = (win // np.int64(bucket_us)) * np.int64(1 << 32) + codes
         order = np.argsort(combo, kind="stable")
         starts, counts = segments(combo[order])
         sums = np.add.reduceat(val[order], starts)

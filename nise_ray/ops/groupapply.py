@@ -78,6 +78,19 @@ def default_partitions(requested: int = 0) -> int:
     return max(8, min(128, cpus))
 
 
+def default_concurrency(frac: float = 1.0, min_actors: int = 1) -> tuple[int, int]:
+    """Actor-pool size derived from the CLUSTER, not hard-coded: an
+    autoscaling (min, max) where max ~= frac * cluster CPUs. A fixed
+    (1, 8) cap starves corpus-width stages on any cluster wider than 8
+    cores (the north rule targets N and 4N NODES)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    hi = max(min_actors, int(cpus * frac))
+    return (min_actors, max(hi, min_actors))
+
+
 def hash_group_apply(ds: "ray.data.Dataset", keys: list[str],
                      fn: Callable[[pa.Table], pa.Table],
                      num_partitions: int = 0, sort: bool = True,

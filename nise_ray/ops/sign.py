@@ -112,7 +112,7 @@ class Signer:
         minhash_col = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(k4), n, [None, pa.py_buffer(sig_bytes)])
 
-        return pa.table({
+        out = pa.table({
             "repo": batch.column("repo"),
             "path": batch.column("path"),
             "commit": batch.column("commit"),
@@ -126,3 +126,10 @@ class Signer:
             "minhash": minhash_col,
             "simhash": pa.array(simhash, pa.uint64()),
         })
+        # passthrough: columns outside the corpus contract ride along on
+        # the narrow signed table (they never enter the wide exchanges,
+        # whose explodes select specific columns)
+        for name in batch.column_names:
+            if name not in ("repo", "path", "commit", "lang", "content"):
+                out = out.append_column(name, batch.column(name))
+        return out

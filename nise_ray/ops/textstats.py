@@ -124,7 +124,9 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
 
 
 def language_id(sf_dir: str) -> "ray.data.Dataset":
+    from nise_ray.ops.groupapply import default_concurrency
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(LanguageId, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+                          zero_copy_batch=True,
+                          concurrency=default_concurrency())

@@ -273,8 +273,10 @@ def broadcast_sig_map(signed, k: int, needed_keys: np.ndarray | None = None):
                               len(self.needed) - 1)
                 return b.filter(pa.array(self.needed[pos] == dk))
 
+        from nise_ray.ops.groupapply import default_concurrency
         src = src.map_batches(NeededFilter, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 8))
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency())
     t = collect_table(src)
     keys = t.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
     sigs = sig_matrix(t.column("minhash"), k)

@@ -416,20 +416,25 @@ def dedup_pipeline(
         ds = edge_sets[0]
         for other in edge_sets[1:]:
             ds = ds.union(other)
+        if verify_mode == "join":
+            # fully distributed: stream the candidate union STRAIGHT into
+            # the distinct shuffle (no materialization barrier, no count
+            # gate — the 10^12-file configuration holds no driver state),
+            # then the two-sided signature hash join verifies.
+            from nise_ray.ops.groupapply import default_partitions
+            distinct = hash_group_apply(ds, ["u", "v"],
+                                        _lineage(edge_distinct_batch, "edges"),
+                                        n_parts, sort=False)
+            return join_verify(distinct, signed, cfg,
+                               default_partitions(n_parts))
         ds = ds.materialize()
-        if verify_mode != "join" and ds.count() <= cfg.driver_pairs_max:
+        if ds.count() <= cfg.driver_pairs_max:
             return _driver_distinct_verify(ds)
         distinct = hash_group_apply(ds, ["u", "v"],
                                     _lineage(edge_distinct_batch, "edges"),
                                     n_parts, sort=False)
         if not narrow:
             return distinct  # carried sigs: already verified inline
-        if verify_mode == "join":
-            # fully distributed: two-sided signature hash join (no
-            # broadcast, no driver state — the 10^12-file configuration)
-            from nise_ray.ops.groupapply import default_partitions
-            return join_verify(distinct, signed, cfg,
-                               default_partitions(n_parts))
         # broadcast verifier over the needed-keys sig map
         distinct = distinct.materialize()
         from nise_ray.util import collect_table
@@ -439,9 +444,10 @@ def dedup_pipeline(
             uv.column("v").to_numpy(zero_copy_only=False),
         ])) if uv.num_rows else np.empty(0, dtype=np.uint64)
         ref = broadcast_sig_map(signed, cfg.minhash_k, needed)
+        from nise_ray.ops.groupapply import default_concurrency
         return distinct.map_batches(
             make_sig_verifier(ref, cfg), batch_format="pyarrow",
-            zero_copy_batch=True, concurrency=(1, 8))
+            zero_copy_batch=True, concurrency=default_concurrency())
     edges, _ = _stage(ctx, "edges", build_edges, EDGE_SCHEMA, stage_timings)
 
     # ---- connected components ------------------------------------------
@@ -468,7 +474,12 @@ def dedup_pipeline(
     # ---- label attach + assignments ------------------------------------
     def build_assignments():
         ds = attach_labels(signed, labels, cfg)
-        return ds.select_columns(ASSIGNMENT_COLUMNS)
+        # keep passthrough columns (e.g. the documents adapter's doc_id);
+        # minhash/sha64 stay engine-internal
+        extras = [c for c in signed.schema().names
+                  if c not in ASSIGNMENT_COLUMNS
+                  and c not in ("minhash", "simhash", "sha64", "content")]
+        return ds.select_columns(ASSIGNMENT_COLUMNS + extras)
     assignments, _ = _stage(ctx, "assignments", build_assignments,
                             timings=stage_timings)
 
