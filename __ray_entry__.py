@@ -145,6 +145,28 @@ def _q_pricing_summary(sf_dir: str):
     return pricing_summary(sf_dir)
 
 
+def _q_segment_revenue(sf_dir: str):
+    from nise_ray.ops.relational import segment_revenue
+    return segment_revenue(sf_dir)
+
+
+def _q_top_unshipped(sf_dir: str):
+    from nise_ray.ops.relational import top_unshipped_orders
+    return top_unshipped_orders(sf_dir)
+
+
+def _q_flagship_sha_audit(sf_dir: str):
+    """End-to-end sha256 invariant through the FULL dedup pipeline,
+    hash-verified against DuckDB: every input row comes out of the
+    clustering run with its content sha256 intact."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.pipeline import dedup_pipeline
+    res = dedup_pipeline(corpus_from_documents(sf_dir), DedupConfig())
+    return res.assignments.select_columns(
+        ["doc_id", "repo", "path", "content_sha256"])
+
+
 def _q_index_query(sf_dir: str):
     """Build the LSH index over the documents-adapted corpus and query it
     with its own first 20 docs (batch self-query; rows-only check)."""
@@ -197,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": _q_user_event_stats,
         "top_docs_by_len": _q_top_docs_by_len,
         "pricing_summary": _q_pricing_summary,
+        "segment_revenue": _q_segment_revenue,
+        "top_unshipped_orders": _q_top_unshipped,
+        "flagship_sha_audit": _q_flagship_sha_audit,
         # --- index build/query (reference's online surface) -----------
         "index_query": _q_index_query,
         # --- multimodal plumbing (deterministic stub decode) ----------
@@ -264,6 +289,32 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "flagship_sha_audit": """
+            SELECT doc_id, source AS repo,
+                   'doc' || CAST(doc_id AS VARCHAR) AS path,
+                   sha256(text) AS content_sha256
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

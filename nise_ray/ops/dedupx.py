@@ -186,10 +186,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
                                    concurrency=default_concurrency())
     else:
         # distributed fallback: two hash joins attach each endpoint's doc_id
+        from nise_ray.ops.groupapply import default_partitions
         keymap = assigns.select_columns(["doc_key", "doc_id"])
-        j1 = edges.join(keymap, join_type="inner", num_partitions=64,
+        np_ = default_partitions(0)
+        j1 = edges.join(keymap, join_type="inner", num_partitions=np_,
                         on=("u",), right_on=("doc_key",), right_suffix="_u")
-        j2 = j1.join(keymap, join_type="inner", num_partitions=64,
+        j2 = j1.join(keymap, join_type="inner", num_partitions=np_,
                      on=("v",), right_on=("doc_key",), right_suffix="_v")
 
         def finish(b: pa.Table) -> pa.Table:

@@ -5,6 +5,11 @@ pre-aggregates into (group -> sums) — six groups, so the "shuffle" is a
 driver-side merge of tiny partials instead of an all-to-all exchange.
 This is the combiner strategy the dedup pipeline uses everywhere, shown
 on a plain relational aggregate with a DuckDB oracle.
+
+`segment_revenue` / `top_unshipped_orders` exercise the distributed
+`ds.join` primitive end-to-end with DuckDB oracles — the same hash join
+the dedup engine's verify_mode="join" (10^12-file configuration) and
+large-label attach depend on.
 """
 
 from __future__ import annotations
@@ -82,3 +87,152 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         "avg_qty": pa.array(np.round(agg["sum_qty"] / agg["n"], 4), pa.float64()),
         "n_rows": pa.array(agg["n"], pa.int64()),
     })
+
+
+def _hash_shuffle_on(*datasets) -> None:
+    from nise_ray.ops.groupapply import use_hash_shuffle
+    use_hash_shuffle()
+    for ds in datasets:
+        use_hash_shuffle(ds)
+
+
+def _join_partitions() -> int:
+    """Join partition count derived from the cluster — a fixed count wider
+    than the CPU budget deadlocks chained join fleets on small clusters
+    (each join's aggregator pool reserves slots concurrently)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(64, cpus))
+
+
+def segment_revenue(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer (distributed hash join on custkey), then revenue
+    per market segment: (c_mktsegment, n_orders, total_price). The join is
+    the all-to-all exchange; the 5-group aggregate is a per-batch combiner
+    + tiny driver merge (never a second shuffle)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    _hash_shuffle_on(orders, cust)
+    joined = orders.join(cust, join_type="inner", num_partitions=_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "total_price": pa.array([], pa.float64())})
+        seg = b.column("c_mktsegment").combine_chunks().dictionary_encode()
+        codes = seg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        from nise_ray.ops.groupapply import segments
+        starts, counts = segments(codes[order])
+        firsts = order[starts]
+        return pa.table({
+            "c_mktsegment": pa.array(
+                [seg[i].as_py() for i in firsts], pa.string()),
+            "n_orders": pa.array(counts, pa.int64()),
+            "total_price": pa.array(np.add.reduceat(price[order], starts),
+                                    pa.float64()),
+        })
+
+    from nise_ray.util import collect_table
+    partials = collect_table(joined.map_batches(partial, batch_format="pyarrow",
+                                                zero_copy_batch=True))
+    df = partials.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+    df["total_price"] = df["total_price"].round(2)
+    return pa.table({
+        "c_mktsegment": pa.array(df["c_mktsegment"], pa.string()),
+        "n_orders": pa.array(df["n_orders"], pa.int64()),
+        "total_price": pa.array(df["total_price"], pa.float64()),
+    })
+
+
+_Q3_CUTOFF_US = np.datetime64("1995-03-15", "us").astype(np.int64)
+
+
+def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
+                         k: int = 10) -> pa.Table:
+    """TPC-H-Q3-style three-table pipeline: customer (filtered to one
+    segment) ⋈ orders (filtered o_orderdate < cutoff) ⋈ lineitem
+    (filtered l_shipdate > cutoff), revenue per order, top-k by revenue.
+    Two distributed hash joins; the per-order aggregate is one hash
+    exchange; top-k is per-block pre-top-k + driver merge (no global
+    sort)."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def f_cust(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("c_mktsegment"), segment)) \
+                .select(["c_custkey"])
+
+    def f_orders(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ts < _Q3_CUTOFF_US))
+
+    def f_li(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ts > _Q3_CUTOFF_US))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+        })
+
+    cust_f = cust.map_batches(f_cust, batch_format="pyarrow", zero_copy_batch=True)
+    orders_f = orders.map_batches(f_orders, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    li_f = li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True)
+    _hash_shuffle_on(cust_f, orders_f, li_f)
+
+    j1 = orders_f.join(cust_f, join_type="inner", num_partitions=_join_partitions(),
+                       on=("o_custkey",), right_on=("c_custkey",))
+    j2 = li_f.join(j1.select_columns(["o_orderkey", "o_orderdate"]),
+                   join_type="inner", num_partitions=_join_partitions(),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def per_order(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64()),
+                             "o_orderdate": pa.array([], pa.timestamp("us"))})
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False)
+        starts, counts = segments(keys)
+        sums = np.add.reduceat(rev, starts)
+        out = pa.table({
+            "l_orderkey": pa.array(keys[starts], pa.int64()),
+            "revenue": pa.array(np.round(sums, 2), pa.float64()),
+            "o_orderdate": b.column("o_orderdate").take(pa.array(starts)),
+        })
+        # per-block pre-top-k: only k candidate rows leave each partition
+        if out.num_rows > k:
+            r = out.column("revenue").to_numpy(zero_copy_only=False)
+            kk = out.column("l_orderkey").to_numpy(zero_copy_only=False)
+            keep = np.lexsort((kk, -r))[:k]
+            out = out.take(pa.array(np.sort(keep)))
+        return out
+
+    agg = hash_group_apply(j2, ["l_orderkey"], per_order)
+    from nise_ray.util import collect_table
+    t = collect_table(agg)
+    if t.num_rows == 0:
+        return t
+    r = t.column("revenue").to_numpy(zero_copy_only=False)
+    kk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+    keep = np.lexsort((kk, -r))[:k]
+    return t.take(pa.array(keep))

@@ -1,0 +1,50 @@
+"""Distributed-join showcase queries vs DuckDB at sf0.001 — exercises the
+ds.join primitive that verify_mode="join" and large-label attach rely on."""
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_segment_revenue_matches_duckdb(ray_session):
+    from nise_ray.ops.relational import segment_revenue
+    got = segment_revenue(SF).to_pandas().sort_values("c_mktsegment") \
+                             .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """).fetchdf()
+    assert list(got["c_mktsegment"]) == list(want["c_mktsegment"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
+    assert np.allclose(got["total_price"], want["total_price"])
+
+
+def test_top_unshipped_orders_matches_duckdb(ray_session):
+    from nise_ray.ops.relational import top_unshipped_orders
+    got = top_unshipped_orders(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """).fetchdf()
+    assert list(got["l_orderkey"]) == list(want["l_orderkey"])
+    assert np.allclose(got["revenue"], want["revenue"])
