@@ -10,6 +10,14 @@ shared fingerprint, globally — across partitions, which a per-partition
 suffix array cannot promise. Docs sharing a fingerprint are joined by a
 ``groupby(fingerprint)`` shuffle exactly like the LSH band stage.
 
+SPANS: each fingerprint carries its gram's byte offset in the NORMALIZED
+text, so every emitted pair reports actionable span bounds
+(u_start/u_end/v_start/v_end) — the bounding range of all shared-
+fingerprint anchors per side, each anchor covering k bytes. A user
+stripping duplicated license headers cuts [start, end) of the normalized
+text. The bounds are a bounding box: two disjoint shared blocks merge
+into one span (n_shared_fps tells density).
+
 Substring edges are reported as their own output (license headers / copied
 functions do NOT imply whole-file near-duplication) and are only merged
 into clustering when explicitly configured.
@@ -29,33 +37,59 @@ from nise_ray.ops.normalize import normalize_text
 
 FP_SCHEMA = pa.schema([
     ("fp", pa.uint64()), ("doc_key", pa.uint64()), ("sha64", pa.uint64()),
+    ("pos", pa.int64()),
+])
+
+SPAN_SCHEMA = pa.schema([
+    ("u", pa.uint64()), ("v", pa.uint64()),
+    ("n_shared_fps", pa.int64()),
+    ("u_start", pa.int64()), ("u_end", pa.int64()),
+    ("v_start", pa.int64()), ("v_end", pa.int64()),
+])
+
+PAIR_POS_SCHEMA = pa.schema([
+    ("u", pa.uint64()), ("v", pa.uint64()),
+    ("u_pos", pa.int64()), ("v_pos", pa.int64()),
 ])
 
 
 def winnow_fingerprints(text: str, k: int, w: int) -> np.ndarray:
     """Unique winnowing fingerprints of one normalized document."""
+    return winnow_fingerprints_pos(text, k, w)[0]
+
+
+def winnow_fingerprints_pos(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(unique fingerprints, first byte offset of each fingerprint's gram
+    in the normalized utf-8 text). Offsets anchor the span reporting."""
     data = np.frombuffer(text.encode("utf-8", errors="surrogatepass"), dtype=np.uint8)
     n = len(data)
     if n < k:
-        return np.empty(0, dtype=U64)
-    h = rolling_poly_hash(data, k)  # one hash per gram position (log2 k passes)
+        return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
+    h = rolling_poly_hash(data, k)  # one hash per gram position
     if len(h) <= w:
-        return np.unique(h.min(keepdims=True))
-    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
-    return np.unique(mins)
+        mins = h.min(keepdims=True)
+    else:
+        mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    uniq = np.unique(mins)
+    # first occurrence position of each selected fingerprint in h
+    order = np.argsort(h, kind="stable")
+    pos = order[np.searchsorted(h[order], uniq)].astype(np.int64)
+    return uniq, pos
 
 
 def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """corpus rows -> (fp, doc_key, sha64) rows (batch-native flat map)."""
+    """corpus rows -> (fp, doc_key, sha64, pos) rows (batch-native flat map)."""
     repo = batch.column("repo").to_pylist()
     path = batch.column("path").to_pylist()
     commit = batch.column("commit").to_pylist()
     contents = batch.column("content").to_pylist()
     fps: list[np.ndarray] = []
+    poss: list[np.ndarray] = []
     doc_keys: list[int] = []
     sha64s: list[int] = []
     for i, text in enumerate(contents):
-        f = winnow_fingerprints(normalize_text(text), cfg.winnow_k, cfg.winnow_window)
+        f, p = winnow_fingerprints_pos(normalize_text(text), cfg.winnow_k,
+                                       cfg.winnow_window)
         if len(f) == 0:
             continue
         blob = repo[i].encode() + b"\x00" + path[i].encode() + b"\x00" + commit[i].encode()
@@ -63,6 +97,7 @@ def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         raw = text.encode("utf-8", errors="surrogatepass")
         sha64s.append(int.from_bytes(hashlib.sha256(raw).digest()[:8], "little"))
         fps.append(f)
+        poss.append(p)
     if not fps:
         return FP_SCHEMA.empty_table()
     counts = [len(f) for f in fps]
@@ -70,55 +105,116 @@ def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         "fp": pa.array(np.concatenate(fps), pa.uint64()),
         "doc_key": pa.array(np.repeat(np.array(doc_keys, dtype=U64), counts), pa.uint64()),
         "sha64": pa.array(np.repeat(np.array(sha64s, dtype=U64), counts), pa.uint64()),
+        "pos": pa.array(np.concatenate(poss), pa.int64()),
     })
 
 
-def _substring_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray, cap: int):
+def _substring_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray,
+                            pos: np.ndarray, cap: int):
+    """(u, v, u_pos, v_pos) for one fingerprint bucket: sha-deduped
+    members, full pairwise below cap, star-to-min for hot fingerprints
+    (ubiquitous boilerplate)."""
     order = np.lexsort((doc_keys, sha64))
     first = np.ones(len(order), dtype=bool)
     first[1:] = sha64[order][1:] != sha64[order][:-1]
-    doc_keys = np.sort(doc_keys[order[first]])
-    m = len(doc_keys)
+    keep = order[first]
+    o2 = np.argsort(doc_keys[keep])
+    keep = keep[o2]
+    dk = doc_keys[keep]
+    p = pos[keep]
+    m = len(dk)
     if m < 2:
         return None
     if m <= cap:
         ii, jj = np.triu_indices(m, k=1)
-        return doc_keys[ii], doc_keys[jj]
-    # hot fingerprint (ubiquitous boilerplate): star to bucket min
-    return np.full(m - 1, doc_keys[0], dtype=U64), doc_keys[1:]
+        return dk[ii], dk[jj], p[ii], p[jj]
+    # hot fingerprint: star to bucket min
+    return (np.full(m - 1, dk[0], dtype=U64), dk[1:],
+            np.full(m - 1, p[0], dtype=np.int64), p[1:])
 
 
 def make_batch_substring_pair_gen(cfg: DedupConfig):
-    """Block-level fn for hash_group_apply keyed on fp."""
+    """Block-level fn for hash_group_apply keyed on fp: emits candidate
+    pairs WITH each side's fingerprint anchor position."""
     from nise_ray.ops.groupapply import segments
     cap = cfg.bucket_cap
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return empty_edges()
+            return PAIR_POS_SCHEMA.empty_table()
         keys = batch.column("fp").to_numpy(zero_copy_only=False)
         starts, counts = segments(keys)
         multi = counts >= 2
         if not multi.any():
-            return empty_edges()
+            return PAIR_POS_SCHEMA.empty_table()
         doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
         sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
-        us, vs = [], []
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        us, vs, ups, vps = [], [], [], []
         for s, c in zip(starts[multi], counts[multi]):
-            pair = _substring_bucket_pairs(doc_keys[s:s + c], sha64[s:s + c], cap)
+            pair = _substring_bucket_pairs(doc_keys[s:s + c], sha64[s:s + c],
+                                           pos[s:s + c], cap)
             if pair is not None:
                 us.append(pair[0])
                 vs.append(pair[1])
+                ups.append(pair[2])
+                vps.append(pair[3])
         if not us:
-            return empty_edges()
-        u = np.concatenate(us)
-        v = np.concatenate(vs)
-        return edges_table(u, v, np.ones(len(u), dtype=np.float32), "substring")
+            return PAIR_POS_SCHEMA.empty_table()
+        return pa.table({
+            "u": pa.array(np.concatenate(us), pa.uint64()),
+            "v": pa.array(np.concatenate(vs), pa.uint64()),
+            "u_pos": pa.array(np.concatenate(ups), pa.int64()),
+            "v_pos": pa.array(np.concatenate(vps), pa.int64()),
+        })
+
+    return batch_fn
+
+
+def span_aggregate(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
+                   v_pos: np.ndarray, k: int) -> pa.Table:
+    """Aggregate per-(u, v) fingerprint anchors into span bounds — one
+    lexsort + reduceat, no per-pair Python. Each anchor covers k bytes."""
+    order = np.lexsort((v, u))
+    su, sv = u[order], v[order]
+    n = len(order)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    up, vp = u_pos[order], v_pos[order]
+    return pa.table({
+        "u": pa.array(su[starts], pa.uint64()),
+        "v": pa.array(sv[starts], pa.uint64()),
+        "n_shared_fps": pa.array(counts, pa.int64()),
+        "u_start": pa.array(np.minimum.reduceat(up, starts), pa.int64()),
+        "u_end": pa.array(np.maximum.reduceat(up, starts) + k, pa.int64()),
+        "v_start": pa.array(np.minimum.reduceat(vp, starts), pa.int64()),
+        "v_end": pa.array(np.maximum.reduceat(vp, starts) + k, pa.int64()),
+    })
+
+
+def make_span_distinct_batch(cfg: DedupConfig):
+    """Block fn for the (u, v) exchange: per pair, bounding span over all
+    shared fingerprint anchors."""
+    k = cfg.winnow_k
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return SPAN_SCHEMA.empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(U64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(U64)
+        up = batch.column("u_pos").to_numpy(zero_copy_only=False)
+        vp = batch.column("v_pos").to_numpy(zero_copy_only=False)
+        return span_aggregate(u, v, up, vp, k)
 
     return batch_fn
 
 
 def make_substring_pair_gen(cfg: DedupConfig):
+    """Legacy per-group variant (tests only — the pipeline uses the
+    block-level generator above). Emits plain edges without spans."""
     cap = cfg.bucket_cap
 
     def pair_gen(group: pa.Table) -> pa.Table:

@@ -502,7 +502,16 @@ def substring_pairs(
     cfg: DedupConfig | None = None,
 ) -> "ray.data.Dataset":
     """Stage E'' as an independent branch over the corpus (it needs raw
-    content, which the signed table intentionally drops)."""
+    content, which the signed table intentionally drops). Output schema:
+    (u, v, n_shared_fps, u_start, u_end, v_start, v_end) — per-pair span
+    bounds over the shared winnowing anchors (byte offsets in the
+    NORMALIZED text; each anchor covers winnow_k bytes), actionable for
+    corpus cleaning."""
+    from nise_ray.ops.substring import (
+        SPAN_SCHEMA,
+        make_span_distinct_batch,
+        span_aggregate,
+    )
     cfg = cfg or DedupConfig()
     use_hash_shuffle()
     corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
@@ -517,13 +526,12 @@ def substring_pairs(
         from nise_ray.util import collect_table
         t = collect_table(pairs)
         if t.num_rows == 0:
-            return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = ((u[order][1:] != u[order][:-1])
-                     | (v[order][1:] != v[order][:-1]))
-        return ray.data.from_arrow(t.take(pa.array(order[first])))
-    return hash_group_apply(pairs, ["u", "v"], edge_distinct_batch,
+            return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
+        return ray.data.from_arrow(span_aggregate(
+            t.column("u").to_numpy(zero_copy_only=False),
+            t.column("v").to_numpy(zero_copy_only=False),
+            t.column("u_pos").to_numpy(zero_copy_only=False),
+            t.column("v_pos").to_numpy(zero_copy_only=False),
+            cfg.winnow_k))
+    return hash_group_apply(pairs, ["u", "v"], make_span_distinct_batch(cfg),
                             cfg.shuffle_partitions, sort=False)
