@@ -10,7 +10,9 @@ emits every branch's rows with a common schema:
     src      uint8    0=exact, 1=minhash band, 2=simhash block
     doc_key  uint64
     sha64    uint64
-    sha_hex  string   (exact rows only — full-sha verify inside segments)
+    sha_rest binary   (exact rows only — digest bytes 8..32, so sha64 +
+                       sha_rest = the FULL sha256; variable-width binary
+                       costs only the 4B offset on non-exact rows)
     simhash  uint64
     minhash  fixed_size_binary(4K)
 
@@ -50,12 +52,12 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
     simhash = batch.column("simhash").to_numpy(zero_copy_only=False).astype(U64)
     n_sh = batch.column("n_shingles").to_numpy(zero_copy_only=False)
     mh = batch.column("minhash").combine_chunks()
-    sha_hex = batch.column("content_sha256").combine_chunks()
 
     keys: list[np.ndarray] = []
     srcs: list[np.ndarray] = []
     idx: list[np.ndarray] = []
     hex_mask: list[bool] = []
+    sha_rest: pa.Array | None = None
 
     # exact rows: every doc, keyed by (salted) sha64
     if cfg.exact_enabled:
@@ -63,6 +65,10 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
         srcs.append(np.full(n, SRC_EXACT, dtype=np.uint8))
         idx.append(np.arange(n))
         hex_mask.append(True)
+        sha_rest = pa.array(
+            [bytes.fromhex(h)[8:]
+             for h in batch.column("content_sha256").to_pylist()],
+            pa.binary())
 
     lsh_rows = np.flatnonzero(n_sh >= cfg.min_shingles)
     if cfg.minhash_enabled and len(lsh_rows):
@@ -89,7 +95,7 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
 
     fields = [
         ("key", pa.uint64()), ("src", pa.uint8()), ("doc_key", pa.uint64()),
-        ("sha64", pa.uint64()), ("sha_hex", pa.string()),
+        ("sha64", pa.uint64()), ("sha_rest", pa.binary()),
         ("simhash", pa.uint64()),
     ]
     if carry_sigs:
@@ -98,18 +104,18 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
     if not keys:
         return schema.empty_table()
     all_idx = np.concatenate(idx)
-    # sha_hex only on exact rows (null elsewhere -> offsets-only storage)
-    hex_cols = []
+    # sha_rest only on exact rows (null elsewhere -> offsets-only storage)
+    rest_cols = []
     for m, rows in zip(hex_mask, idx):
-        hex_cols.append(sha_hex.take(pa.array(rows)) if m
-                        else pa.nulls(len(rows), pa.string()))
+        rest_cols.append(sha_rest.take(pa.array(rows)) if m
+                         else pa.nulls(len(rows), pa.binary()))
     cols = {
         "key": pa.array(np.concatenate(keys), pa.uint64()),
         "src": pa.array(np.concatenate(srcs), pa.uint8()),
         "doc_key": pa.array(doc_key[all_idx], pa.uint64()),
         "sha64": pa.array(sha64[all_idx], pa.uint64()),
-        "sha_hex": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                                     for c in hex_cols]),
+        "sha_rest": pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                                      for c in rest_cols]),
         "simhash": pa.array(simhash[all_idx], pa.uint64()),
     }
     if carry_sigs:
@@ -148,6 +154,40 @@ def _unverified_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray, cap: int):
     return np.concatenate(us), np.concatenate(vs)
 
 
+def _exact_star_edges(doc_keys: np.ndarray, sha64: np.ndarray,
+                      sha_rest: pa.Array) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Block-wide vectorized exact dedup: group the block's exact rows by
+    the FULL sha256 (sha64 + the 24-byte tail viewed as 3 uint64 words),
+    one lexsort + run detection — zero per-group Python. Correct because
+    equal digests imply equal shuffle keys, so every full group is
+    co-located in this block."""
+    m = len(doc_keys)
+    if m < 2:
+        return None
+    if isinstance(sha_rest, pa.ChunkedArray):
+        sha_rest = sha_rest.combine_chunks()
+    words = np.frombuffer(b"".join(sha_rest.to_pylist()),
+                          dtype="<u8").reshape(m, 3)
+    order = np.lexsort((doc_keys, words[:, 2], words[:, 1], words[:, 0], sha64))
+    s0 = sha64[order]
+    w = words[order]
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = ((s0[1:] != s0[:-1]) | (w[1:, 0] != w[:-1, 0])
+                  | (w[1:, 1] != w[:-1, 1]) | (w[1:, 2] != w[:-1, 2]))
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, m))
+    if not (counts >= 2).any():
+        return None
+    dks = doc_keys[order]
+    member_mask = np.ones(m, dtype=bool)
+    member_mask[starts] = False
+    # doc_key is the last lexsort key, so dks[starts] is each run's min
+    u = np.repeat(dks[starts], counts - 1)
+    v = dks[member_mask]
+    return u, v
+
+
 def make_unified_pair_gen(cfg: DedupConfig, verify: bool = True):
     """One dispatch fn for the unified shuffle: per segment, run the
     src-appropriate pair generator (vectorized inside).
@@ -172,7 +212,6 @@ def make_unified_pair_gen(cfg: DedupConfig, verify: bool = True):
         simhash = batch.column("simhash").to_numpy(zero_copy_only=False).astype(U64)
         sigs = (sig_matrix(batch.column("minhash"), k)
                 if "minhash" in batch.column_names else None)
-        sha_hex = batch.column("sha_hex")
         parts: list[pa.Table] = []
         cand_us: list[np.ndarray] = []
         cand_vs: list[np.ndarray] = []
@@ -180,19 +219,20 @@ def make_unified_pair_gen(cfg: DedupConfig, verify: bool = True):
         exact_us: list[np.ndarray] = []
         exact_vs: list[np.ndarray] = []
         from nise_ray.ops.lsh import edges_table
+        # exact rows: handled block-wide in ONE vectorized pass (their
+        # key is a pure function of sha64, so groups are co-located)
+        ex_rows = np.flatnonzero(src == SRC_EXACT)
+        if len(ex_rows) >= 2:
+            pair = _exact_star_edges(
+                doc_keys[ex_rows], sha64[ex_rows],
+                batch.column("sha_rest").take(pa.array(ex_rows)))
+            if pair is not None:
+                exact_us.append(pair[0])
+                exact_vs.append(pair[1])
         for s, c in zip(starts[multi], counts[multi]):
             s0 = src[s]
             if s0 == SRC_EXACT:
-                hexes = sha_hex.slice(s, c).to_pylist()
-                by_hex: dict[str, list[int]] = {}
-                for i, h in enumerate(hexes):
-                    by_hex.setdefault(h, []).append(s + i)
-                for rows in by_hex.values():
-                    if len(rows) < 2:
-                        continue
-                    ks = np.sort(doc_keys[rows])
-                    exact_us.append(np.full(len(ks) - 1, ks[0], dtype=U64))
-                    exact_vs.append(ks[1:])
+                pass  # handled block-wide above
             elif s0 == SRC_BAND:
                 if verify:
                     parts.extend(_bucket_edges(doc_keys[s:s + c], sha64[s:s + c],
