@@ -155,6 +155,26 @@ def _q_top_unshipped(sf_dir: str):
     return top_unshipped_orders(sf_dir)
 
 
+def _q_nation_revenue(sf_dir: str):
+    from nise_ray.ops.relational import nation_revenue
+    return nation_revenue(sf_dir)
+
+
+def _q_shingle_stats(sf_dir: str):
+    """Corpus shingle statistics (SURVEY 3.5 distinct-shingle count):
+    exact distinct via one hash exchange + HyperLogLog (no-shuffle scale
+    path), returned as a 1-row table (rows-only check: the shingle hash
+    is not SQL-expressible)."""
+    import pyarrow as pa
+
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.metrics import shingle_stats
+    stats = shingle_stats(corpus_from_documents(sf_dir), DedupConfig())
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in sorted(stats.items())})
+
+
 def _q_flagship_sha_audit(sf_dir: str):
     """End-to-end sha256 invariant through the FULL dedup pipeline,
     hash-verified against DuckDB: every input row comes out of the
@@ -221,7 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "segment_revenue": _q_segment_revenue,
         "top_unshipped_orders": _q_top_unshipped,
+        "nation_revenue": _q_nation_revenue,
         "flagship_sha_audit": _q_flagship_sha_audit,
+        "shingle_stats": _q_shingle_stats,
         # --- index build/query (reference's online surface) -----------
         "index_query": _q_index_query,
         # --- multimodal plumbing (deterministic stub decode) ----------
@@ -315,6 +337,14 @@ def oracle_sql() -> dict[str, str]:
                    'doc' || CAST(doc_id AS VARCHAR) AS path,
                    sha256(text) AS content_sha256
             FROM documents
+        """,
+        "nation_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,11 +1,12 @@
 """Stage B — exact duplicate detection (shuffle 1, key = content_sha256).
 
-``groupby(content_sha256).map_groups`` over the narrow (sha, doc_key)
-projection. Each group of byte-identical contents emits star edges
-min-doc_key -> member (exact duplication is transitive, so the star edge
-set is EXACTLY equivalent to the full clique for clustering purposes and
-O(m) instead of O(m^2) — this is also what kills boilerplate-clone skew
-before the LSH stages ever see it).
+Used by the NON-unified plan (salt_shards > 1 or minhash disabled); the
+default unified exchange handles exact rows in ops/unified.py with the
+same vectorized machinery. Each group of byte-identical contents emits
+star edges min-doc_key -> member (exact duplication is transitive, so the
+star edge set is EXACTLY equivalent to the full clique for clustering
+purposes and O(m) instead of O(m^2) — this is also what kills
+boilerplate-clone skew before the LSH stages ever see it).
 """
 
 from __future__ import annotations
@@ -31,34 +32,31 @@ def exact_edge_gen(group: pa.Table) -> pa.Table:
 
 def exact_batch_edge_gen(batch: pa.Table) -> pa.Table:
     """Block-level exact dedup for hash_group_apply keyed on sha64 (uint64
-    shuffle key — cheap), with full sha256 hex verified within each tiny
-    segment so a 64-bit prefix collision can never merge distinct
-    contents. Emits star edges min-doc_key -> member per identical-content
-    group."""
-    from nise_ray.ops.groupapply import segments
-    if batch.num_rows == 0:
+    shuffle key — cheap): ONE block-wide lexsort over the FULL sha256
+    digest (parsed to four uint64 words) + run detection + vectorized
+    star-edge emission. A 64-bit prefix collision can never merge
+    distinct contents; zero per-group Python."""
+    if batch.num_rows < 2:
         return empty_edges()
-    sha64 = batch.column("sha64").to_numpy(zero_copy_only=False)
-    starts, counts = segments(sha64)
-    multi = counts >= 2
-    if not multi.any():
-        return empty_edges()
+    hexes = batch.column("content_sha256").to_pylist()
+    m = len(hexes)
+    words = np.frombuffer(b"".join(bytes.fromhex(h) for h in hexes),
+                          dtype="<u8").reshape(m, 4)
     doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-    sha_hex = batch.column("content_sha256")
-    us, vs = [], []
-    for s, c in zip(starts[multi], counts[multi]):
-        hexes = sha_hex.slice(s, c).to_pylist()
-        by_hex: dict[str, list[int]] = {}
-        for i, h in enumerate(hexes):
-            by_hex.setdefault(h, []).append(s + i)
-        for rows in by_hex.values():
-            if len(rows) < 2:
-                continue
-            ks = np.sort(doc_keys[rows])
-            us.append(np.full(len(ks) - 1, ks[0], dtype=U64))
-            vs.append(ks[1:])
-    if not us:
+    order = np.lexsort((doc_keys, words[:, 3], words[:, 2],
+                        words[:, 1], words[:, 0]))
+    w = words[order]
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = ((w[1:, 0] != w[:-1, 0]) | (w[1:, 1] != w[:-1, 1])
+                  | (w[1:, 2] != w[:-1, 2]) | (w[1:, 3] != w[:-1, 3]))
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, m))
+    if not (counts >= 2).any():
         return empty_edges()
-    u = np.concatenate(us)
-    v = np.concatenate(vs)
+    dks = doc_keys[order]
+    member_mask = np.ones(m, dtype=bool)
+    member_mask[starts] = False
+    u = np.repeat(dks[starts], counts - 1)
+    v = dks[member_mask]
     return edges_table(u, v, np.ones(len(u), dtype=np.float32), "exact")

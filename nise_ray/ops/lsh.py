@@ -182,7 +182,7 @@ def make_pair_gen(cfg: DedupConfig, src: str = "minhash"):
         parts = _bucket_edges(doc_keys, sha64, sigs, tau, cap, k, src)
         if not parts:
             return empty_edges()
-        return pa.concat_tables(parts)
+        return pa.concat_tables(parts).combine_chunks()
 
     return pair_gen
 
@@ -212,7 +212,7 @@ def make_batch_pair_gen(cfg: DedupConfig, src: str = "minhash",
                                        sigs[s:s + c], tau, cap, k, src))
         if not parts:
             return empty_edges()
-        return pa.concat_tables(parts)
+        return pa.concat_tables(parts).combine_chunks()
 
     return batch_fn
 
@@ -249,7 +249,8 @@ def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
         for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
             parts.extend(_bucket_edges(doc_keys[s:s + c], sha64[s:s + c],
                                        sigs[s:s + c], tau, cap, k, src))
-        edges = pa.concat_tables(parts) if parts else empty_edges()
+        edges = (pa.concat_tables(parts).combine_chunks()
+                 if parts else empty_edges())
         # one rep row per shard
         rep_rows = batch.take(pa.array(order[starts]))
         n_e, n_r = edges.num_rows, rep_rows.num_rows

@@ -236,3 +236,75 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
     kk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
     keep = np.lexsort((kk, -r))[:k]
     return t.take(pa.array(keep))
+
+
+def nation_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per nation: the BROADCAST-small-side join pattern. The
+    25-row nation table is ray.put ONCE and looked up vectorized inside
+    map_batches over customer (no shuffle for the dimension join); only
+    the orders ⋈ customer join is a distributed exchange. Returns
+    (n_name, n_orders, total_price)."""
+    nation_t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    nk = nation_t.column("n_nationkey").to_numpy(zero_copy_only=False)
+    order_nk = np.argsort(nk)
+    nation_ref = ray.put((nk[order_nk],
+                          np.array(nation_t.column("n_name").to_pylist(),
+                                   dtype=object)[order_nk]))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    class AttachNation:
+        def __init__(self) -> None:
+            self.keys, self.names = ray.get(nation_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cnk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, cnk), 0,
+                          len(self.keys) - 1)
+            return pa.table({
+                "c_custkey": b.column("c_custkey"),
+                "n_name": pa.array(self.names[pos], pa.string()),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    cust_n = cust.map_batches(AttachNation, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency())
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    _hash_shuffle_on(cust_n, orders)
+    joined = orders.join(cust_n, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "total_price": pa.array([], pa.float64())})
+        names = b.column("n_name").combine_chunks().dictionary_encode()
+        codes = names.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        from nise_ray.ops.groupapply import segments
+        starts, counts = segments(codes[order])
+        firsts = order[starts]
+        return pa.table({
+            "n_name": pa.array([names[i].as_py() for i in firsts], pa.string()),
+            "n_orders": pa.array(counts, pa.int64()),
+            "total_price": pa.array(np.add.reduceat(price[order], starts),
+                                    pa.float64()),
+        })
+
+    partials = collect_table(joined.map_batches(partial, batch_format="pyarrow",
+                                                zero_copy_batch=True))
+    df = partials.to_pandas().groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+    df["total_price"] = df["total_price"].round(2)
+    return pa.table({
+        "n_name": pa.array(df["n_name"], pa.string()),
+        "n_orders": pa.array(df["n_orders"], pa.int64()),
+        "total_price": pa.array(df["total_price"], pa.float64()),
+    })

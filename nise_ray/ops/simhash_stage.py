@@ -104,7 +104,7 @@ def make_batch_simhash_pair_gen(cfg: DedupConfig):
                 simhash[s:s + c], tau, cap, k, hk))
         if not parts:
             return empty_edges()
-        return pa.concat_tables(parts)
+        return pa.concat_tables(parts).combine_chunks()
 
     return batch_fn
 
@@ -147,6 +147,6 @@ def make_simhash_pair_gen(cfg: DedupConfig):
                 parts.append(edges_table(doc_keys[gi[ok]], doc_keys[jj[ok]], est[ok], "simhash"))
         if not parts:
             return empty_edges()
-        return pa.concat_tables(parts)
+        return pa.concat_tables(parts).combine_chunks()
 
     return pair_gen

@@ -276,12 +276,24 @@ def make_unified_pair_gen(cfg: DedupConfig, verify: bool = True):
             v = np.concatenate(exact_vs)
             parts.append(edges_table(u, v, np.ones(len(u), dtype=np.float32),
                                      "exact"))
-        for u, v, sname in zip(cand_us, cand_vs, cand_src):
-            parts.append(edges_table(u, v, np.full(len(u), -1.0, np.float32),
-                                     sname))
+        if cand_us:
+            # ONE edges_table per src (not per bucket): thousands of tiny
+            # tables per block fragment every downstream consumer
+            for sname in ("minhash", "simhash"):
+                sel = [i for i, s in enumerate(cand_src) if s == sname]
+                if not sel:
+                    continue
+                u = np.concatenate([cand_us[i] for i in sel])
+                v = np.concatenate([cand_vs[i] for i in sel])
+                parts.append(edges_table(
+                    u, v, np.full(len(u), -1.0, np.float32), sname))
         if not parts:
             return empty_edges()
-        return pa.concat_tables(parts)
+        # thousands of per-bucket part tables -> ONE contiguous table;
+        # without this every downstream consumer (shuffle, collect,
+        # ray.get) pays per-chunk serialization overhead (measured
+        # ~1.5 MB/s effective on 100k-chunk columns vs >100 MB/s flat)
+        return pa.concat_tables(parts).combine_chunks()
 
     return batch_fn
 
