@@ -140,7 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
         qs = entry_mod.queries()
         for name in ["exact_dedup_docs", "minhash_dedup_docs", "token_stats",
                      "quality_scores", "ann_topk", "ann_topk_lsh",
-                     "language_id"]:
+                     "language_id", "segment_revenue", "top_unshipped_orders",
+                     "nation_revenue", "embedding_dup_pairs"]:
             t0 = time.time()
             out = qs[name](sf_dir)
             if hasattr(out, "count"):
