@@ -81,6 +81,11 @@ def _q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(sf_dir, n_queries=5, k=10)
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    from nise_ray.ops.ann import ivf_topk
+    return ivf_topk(sf_dir, n_queries=5, k=10)
+
+
 def _q_language_id(sf_dir: str):
     from nise_ray.ops.textstats import language_id
     return language_id(sf_dir)
@@ -226,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ----------------------------------------
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_norms": _q_embedding_norms,
         "embedding_dup_pairs": _q_embedding_dups,
         # --- text analysis --------------------------------------------
@@ -359,7 +365,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_dedup_docs / simhash_docs / ngram_jaccard_pairs_docs /
         # substring_pairs_docs / dedup_flagship / ann_topk_lsh /
-        # embedding_dup_pairs / language_id / multimodal_features:
-        # not ANSI-SQL-expressible (LSH sampling, hash fingerprints,
+        # ann_topk_ivf / embedding_dup_pairs / language_id /
+        # shingle_stats / index_query / multimodal_features:
+        # not ANSI-SQL-expressible (LSH/IVF sampling, hash fingerprints,
         # heuristic scoring, stub decoding) -> rows-only checks.
     }

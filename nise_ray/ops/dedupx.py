@@ -185,22 +185,26 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
                                    zero_copy_batch=True,
                                    concurrency=default_concurrency())
     else:
-        # distributed fallback: two hash joins attach each endpoint's doc_id
+        # distributed fallback: two hash joins attach each endpoint's
+        # doc_id (keymaps pre-renamed so the output column names are
+        # deterministic, no suffix guessing)
         from nise_ray.ops.groupapply import default_partitions
-        keymap = assigns.select_columns(["doc_key", "doc_id"])
         np_ = default_partitions(0)
-        j1 = edges.join(keymap, join_type="inner", num_partitions=np_,
-                        on=("u",), right_on=("doc_key",), right_suffix="_u")
-        j2 = j1.join(keymap, join_type="inner", num_partitions=np_,
-                     on=("v",), right_on=("doc_key",), right_suffix="_v")
+
+        def ren(b: pa.Table, key: str, val: str) -> "pa.Table":
+            return b.rename_columns([key, val])
+
+        keymap = assigns.select_columns(["doc_key", "doc_id"])
+        km_u = keymap.map_batches(lambda b: ren(b, "u", "du"),
+                                  batch_format="pyarrow")
+        km_v = keymap.map_batches(lambda b: ren(b, "v", "dv"),
+                                  batch_format="pyarrow")
+        j1 = edges.join(km_u, join_type="inner", num_partitions=np_, on=("u",))
+        j2 = j1.join(km_v, join_type="inner", num_partitions=np_, on=("v",))
 
         def finish(b: pa.Table) -> pa.Table:
-            cols = b.column_names
-            du_col = next(c for c in cols
-                          if c.startswith("doc_id") and not c.endswith("_v")
-                          and c not in ("doc_id_u", "doc_id_v"))
-            du = b.column(du_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            dv = b.column("doc_id_v").to_numpy(zero_copy_only=False).astype(np.int64)
+            du = b.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+            dv = b.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({
                 "doc_id_u": pa.array(np.minimum(du, dv), pa.int64()),
                 "doc_id_v": pa.array(np.maximum(du, dv), pa.int64()),

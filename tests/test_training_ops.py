@@ -40,6 +40,22 @@ def test_lsh_topk_recall(ray_session):
     assert recall >= 0.5, f"LSH ANN recall {recall}"  # approximate by design
 
 
+def test_ivf_topk_recall(ray_session):
+    from nise_ray.ops.ann import brute_force_topk, ivf_topk
+    exact = brute_force_topk(SF, n_queries=5, k=10)
+    approx = ivf_topk(SF, n_queries=5, k=10, n_centroids=32, n_probe=16)
+    exact_set = set(zip(exact.column("query_id").to_pylist(),
+                        exact.column("vec_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(),
+                         approx.column("vec_id").to_pylist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells of near-orthogonal synthetic vectors
+    assert recall >= 0.5, f"IVF ANN recall {recall}"
+    # determinism: same seed, same result
+    again = ivf_topk(SF, n_queries=5, k=10, n_centroids=32, n_probe=16)
+    assert approx.equals(again)
+
+
 def test_token_stats_match_python(ray_session):
     import re
 
