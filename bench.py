@@ -209,7 +209,8 @@ def run_scaling(sf_dir: str, cpus=(8, 32), rounds=3) -> dict:
     (median T_low / median T_high) / cpus_ratio; per-run times, spread and
     bandwidth state are all reported so a reader can judge host drift."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    n_files = SF_FILES.get(sf_name, 100_000) * SCALING_MULT
+    n_files = int(os.environ.get("GRAFT_SCALING_FILES", "0")) or (
+        SF_FILES.get(sf_name, 100_000) * SCALING_MULT)
     ensure_bench_corpus(sf_name, n_files)  # generate once, outside timings
     lo, hi = cpus
     order: list[int] = []
@@ -268,12 +269,13 @@ def run_scaling(sf_dir: str, cpus=(8, 32), rounds=3) -> dict:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--scaling-rounds", type=int, default=3)
     p.add_argument("--headline-only", action="store_true")
     args = p.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
-        print(json.dumps(run_scaling(sf_dir)))
+        print(json.dumps(run_scaling(sf_dir, rounds=args.scaling_rounds)))
     else:
         n_files = os.environ.get("GRAFT_BENCH_FILES")
         print(json.dumps(run_bench(sf_dir, num_cpus,
