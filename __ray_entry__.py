@@ -135,6 +135,16 @@ def _q_windowed_events(sf_dir: str):
     return windowed_event_counts(sf_dir, hours=1)
 
 
+def _q_sliding_windows(sf_dir: str):
+    from nise_ray.ops.events import sliding_window_counts
+    return sliding_window_counts(sf_dir, window_hours=1, hop_minutes=30)
+
+
+def _q_top_tokens(sf_dir: str):
+    from nise_ray.ops.textstats import top_tokens
+    return top_tokens(sf_dir, k=50)
+
+
 def _q_user_event_stats(sf_dir: str):
     from nise_ray.ops.events import user_event_stats
     return user_event_stats(sf_dir)
@@ -242,7 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
         "windowed_events": _q_windowed_events,
+        "sliding_windows": _q_sliding_windows,
         "user_event_stats": _q_user_event_stats,
+        "top_tokens": _q_top_tokens,
         "top_docs_by_len": _q_top_docs_by_len,
         "pricing_summary": _q_pricing_summary,
         "segment_revenue": _q_segment_revenue,
@@ -313,6 +325,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
+        """,
+        "sliding_windows": """
+            SELECT make_timestamp(win_us) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (SELECT epoch_us(ts) AS tus, value FROM events) e
+            CROSS JOIN (SELECT unnest(range(0, 2)) AS i) s
+            CROSS JOIN LATERAL (SELECT (tus // 1800000000 - s.i)
+                                       * 1800000000 AS win_us) w
+            WHERE win_us + 3600000000 > tus
+            GROUP BY win_us
+        """,
+        "top_tokens": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS token FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
         """,
         "top_docs_by_len": """
             SELECT doc_id, n_chars FROM documents

@@ -103,3 +103,55 @@ def top_docs_by_len(sf_dir: str, k: int = 20) -> pa.Table:
                                columns=["doc_id", "n_chars"])
     top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
     return collect_table(top)
+
+
+def sliding_window_counts(sf_dir: str, window_hours: int = 1,
+                          hop_minutes: int = 30) -> "ray.data.Dataset":
+    """HOPPING (sliding) window aggregate: windows of `window_hours`
+    starting every `hop_minutes`; each event lands in
+    window_hours*60/hop_minutes windows. Batch-native flat map (one
+    np.repeat per batch, no per-row Python) + one hash exchange on the
+    window start. Returns (window_start, n_events, sum_value)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+    win_us = window_hours * MICROS_PER_HOUR
+    hop_us = hop_minutes * 60_000_000
+    per_event = win_us // hop_us  # windows covering each event
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        # last hop-aligned start <= ts, then walk back per_event hops
+        last = (ts // hop_us) * hop_us
+        starts = (last[:, None]
+                  - np.arange(per_event, dtype=np.int64)[None, :] * hop_us)
+        keep = starts + win_us > ts[:, None]  # event inside [start, start+win)
+        rep = np.repeat(np.arange(len(ts)), per_event)[keep.ravel()]
+        return pa.table({
+            "window_us": pa.array(starts.ravel()[keep.ravel()], pa.int64()),
+            "value": pa.array(val[rep], pa.float64()),
+        })
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "window_start": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
+        win = batch.column("window_us").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        starts, counts = segments(win)
+        return pa.table({
+            "window_start": pa.array(win[starts], pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(np.round(np.add.reduceat(val, starts), 4),
+                                  pa.float64()),
+        })
+
+    return hash_group_apply(exploded, ["window_us"], agg, 0, sort=True)

@@ -130,3 +130,50 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(LanguageId, batch_format="pyarrow",
                           zero_copy_batch=True,
                           concurrency=default_concurrency())
+
+
+def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
+    """Heavy hitters: the k most frequent tokens across the corpus.
+    Per-batch PARTIAL counts (combiner — each batch emits its local
+    token->count map, so the exchange moves vocabulary-sized rows, not
+    token instances), one hash exchange on the token, then a per-block
+    pre-top-k and a driver merge. Ties broken by token text for
+    cross-engine determinism."""
+    import collections
+
+    from nise_ray.ops.groupapply import hash_group_apply
+    from nise_ray.util import collect_table
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for t in b.column("text").to_pylist():
+            counts.update(_TOKEN_RE.findall(t))
+        if not counts:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks, ns = zip(*counts.items())
+        return pa.table({"token": pa.array(list(toks), pa.string()),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas().groupby("token", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("token", pa.string()), ("n", pa.int64())]))
+
+    per_part = hash_group_apply(partials, ["token"], merge, sort=False)
+    t = collect_table(per_part)
+    if t.num_rows == 0:
+        return t
+    df = t.to_pandas().sort_values(["n", "token"],
+                                   ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False).cast(
+        pa.schema([("token", pa.string()), ("n", pa.int64())]))

@@ -35,3 +35,49 @@ def test_top_docs_by_len(ray_session):
     assert lens == sorted(lens, reverse=True)
     raw = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
     assert lens[0] == max(raw.column("n_chars").to_pylist())
+
+
+def test_sliding_windows_match_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.events import sliding_window_counts
+    from nise_ray.util import collect_table
+    SF = "/root/testdata/sf0.001"
+    got = collect_table(sliding_window_counts(SF, 1, 30)).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute("""
+        SELECT make_timestamp(win_us) AS window_start,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM (SELECT epoch_us(ts) AS tus, value FROM events) e
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS i) s
+        CROSS JOIN LATERAL (SELECT (tus // 1800000000 - s.i)
+                                   * 1800000000 AS win_us) w
+        WHERE win_us + 3600000000 > tus
+        GROUP BY win_us ORDER BY window_start
+    """).fetchdf()
+    import numpy as np
+    assert list(got["window_start"]) == list(want["window_start"])
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_top_tokens_match_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.textstats import top_tokens
+    SF = "/root/testdata/sf0.001"
+    got = top_tokens(SF, k=20).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                     AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """).fetchdf()
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"]) == list(want["n"])
