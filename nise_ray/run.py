@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bucket-cap", type=int, default=1000)
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--no-exact", action="store_true")
+    p.add_argument("--verify-mode", default="auto",
+                   choices=["auto", "carry", "broadcast", "join"],
+                   help="signature verification strategy; 'join' = fully "
+                        "distributed two-sided hash join (the 10^12-file "
+                        "configuration)")
     p.add_argument("--substring", action="store_true",
                    help="also run the winnowing substring stage")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -48,7 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = DedupConfig(tau=args.tau, salt_shards=args.salt_shards,
                       bucket_cap=args.bucket_cap,
                       simhash_enabled=not args.no_simhash,
-                      exact_enabled=not args.no_exact)
+                      exact_enabled=not args.no_exact,
+                      verify_mode=args.verify_mode)
     result = dedup_pipeline(args.input, cfg, run_dir=args.run_dir,
                             resume=args.resume)
     result.assignments.write_parquet(os.path.join(args.output, "assignments"))
