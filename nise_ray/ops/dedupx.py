@@ -107,8 +107,10 @@ def minhash_dedup_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray
             "cluster_size": pa.array(np.repeat(counts, counts), pa.int64()),
         })
 
-    sizes = hash_group_apply(assigns, ["cluster_id"], size_batch)
-    return sizes.sort("doc_id")
+    # no output sort: the ROW SET is deterministic (one row per doc) and
+    # a corpus-sized global sort would be a pure-cosmetics all-to-all at
+    # 10^12 rows; consumers sort slices as needed
+    return hash_group_apply(assigns, ["cluster_id"], size_batch)
 
 
 def simhash_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.Dataset":
