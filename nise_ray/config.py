@@ -31,7 +31,7 @@ import dataclasses
 import hashlib
 import json
 
-CONFIG_VERSION = 3
+CONFIG_VERSION = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +74,11 @@ class DedupConfig:
     driver_cc_max_edges: int = 5_000_000  # <= this: driver union-find, else distributed
     driver_pairs_max: int = 20_000_000    # <= this: driver-side distinct+verify
                                           # (numpy), else distributed shuffle
+    driver_docs_max: int = 2_000_000      # corpus-size gate for the driver
+                                          # fast path — keyed on the ALREADY-
+                                          # KNOWN doc count so no materialize+
+                                          # count barrier on the candidate
+                                          # union is ever needed
     cc_max_rounds: int = 24               # distributed hash-to-min round cap
     broadcast_label_max: int = 5_000_000  # label-map broadcast threshold
     shuffle_partitions: int = 0           # 0 = let Ray Data decide
@@ -82,8 +87,11 @@ class DedupConfig:
 
     # --- verification strategy -------------------------------------------
     # "auto": narrow exchange + broadcast sig map while the corpus fits
-    #         broadcast_label_max, else carried signatures (inline verify)
-    # "carry": always carry sigs through the exchange (distributed-safe)
+    #         broadcast_label_max, else the fully distributed signature
+    #         hash join (the scale path — never the wide carried-sig
+    #         exchange); non-unified plans verify inline ("carry")
+    # "carry": always carry sigs through the exchange (distributed-safe
+    #          but ~10x the shuffle volume of the narrow modes)
     # "join": narrow exchange + two-sided distributed signature hash join
     #         (no broadcast, no driver state — the 10^12-file setting)
     verify_mode: str = "auto"

@@ -91,8 +91,9 @@ def _make_cross_pair_batch_gen(cfg: DedupConfig, min_est: float):
             return MATCH_SCHEMA.empty_table()
         doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False)
         sigs = sig_matrix(batch.column("minhash"), k)
-        q_mask = np.asarray(
-            pa.compute.equal(batch.column("side"), "q").to_pandas().values)
+        q_mask = pa.compute.equal(
+            batch.column("side"), "q").combine_chunks().to_numpy(
+                zero_copy_only=False)
         out_q, out_c, out_e = [], [], []
         for s, c in zip(starts[multi], counts[multi]):
             r = _cross_pairs_for_bucket(doc_keys[s:s + c], sigs[s:s + c],

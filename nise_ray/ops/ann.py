@@ -348,8 +348,35 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
                              _dup_pair_batch_fn(threshold)).materialize()
     if pairs.count() == 0:
         return pairs
+    # no output sort: the pair SET is deterministic across runs; a global
+    # sort here is pure cosmetics (see dedupx.ngram_jaccard_pairs)
     return hash_group_apply(pairs, ["u", "v"], _dup_distinct_batch,
-                            sort=False).sort(["u", "v"])
+                            sort=False)
+
+
+def _uniform_sample(ds: "ray.data.Dataset", n: int) -> pa.Table:
+    """~n uniformly-sampled rows, deterministic and order-independent:
+    keep rows where splitmix64(vec_id) < threshold (threshold sized from
+    the metadata-only parquet row count with 1.5x headroom), then trim to
+    exactly <=n by the hash value so the chosen set never depends on block
+    order. Only the sampled rows leave the tasks — no shuffle."""
+    from nise_ray.hashing import splitmix64, U64
+    total = ds.count()  # parquet metadata, no scan
+    if total <= n:
+        return collect_table(ds)
+    frac = min(1.0, 1.5 * n / total)
+    thresh = U64(int(frac * float(2**64 - 1)))
+
+    def keep_fn(b: pa.Table) -> pa.Table:
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(U64)
+        return b.filter(pa.array(splitmix64(vids) < thresh))
+
+    t = collect_table(ds.map_batches(keep_fn, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    if t.num_rows <= n:
+        return t
+    h = splitmix64(t.column("vec_id").to_numpy(zero_copy_only=False).astype(U64))
+    return t.take(pa.array(np.sort(np.argsort(h, kind="stable")[:n])))
 
 
 def _kmeans_centroids(sample: np.ndarray, n_centroids: int, seed: int,
@@ -386,12 +413,16 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     from nise_ray.ops.groupapply import default_concurrency
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    # deterministic training sample: lowest-vec_id rows via per-batch head
-    sample_t = _query_head(ds, sample_size)
+    # deterministic UNIFORM training sample: keep rows whose
+    # splitmix64(vec_id) falls below a threshold sized from the (metadata-
+    # only) row count — lowest-vec_id sampling would bias centroids when
+    # vec_id order correlates with the embedding distribution (data
+    # appended by source)
+    sample_t = _uniform_sample(ds, sample_size)
     sample = _normalize(_embedding_matrix(sample_t))
     cent = _kmeans_centroids(sample, n_centroids, seed)
 
-    head = sample_t.slice(0, n_queries)
+    head = _query_head(ds, n_queries)
     q_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
     q_mat = _normalize(_embedding_matrix(head))
     # each query probes its n_probe nearest cells

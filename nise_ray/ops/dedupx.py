@@ -156,6 +156,12 @@ def _doc_id_mapper(assigns: "ray.data.Dataset", cfg: DedupConfig):
             v = b.column("v").to_numpy(zero_copy_only=False).astype(U64)
             iu = np.clip(np.searchsorted(self.keys, u), 0, len(self.keys) - 1)
             iv = np.clip(np.searchsorted(self.keys, v), 0, len(self.keys) - 1)
+            # every edge endpoint MUST exist in the assignments table; a
+            # silent nearest-neighbor mapping would corrupt pair ids
+            if not ((self.keys[iu] == u).all() and (self.keys[iv] == v).all()):
+                missing = int((self.keys[iu] != u).sum() + (self.keys[iv] != v).sum())
+                raise AssertionError(
+                    f"{missing} edge endpoints missing from doc_key->doc_id map")
             du = self.vals[iu]
             dv = self.vals[iv]
             return pa.table({
@@ -214,4 +220,6 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
             })
 
         mapped = j2.map_batches(finish, batch_format="pyarrow")
-    return mapped.sort(["doc_id_u", "doc_id_v"])
+    # no output sort: the pair SET is deterministic; a global sort on the
+    # output is pure cosmetics (consumers sort slices as needed)
+    return mapped

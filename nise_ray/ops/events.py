@@ -116,7 +116,11 @@ def sliding_window_counts(sf_dir: str, window_hours: int = 1,
                                columns=["ts", "value"])
     win_us = window_hours * MICROS_PER_HOUR
     hop_us = hop_minutes * 60_000_000
-    per_event = win_us // hop_us  # windows covering each event
+    # ceil: when hop doesn't divide the window the earliest covering
+    # window needs one extra hop back; the `keep` filter below discards
+    # any over-generated window, so ceil is correct for every hop/window
+    # combination (including hop > window, where per_event == 1).
+    per_event = -(-win_us // hop_us)  # windows covering each event
 
     def explode(b: pa.Table) -> pa.Table:
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)

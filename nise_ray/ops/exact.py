@@ -38,10 +38,11 @@ def exact_batch_edge_gen(batch: pa.Table) -> pa.Table:
     distinct contents; zero per-group Python."""
     if batch.num_rows < 2:
         return empty_edges()
-    hexes = batch.column("content_sha256").to_pylist()
-    m = len(hexes)
-    words = np.frombuffer(b"".join(bytes.fromhex(h) for h in hexes),
-                          dtype="<u8").reshape(m, 4)
+    from nise_ray.util import fsb_bytes
+    m = batch.num_rows
+    # zero-copy uint64 view of the fixed_size_binary(32) digest column
+    words = np.ascontiguousarray(
+        fsb_bytes(batch.column("content_sha256"), 32)).view("<u8")
     doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
     order = np.lexsort((doc_keys, words[:, 3], words[:, 2],
                         words[:, 1], words[:, 0]))

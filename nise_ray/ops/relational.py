@@ -263,6 +263,8 @@ def nation_revenue(sf_dir: str) -> pa.Table:
             cnk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
             pos = np.clip(np.searchsorted(self.keys, cnk), 0,
                           len(self.keys) - 1)
+            if not (self.keys[pos] == cnk).all():
+                raise AssertionError("c_nationkey missing from nation table")
             return pa.table({
                 "c_custkey": b.column("c_custkey"),
                 "n_name": pa.array(self.names[pos], pa.string()),

@@ -1,7 +1,9 @@
 """Stage A — ingest + sign: one vectorized pass over zero-copy Arrow batches.
 
 For every corpus row, computes in a single ``map_batches`` stage:
-  doc_key, content_sha256 (hex), sha64, n_bytes / n_tokens / n_shingles,
+  doc_key, content_sha256 (fixed_size_binary(32) — hex only at the output
+  sink, halving exchange width and keeping digest access zero-copy),
+  sha64, n_bytes / n_tokens / n_shingles,
   the K-wide MinHash signature (stored as 4K-byte binary), and the 64-bit
   SimHash fingerprint.  The `content` column is DROPPED on output — after
   this stage the pipeline is narrow; `content` is never mutated (the sha256
@@ -75,7 +77,7 @@ class Signer:
         contents = batch.column("content").to_pylist()
 
         doc_keys = np.empty(n, dtype=U64)
-        sha_hex: list[str] = []
+        sha_buf = bytearray(32 * n)  # fixed_size_binary(32) values
         sha64 = np.empty(n, dtype=U64)
         n_bytes = np.empty(n, dtype=np.int64)
         n_tokens = np.empty(n, dtype=np.int64)
@@ -89,7 +91,7 @@ class Signer:
                 hashlib.blake2b(key_blob, digest_size=8).digest(), "little")
             raw = contents[i].encode("utf-8", errors="surrogatepass")
             dig = hashlib.sha256(raw).digest()
-            sha_hex.append(dig.hex())
+            sha_buf[32 * i:32 * i + 32] = dig
             sha64[i] = int.from_bytes(dig[:8], "little")
             n_bytes[i] = len(raw)
             toks = tokenize(self.normalize(contents[i]))
@@ -118,7 +120,8 @@ class Signer:
             "commit": batch.column("commit"),
             "lang": lang,
             "doc_key": pa.array(doc_keys, pa.uint64()),
-            "content_sha256": pa.array(sha_hex, pa.string()),
+            "content_sha256": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(32), n, [None, pa.py_buffer(bytes(sha_buf))]),
             "sha64": pa.array(sha64, pa.uint64()),
             "n_bytes": pa.array(n_bytes, pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),

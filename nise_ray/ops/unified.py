@@ -65,10 +65,16 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
         srcs.append(np.full(n, SRC_EXACT, dtype=np.uint8))
         idx.append(np.arange(n))
         hex_mask.append(True)
-        sha_rest = pa.array(
-            [bytes.fromhex(h)[8:]
-             for h in batch.column("content_sha256").to_pylist()],
-            pa.binary())
+        # digest bytes 8..32 sliced zero-copy from the fixed_size_binary
+        # sha column — no per-row Python on the corpus-width explode
+        from nise_ray.util import fsb_bytes
+        rest = np.ascontiguousarray(
+            fsb_bytes(batch.column("content_sha256"), 32)[:, 8:])
+        rest_offsets = np.arange(0, 24 * (n + 1), 24, dtype=np.int32)
+        sha_rest = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(rest_offsets.tobytes()),
+             pa.py_buffer(rest.tobytes())])
 
     lsh_rows = np.flatnonzero(n_sh >= cfg.min_shingles)
     if cfg.minhash_enabled and len(lsh_rows):
@@ -166,8 +172,14 @@ def _exact_star_edges(doc_keys: np.ndarray, sha64: np.ndarray,
         return None
     if isinstance(sha_rest, pa.ChunkedArray):
         sha_rest = sha_rest.combine_chunks()
-    words = np.frombuffer(b"".join(sha_rest.to_pylist()),
-                          dtype="<u8").reshape(m, 3)
+    # vectorized gather of the 24 digest-tail bytes per row straight from
+    # the Arrow buffers (rows all 24B but offsets may be non-contiguous
+    # after take) — no per-row Python
+    off_all = np.frombuffer(sha_rest.buffers()[1], dtype=np.int32)
+    off = off_all[sha_rest.offset:sha_rest.offset + m].astype(np.int64)
+    data = np.frombuffer(sha_rest.buffers()[2], dtype=np.uint8)
+    words = data[off[:, None] + np.arange(24, dtype=np.int64)[None, :]] \
+        .view("<u8")
     order = np.lexsort((doc_keys, words[:, 2], words[:, 1], words[:, 0], sha64))
     s0 = sha64[order]
     w = words[order]

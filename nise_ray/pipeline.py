@@ -70,6 +70,15 @@ ASSIGNMENT_COLUMNS = [
 
 
 
+def _sha_hex_batch(batch: pa.Table) -> pa.Table:
+    """content_sha256 fixed_size_binary(32) -> hex string (output contract;
+    vectorized nibble lookup, see util.hex_column)."""
+    from nise_ray.util import hex_column
+    i = batch.schema.get_field_index("content_sha256")
+    return batch.set_column(i, "content_sha256",
+                            hex_column(batch.column("content_sha256"), 32))
+
+
 def edge_distinct_batch(batch: pa.Table) -> pa.Table:
     """Block-level (u, v) distinct for hash_group_apply (sort=False): one
     full lexsort by (u, v, src-rank, -est), then first row per (u, v) —
@@ -299,9 +308,15 @@ def dedup_pipeline(
     # the exchange and verifies inline.
     verify_mode = cfg.verify_mode
     if verify_mode == "auto":
-        verify_mode = ("broadcast" if unified
-                       and n_docs <= cfg.broadcast_label_max
-                       else "carry")
+        if not unified:
+            verify_mode = "carry"  # per-branch plans verify inline
+        elif n_docs <= cfg.broadcast_label_max:
+            verify_mode = "broadcast"
+        else:
+            # beyond the broadcast gate the scale-correct default is the
+            # fully distributed signature hash join — NOT the wide
+            # carried-sig exchange (~10x the shuffle bytes)
+            verify_mode = "join"
     narrow = unified and verify_mode in ("broadcast", "join")
 
     if unified:
@@ -420,15 +435,21 @@ def dedup_pipeline(
             # fully distributed: stream the candidate union STRAIGHT into
             # the distinct shuffle (no materialization barrier, no count
             # gate — the 10^12-file configuration holds no driver state),
-            # then the two-sided signature hash join verifies.
+            # then the two-sided signature hash join verifies. Non-unified
+            # plans already verified inline (est >= tau at pair gen), so
+            # the join would be pure redundant work — distinct only.
             from nise_ray.ops.groupapply import default_partitions
             distinct = hash_group_apply(ds, ["u", "v"],
                                         _lineage(edge_distinct_batch, "edges"),
                                         n_parts, sort=False)
-            return join_verify(distinct, signed, cfg,
-                               default_partitions(n_parts))
-        ds = ds.materialize()
-        if ds.count() <= cfg.driver_pairs_max:
+            if narrow:
+                return join_verify(distinct, signed, cfg,
+                                   default_partitions(n_parts))
+            return distinct
+        if n_docs <= cfg.driver_docs_max:
+            # driver fast path gated on the ALREADY-KNOWN doc count — no
+            # materialize()+count() barrier on the candidate union (the
+            # round-2 version paid a full barrier here just to count)
             return _driver_distinct_verify(ds)
         distinct = hash_group_apply(ds, ["u", "v"],
                                     _lineage(edge_distinct_batch, "edges"),
@@ -453,7 +474,8 @@ def dedup_pipeline(
     # ---- connected components ------------------------------------------
     t_cc = time.time()
     n_edges = edges.count()
-    stats: dict[str, Any] = {"n_edges": n_edges}
+    stats: dict[str, Any] = {"n_edges": n_edges,
+                             "verify_mode_resolved": verify_mode}
     if n_edges == 0:
         labels: pa.Table | ray.data.Dataset = pa.table(
             {"doc_key": pa.array([], pa.uint64()),
@@ -479,7 +501,11 @@ def dedup_pipeline(
         extras = [c for c in signed.schema().names
                   if c not in ASSIGNMENT_COLUMNS
                   and c not in ("minhash", "simhash", "sha64", "content")]
-        return ds.select_columns(ASSIGNMENT_COLUMNS + extras)
+        ds = ds.select_columns(ASSIGNMENT_COLUMNS + extras)
+        # the engine carries content_sha256 as fixed_size_binary(32) (half
+        # the exchange width, zero-copy digest access); outputs expose hex
+        return ds.map_batches(_sha_hex_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
     assignments, _ = _stage(ctx, "assignments", build_assignments,
                             timings=stage_timings)
 

@@ -2,9 +2,35 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray
+
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def fsb_bytes(arr: "pa.Array | pa.ChunkedArray", width: int) -> np.ndarray:
+    """Zero-copy (n, width) uint8 view of a fixed_size_binary(width) column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    return data[arr.offset * width:(arr.offset + n) * width].reshape(n, width)
+
+
+def hex_column(arr: "pa.Array | pa.ChunkedArray", width: int = 32) -> pa.Array:
+    """fixed_size_binary(width) -> lowercase-hex string column, fully
+    vectorized (nibble lookup table, no per-row Python)."""
+    mat = fsb_bytes(arr, width)
+    n = mat.shape[0]
+    out = np.empty((n, 2 * width), dtype=np.uint8)
+    out[:, 0::2] = _HEX_DIGITS[mat >> 4]
+    out[:, 1::2] = _HEX_DIGITS[mat & 0x0F]
+    offsets = np.arange(0, 2 * width * (n + 1), 2 * width, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())])
 
 
 def collect_table(ds: "ray.data.Dataset") -> pa.Table:

@@ -55,8 +55,10 @@ def test_signer_sha_and_determinism():
     out1 = Signer(CFG)(t)
     out2 = Signer(CFG)(t)
     assert out1.equals(out2)
-    expect = hashlib.sha256(t.column("content")[0].as_py().encode()).hexdigest()
+    # engine-internal digest is fixed_size_binary(32); hex only at outputs
+    expect = hashlib.sha256(t.column("content")[0].as_py().encode()).digest()
     assert out1.column("content_sha256")[0].as_py() == expect
+    assert out1.schema.field("content_sha256").type == pa.binary(32)
     assert out1.column("n_shingles")[1].as_py() == 0
     assert "content" not in out1.column_names
 
