@@ -229,10 +229,14 @@ def attach_labels(signed_ds: "ray.data.Dataset", labels: pa.Table | "ray.data.Da
         return signed_ds.map_batches(Labeler, batch_format="pyarrow",
                                      concurrency=default_concurrency())
 
-    # large label map: distributed join
+    # large label map: distributed join. Partition count derived from the
+    # cluster — a fixed 64-partition floor spawns a join aggregator fleet
+    # wider than small clusters' CPU budget and deadlocks the pipeline
+    # (observed live at num_cpus=8).
+    from nise_ray.ops.groupapply import default_partitions
     labels_ds = labels if not isinstance(labels, pa.Table) else ray.data.from_arrow(labels)
     joined = signed_ds.join(labels_ds, join_type="left_outer", on=("doc_key",),
-                            num_partitions=max(cfg.shuffle_partitions, 64))
+                            num_partitions=default_partitions(cfg.shuffle_partitions))
 
     def fill(b: pa.Table) -> pa.Table:
         dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)

@@ -24,6 +24,25 @@ def test_verify_modes_agree(ray_session, small_fixture):
     assert base == join
 
 
+def test_auto_resolves_to_join_at_scale(ray_session, small_fixture):
+    """Beyond the broadcast gate, auto must pick the fully distributed
+    join path (never the wide carried-sig exchange) and produce the
+    identical edge set. Forced via a low gate."""
+    import ray
+    from nise_ray.pipeline import dedup_pipeline as dp
+    base = dp(ray.data.from_arrow(small_fixture.corpus), DedupConfig())
+    assert base.stats["verify_mode_resolved"] == "broadcast"
+    scaled = dp(ray.data.from_arrow(small_fixture.corpus),
+                DedupConfig(broadcast_label_max=1))
+    assert scaled.stats["verify_mode_resolved"] == "join"
+
+    def edge_set(res):
+        t = collect_table(res.edges)
+        return set(zip(t.column("u").to_pylist(), t.column("v").to_pylist()))
+
+    assert edge_set(base) == edge_set(scaled)
+
+
 def test_join_mode_distributed_distinct(ray_session, small_fixture):
     # force the fully distributed plan: join verify + shuffle distinct
     cfg = DedupConfig(verify_mode="join", driver_pairs_max=0,
