@@ -30,15 +30,16 @@ _LANG_MARKERS = {
 
 
 def token_stats_batch(b: pa.Table) -> pa.Table:
-    texts = b.column("text").to_pylist()
-    n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
-                           dtype=np.int64, count=len(texts))
-    n_words = np.fromiter((len(_WORD_RE.findall(t)) for t in texts),
-                          dtype=np.int64, count=len(texts))
+    """Token/word counts via pyarrow.compute regex kernels — fully
+    vectorized (RE2 inside Arrow), no per-row Python."""
+    import pyarrow.compute as pc
+    text = b.column("text")
+    n_tokens = pc.count_substring_regex(text, r"[A-Za-z0-9_]+")
+    n_words = pc.count_substring_regex(text, r"\S+")
     return pa.table({
         "doc_id": b.column("doc_id"),
-        "n_tokens": pa.array(n_tokens, pa.int64()),
-        "n_words": pa.array(n_words, pa.int64()),
+        "n_tokens": n_tokens.cast(pa.int64()),
+        "n_words": n_words.cast(pa.int64()),
     })
 
 
@@ -161,12 +162,27 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
                               zero_copy_batch=True)
 
     def merge(batch: pa.Table) -> pa.Table:
+        # Arrow-native per-partition merge: dictionary-encode the token,
+        # one argsort + reduceat over codes (same segments kernel as every
+        # other aggregate — no pandas conversion), then a local pre-top-k
+        # so only k rows per partition reach the driver.
         if batch.num_rows == 0:
             return batch
-        df = batch.to_pandas().groupby("token", as_index=False)["n"].sum()
-        df = df.sort_values(["n", "token"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(
-            pa.schema([("token", pa.string()), ("n", pa.int64())]))
+        from nise_ray.ops.groupapply import segments
+        tok = batch.column("token").combine_chunks().dictionary_encode()
+        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        sums = np.add.reduceat(ns[order], starts)
+        toks = tok.dictionary.take(pa.array(codes[order][starts]))
+        if len(sums) > k:
+            toks_np = toks.to_numpy(zero_copy_only=False)
+            keep = np.lexsort((toks_np, -sums))[:k]
+            toks = toks.take(pa.array(keep))
+            sums = sums[keep]
+        return pa.table({"token": toks.cast(pa.string()),
+                         "n": pa.array(sums, pa.int64())})
 
     per_part = hash_group_apply(partials, ["token"], merge, sort=False)
     t = collect_table(per_part)
