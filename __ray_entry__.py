@@ -121,6 +121,11 @@ def _q_substring_pairs(sf_dir: str):
     return substring_pairs(corpus_from_documents(sf_dir), DedupConfig())
 
 
+def _q_substring_containment(sf_dir: str):
+    from nise_ray.ops.substring import containment_pairs_documents
+    return containment_pairs_documents(sf_dir)
+
+
 def _q_dedup_flagship(sf_dir: str):
     from nise_ray.config import DedupConfig
     from nise_ray.io import corpus_from_documents
@@ -128,6 +133,59 @@ def _q_dedup_flagship(sf_dir: str):
     res = dedup_pipeline(corpus_from_documents(sf_dir), DedupConfig())
     return res.assignments.select_columns(
         ["repo", "path", "content_sha256", "cluster_id"])
+
+
+def _q_dedup_delta(sf_dir: str):
+    """Incremental dedup: the documents corpus split 80/20 into base +
+    delta; the base is signed once (checkpointed), then dedup_delta
+    reuses those sign chunks and signs only the delta. Output is the
+    stable (doc_id, cluster_size) view over base ∪ delta — identical to
+    a from-scratch run (asserted in tests/test_delta.py). Rows-only
+    check: cluster ids are internal hash keys."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from nise_ray.config import DedupConfig
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.pipeline import dedup_delta
+    from nise_ray.util import collect_table
+
+    corpus = collect_table(corpus_from_documents(sf_dir))
+    n = corpus.num_rows
+    cut = max(1, (n * 4) // 5)
+    with tempfile.TemporaryDirectory() as d:
+        base_dir = os.path.join(d, "base")
+        delta_dir = os.path.join(d, "delta")
+        os.makedirs(base_dir)
+        os.makedirs(delta_dir)
+        import pyarrow.parquet as pq
+        pq.write_table(corpus.slice(0, cut),
+                       os.path.join(base_dir, "part-0.parquet"))
+        pq.write_table(corpus.slice(cut),
+                       os.path.join(delta_dir, "part-0.parquet"))
+        res = dedup_delta(base_dir, delta_dir, DedupConfig(),
+                          base_run_dir=os.path.join(d, "base_run"))
+        assigns = res.assignments.select_columns(["doc_id", "cluster_id"])
+
+        def size_batch(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "cluster_size": pa.array([], pa.int64())})
+            cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            starts, counts = segments(cl)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_size": pa.array(np.repeat(counts, counts), pa.int64()),
+            })
+
+        return collect_table(
+            hash_group_apply(assigns, ["cluster_id"], size_batch))
 
 
 def _q_windowed_events(sf_dir: str):
@@ -237,7 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _q_simhash_docs,
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard,
         "substring_pairs_docs": _q_substring_pairs,
+        "substring_containment_docs": _q_substring_containment,
         "dedup_flagship": _q_dedup_flagship,
+        "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -274,6 +334,25 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS rep_doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        # winnowing stage restricted to containment cases: the guarantee
+        # (any shared substring >= 100 normalized chars yields a shared
+        # fingerprint) makes the candidate set complete for this subset,
+        # so it IS SQL-expressible. Normalization = NFC (identity on the
+        # ASCII corpus) + collapse [ \t\r\f\v]+ to one space + strip.
+        "substring_containment_docs": """
+            WITH n AS (
+              SELECT min(doc_id) AS doc_id,
+                     trim(regexp_replace(any_value(text),
+                                         '[ \t\r\f\x0b\x0c]+', ' ', 'g'),
+                          ' ' || chr(10) || chr(13) || chr(9)
+                              || chr(11) || chr(12)) AS nt
+              FROM documents GROUP BY text)
+            SELECT a.doc_id AS doc_id_u, b.doc_id AS doc_id_v
+            FROM n a JOIN n b ON a.doc_id < b.doc_id
+            WHERE a.nt <> b.nt
+              AND ((length(a.nt) >= 100 AND position(a.nt IN b.nt) > 0)
+                OR (length(b.nt) >= 100 AND position(b.nt IN a.nt) > 0))
         """,
         "token_stats": r"""
             SELECT doc_id,

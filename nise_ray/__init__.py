@@ -13,7 +13,7 @@ Public surface:
 """
 
 from nise_ray.config import DedupConfig
-from nise_ray.pipeline import dedup_pipeline
+from nise_ray.pipeline import dedup_delta, dedup_pipeline
 
-__all__ = ["DedupConfig", "dedup_pipeline"]
+__all__ = ["DedupConfig", "dedup_pipeline", "dedup_delta"]
 __version__ = "0.1.0"

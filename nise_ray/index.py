@@ -146,7 +146,7 @@ def query_index(index_dir: str, queries: "ray.data.Dataset | pa.Table",
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
     signed_q = sign_dataset(queries, cfg)
-    signed_c = ray.data.read_parquet(index_dir)
+    signed_c = ray.data.read_parquet(index_dir, partitioning=None)
 
     def tag(side: str):
         def fn(b: pa.Table) -> pa.Table:

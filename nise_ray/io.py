@@ -27,6 +27,11 @@ def read_corpus(path: str | list[str], **read_kwargs) -> "ray.data.Dataset":
         if missing:
             raise ValueError(f"corpus at {sample} missing required columns {missing}")
         cols = [c for c in CORPUS_COLUMNS if c in names]
+        if "doc_id" in names:
+            # honor the passthrough-column contract on file reads too:
+            # doc_id (when present) rides through the sign stage so
+            # downstream queries can key on the source table vectorized
+            cols.append("doc_id")
     except (OSError, pa.ArrowInvalid):
         cols = CORPUS_COLUMNS
     return ray.data.read_parquet(path, columns=cols, **read_kwargs)

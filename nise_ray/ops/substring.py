@@ -212,6 +212,150 @@ def make_span_distinct_batch(cfg: DedupConfig):
     return batch_fn
 
 
+def containment_pairs_documents(sf_dir: str,
+                                cfg: DedupConfig | None = None) -> pa.Table:
+    """SQL-subset oracle surface for the winnowing stage: the substring
+    pair set restricted to NORMALIZED-TEXT CONTAINMENT cases, as
+    (doc_id_u, doc_id_v) with u < v. DuckDB-expressible as
+    ``position(a.nt IN b.nt) > 0`` over normalized texts with the
+    contained side >= substring_min_len — the winnowing guarantee says
+    every such pair shares at least one fingerprint, so the candidate
+    stage finds them all (bucket star-caps aside, which need >cap docs on
+    one fingerprint).
+
+    Scale shape: candidates come from the distributed winnowing exchange;
+    only pair ENDPOINTS' texts are gathered to the driver (two broadcast-
+    needed-keys filter passes), so driver memory scales with the pair
+    set, not the corpus. The SQL equivalence assumes ASCII text (NFC is
+    identity); non-ASCII corpora get the rows-only check.
+    """
+    import hashlib as _hashlib
+
+    import ray
+
+    from nise_ray.util import collect_table
+    cfg = cfg or DedupConfig()
+    from nise_ray.io import corpus_from_documents
+    from nise_ray.pipeline import substring_pairs as _sp
+    corpus = corpus_from_documents(sf_dir)
+    pairs = collect_table(_sp(corpus, cfg).select_columns(["u", "v"]))
+    empty = pa.table({"doc_id_u": pa.array([], pa.int64()),
+                      "doc_id_v": pa.array([], pa.int64())})
+    if pairs.num_rows == 0:
+        return empty
+    pu = pairs.column("u").to_numpy(zero_copy_only=False).astype(U64)
+    pv = pairs.column("v").to_numpy(zero_copy_only=False).astype(U64)
+    needed = np.unique(np.concatenate([pu, pv]))
+    needed_ref = ray.put(needed)
+
+    def doc_key_of(repo: str, path: str, commit: str) -> int:
+        blob = repo.encode() + b"\x00" + path.encode() + b"\x00" + commit.encode()
+        return int.from_bytes(
+            _hashlib.blake2b(blob, digest_size=8).digest(), "little")
+
+    class GatherEndpoints:
+        def __init__(self) -> None:
+            self.needed = ray.get(needed_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            repo = b.column("repo").to_pylist()
+            path = b.column("path").to_pylist()
+            commit = b.column("commit").to_pylist()
+            dks = np.fromiter(
+                (doc_key_of(r, p, c) for r, p, c in zip(repo, path, commit)),
+                dtype=U64, count=b.num_rows)
+            pos = np.clip(np.searchsorted(self.needed, dks), 0,
+                          len(self.needed) - 1)
+            mask = self.needed[pos] == dks
+            if not mask.any():
+                return pa.table({"doc_key": pa.array([], pa.uint64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "sha64": pa.array([], pa.uint64()),
+                                 "text": pa.array([], pa.string())})
+            sel = b.filter(pa.array(mask))
+            sha = np.fromiter(
+                (int.from_bytes(_hashlib.sha256(
+                    t.encode("utf-8", errors="surrogatepass")).digest()[:8],
+                    "little")
+                 for t in sel.column("content").to_pylist()),
+                dtype=U64, count=sel.num_rows)
+            return pa.table({
+                "doc_key": pa.array(dks[mask], pa.uint64()),
+                "doc_id": sel.column("doc_id").cast(pa.int64()),
+                "sha64": pa.array(sha, pa.uint64()),
+                "text": sel.column("content"),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    eps = collect_table(corpus.map_batches(
+        GatherEndpoints, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()))
+    dk_arr = eps.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+    did_arr = eps.column("doc_id").to_numpy(zero_copy_only=False)
+    sha_arr = eps.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
+    nts = [normalize_text(t) for t in eps.column("text").to_pylist()]
+
+    # second pass: canonical doc_id = min doc_id over each endpoint's
+    # raw-text group (matters only when exact-duplicate texts exist — the
+    # oracle's GROUP BY text picks min(doc_id), the engine's sha-dedup
+    # picks min doc_KEY, and those can differ)
+    shas_ref = ray.put(np.unique(sha_arr))
+
+    class GroupMin:
+        def __init__(self) -> None:
+            self.shas = ray.get(shas_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sha = np.fromiter(
+                (int.from_bytes(_hashlib.sha256(
+                    t.encode("utf-8", errors="surrogatepass")).digest()[:8],
+                    "little")
+                 for t in b.column("content").to_pylist()),
+                dtype=U64, count=b.num_rows)
+            pos = np.clip(np.searchsorted(self.shas, sha), 0,
+                          len(self.shas) - 1)
+            mask = self.shas[pos] == sha
+            return pa.table({
+                "sha64": pa.array(sha[mask], pa.uint64()),
+                "doc_id": b.filter(pa.array(mask)).column("doc_id").cast(pa.int64()),
+            })
+
+    gm = collect_table(corpus.map_batches(
+        GroupMin, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()))
+    gm_sha = gm.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
+    gm_did = gm.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((gm_did, gm_sha))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = gm_sha[order][1:] != gm_sha[order][:-1]
+    min_sha = gm_sha[order][first]
+    min_did = gm_did[order][first]
+
+    by_key = {int(k): i for i, k in enumerate(dk_arr)}
+    min_len = cfg.substring_min_len
+    out: set[tuple[int, int]] = set()
+    for a, b_ in zip(pu, pv):
+        ia, ib = by_key.get(int(a)), by_key.get(int(b_))
+        if ia is None or ib is None:
+            raise AssertionError("pair endpoint missing from gathered docs")
+        na, nb = nts[ia], nts[ib]
+        if na == nb:
+            continue
+        if not ((len(na) >= min_len and na in nb)
+                or (len(nb) >= min_len and nb in na)):
+            continue
+        ca = int(min_did[np.searchsorted(min_sha, sha_arr[ia])])
+        cb = int(min_did[np.searchsorted(min_sha, sha_arr[ib])])
+        out.add((min(ca, cb), max(ca, cb)))
+    if not out:
+        return empty
+    rows = sorted(out)
+    return pa.table({
+        "doc_id_u": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id_v": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def make_substring_pair_gen(cfg: DedupConfig):
     """Legacy per-group variant (tests only — the pipeline uses the
     block-level generator above). Emits plain edges without spans."""

@@ -119,7 +119,10 @@ def _stage(ctx: RunContext | None, name: str, build,
         if ctx is None:
             return build().materialize(), False
         if ctx.resume and ctx.is_complete(name):
-            return ray.data.read_parquet(ctx.stage_dir(name)), True
+            # partitioning=None: stage dirs are named stage=<name>, which
+            # hive inference would otherwise surface as a phantom column
+            return ray.data.read_parquet(ctx.stage_dir(name),
+                                         partitioning=None), True
         return _stage_checkpointed(ctx, name, build, empty_schema)
     finally:
         if timings is not None:
@@ -144,7 +147,7 @@ def _stage_checkpointed(ctx: RunContext, name: str, build,
             schema = getattr(ray_schema, "base_schema", None) or pa.schema([])
         pq.write_table(schema.empty_table(), os.path.join(out_dir, "empty.parquet"))
     ctx.mark_complete(name)
-    return ray.data.read_parquet(out_dir), False
+    return ray.data.read_parquet(out_dir, partitioning=None), False
 
 
 def _edge_select(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -208,7 +211,7 @@ def _sign_chunked(ctx: RunContext, cfg: DedupConfig,
     signed_files: list[str] = []
     for d in out_dirs:
         signed_files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
-    return ray.data.read_parquet(signed_files)
+    return ray.data.read_parquet(signed_files, partitioning=None)
 
 
 def dedup_pipeline(
@@ -253,6 +256,21 @@ def dedup_pipeline(
     else:
         signed, _ = _stage(ctx, "signed", build_signed, timings=stage_timings)
 
+    return _pipeline_from_signed(signed, cfg, ctx, run_dir, t_start,
+                                 stage_timings)
+
+
+def _pipeline_from_signed(
+    signed: "ray.data.Dataset",
+    cfg: DedupConfig,
+    ctx: RunContext | None,
+    run_dir: str | None,
+    t_start: float,
+    stage_timings: dict[str, float],
+) -> DedupResult:
+    """Everything after the sign stage — shared by dedup_pipeline and the
+    delta/incremental path (which unions checkpoint-reused base chunks
+    with freshly signed delta chunks)."""
     n_docs = signed.count()
     if n_docs == 0:
         # empty corpus: short-circuit (Ray's hash-shuffle finalize chokes
@@ -521,6 +539,56 @@ def dedup_pipeline(
     return DedupResult(assignments=assignments, edges=edges,
                        substring_pairs=None, stats=stats,
                        run_dir=run_dir)
+
+
+def dedup_delta(
+    base_corpus: "str | list[str]",
+    delta_corpus: "str | list[str]",
+    cfg: DedupConfig | None = None,
+    base_run_dir: str | None = None,
+    run_dir: str | None = None,
+) -> DedupResult:
+    """Incremental dedup over base ∪ delta (SURVEY §3.8 extension):
+    training-data corpora grow continuously, and re-signing an unchanged
+    100 TB base to dedup a 1 TB delta is the dominant wasted cost.
+
+    The base corpus is signed through `_sign_chunked` against
+    ``base_run_dir`` with resume semantics — chunks whose file-list +
+    config fingerprint already match their `.done.json` marker are
+    READ BACK from checkpoint, not re-signed (the same per-partition
+    mechanism the north rule's resume requirement uses). Only the delta
+    files are signed fresh (checkpointed under ``run_dir`` when given).
+    The union then flows through the normal edge / components /
+    assignments stages, so the result is IDENTICAL to a from-scratch run
+    over base ∪ delta (verified in tests): signing is per-row, and every
+    downstream stage is deterministic in the row SET, not its chunking.
+    """
+    cfg = cfg or DedupConfig()
+    t_start = time.time()
+    use_hash_shuffle()
+    stage_timings: dict[str, float] = {}
+
+    if base_run_dir is None:
+        raise ValueError("dedup_delta needs base_run_dir (the checkpointed "
+                         "sign chunks to reuse)")
+    base_ctx = RunContext(base_run_dir, cfg, resume=True)
+    t0 = time.time()
+    signed_base = _sign_chunked(base_ctx, cfg, base_corpus)
+    stage_timings["signed_base"] = round(time.time() - t0, 3)
+
+    ctx = RunContext(run_dir, cfg, resume=False) if run_dir else None
+    t0 = time.time()
+    if ctx is not None:
+        signed_delta = _sign_chunked(ctx, cfg, delta_corpus)
+    else:
+        signed_delta = read_corpus(delta_corpus).map_batches(
+            make_sign_fn(cfg), batch_format="pyarrow",
+            batch_size=cfg.batch_size, zero_copy_batch=True)
+    stage_timings["signed_delta"] = round(time.time() - t0, 3)
+
+    signed = signed_base.union(signed_delta)
+    return _pipeline_from_signed(signed, cfg, ctx, run_dir, t_start,
+                                 stage_timings)
 
 
 def substring_pairs(
