@@ -188,6 +188,21 @@ def _q_dedup_delta(sf_dir: str):
             hash_group_apply(assigns, ["cluster_id"], size_batch))
 
 
+def _q_token_jaccard(sf_dir: str):
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+    return token_jaccard_pairs(sf_dir, tau=0.5)
+
+
+def _q_asof_join(sf_dir: str):
+    from nise_ray.ops.events import asof_join_events
+    return asof_join_events(sf_dir, left_type="click", right_type="view")
+
+
+def _q_lang_quantiles(sf_dir: str):
+    from nise_ray.ops.events import lang_length_quantiles
+    return lang_length_quantiles(sf_dir)
+
+
 def _q_windowed_events(sf_dir: str):
     from nise_ray.ops.events import windowed_event_counts
     return windowed_event_counts(sf_dir, hours=1)
@@ -296,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard,
         "substring_pairs_docs": _q_substring_pairs,
         "substring_containment_docs": _q_substring_containment,
+        "token_jaccard_pairs_docs": _q_token_jaccard,
         "dedup_flagship": _q_dedup_flagship,
         "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
@@ -311,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
+        "asof_join_events": _q_asof_join,
+        "lang_length_quantiles": _q_lang_quantiles,
         "windowed_events": _q_windowed_events,
         "sliding_windows": _q_sliding_windows,
         "user_event_stats": _q_user_event_stats,
@@ -353,6 +371,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.nt <> b.nt
               AND ((length(a.nt) >= 100 AND position(a.nt IN b.nt) > 0)
                 OR (length(b.nt) >= 100 AND position(b.nt IN a.nt) > 0))
+        """,
+        # exact token-set Jaccard similarity self-join (prefix-filtered
+        # in the engine, brute-force in SQL); integer-only output contract
+        # so the hash compare has no float-rounding hazard
+        "token_jaccard_pairs_docs": """
+            WITH d AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+              FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT u AS doc_id_u, v AS doc_id_v,
+                   i AS n_inter, su.n + sv.n - i AS n_union
+            FROM inter
+            JOIN sz su ON su.doc_id = u
+            JOIN sz sv ON sv.doc_id = v
+            WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
+            ORDER BY 1, 2
+        """,
+        "asof_join_events": """
+            SELECT c.event_id AS event_id, c.user_id AS user_id,
+                   c.ts AS ts, c.value AS value,
+                   v.ts AS right_ts, v.value AS right_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "lang_length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.5) AS p50_chars,
+                   quantile_disc(n_chars, 0.9) AS p90_chars
+            FROM documents GROUP BY lang
         """,
         "token_stats": r"""
             SELECT doc_id,

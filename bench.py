@@ -111,6 +111,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     from nise_ray.config import DedupConfig
     from nise_ray.pipeline import dedup_pipeline, substring_pairs
 
+    def DedupConfig(_D=DedupConfig, **kw):  # noqa: N802 — env-tunable bench config
+        kw.setdefault("sig_value_bytes",
+                      int(os.environ.get("NISE_SIG_BYTES", "4")))
+        return _D(**kw)
+
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_files = n_files or SF_FILES.get(sf_name, 100_000)
     corpus_dir = ensure_bench_corpus(sf_name, n_files)

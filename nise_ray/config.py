@@ -31,7 +31,7 @@ import dataclasses
 import hashlib
 import json
 
-CONFIG_VERSION = 4
+CONFIG_VERSION = 5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +47,12 @@ class DedupConfig:
     # --- MinHash / LSH ---------------------------------------------------
     minhash_k: int = 128          # signature length, = bands * rows
     minhash_mode: str = "oph"     # "oph" (one-permutation, O(M)) | "kperm"
+    sig_value_bytes: int = 4      # stored bytes per signature slot: 4
+                                  # (uint32) or 2 (uint16 — high 16 bits;
+                                  # truncation commutes with min, so this
+                                  # IS 16-bit OPH/MinHash; halves sig-map
+                                  # broadcast + join/carry shuffle volume
+                                  # at +2^-16/slot false-match rate)
     bands: int = 16
     rows_per_band: int = 8
     tau: float = 0.7              # verify threshold on estimated Jaccard
@@ -111,6 +117,8 @@ class DedupConfig:
             raise ValueError("minhash_k must equal bands * rows_per_band")
         if self.simhash_bits != 64 or self.simhash_blocks != 4:
             raise ValueError("only 64-bit / 4-block SimHash is implemented")
+        if self.sig_value_bytes not in (2, 4):
+            raise ValueError("sig_value_bytes must be 2 or 4")
 
     def config_hash(self) -> str:
         """Stable hash of the full config + version, recorded in manifests."""

@@ -159,3 +159,113 @@ def sliding_window_counts(sf_dir: str, window_hours: int = 1,
         })
 
     return hash_group_apply(exploded, ["window_us"], agg, 0, sort=True)
+
+def asof_join_events(sf_dir: str, left_type: str = "click",
+                     right_type: str = "view") -> "ray.data.Dataset":
+    """AS-OF JOIN (inner): for every `left_type` event, the most recent
+    `right_type` event by the SAME user with right.ts <= left.ts —
+    the canonical point-in-time lookup (feature value as of an event).
+
+    Plan: one pruned read filtered to the two types, ONE hash exchange on
+    user_id (both sides share it — the per-user merge never leaves the
+    block), then a fully vectorized per-block sweep: sort by
+    (user_id, ts, side) with rights before lefts at equal ts, take a
+    running maximum over right-row positions, and reject carries that
+    cross a user boundary. No per-user Python loop; ties among rights at
+    identical (user, ts) resolve to the highest event_id (deterministic).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def keep_types(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.is_in(b.column("event_type"),
+                                 value_set=pa.array([left_type, right_type])))
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    filtered = ds.map_batches(keep_types, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+            "right_ts": pa.array([], pa.timestamp("us")),
+            "right_value": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        side = (et == left_type).astype(np.int8)  # right=0 first at tie
+        order = np.lexsort((eid, side, ts, uid))
+        uid, ts, eid, val, side = (uid[order], ts[order], eid[order],
+                                   val[order], side[order])
+        n = len(order)
+        pos = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, pos, -1))
+        starts, counts = segments(uid)
+        seg_start = np.repeat(starts, counts)
+        lefts = np.flatnonzero((side == 1) & (last_right >= seg_start))
+        if len(lefts) == 0:
+            return empty
+        m = last_right[lefts]
+        return pa.table({
+            "event_id": pa.array(eid[lefts], pa.int64()),
+            "user_id": pa.array(uid[lefts], pa.int64()),
+            "ts": pa.array(ts[lefts], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(val[lefts], pa.float64()),
+            "right_ts": pa.array(ts[m], pa.int64()).cast(pa.timestamp("us")),
+            "right_value": pa.array(val[m], pa.float64()),
+        })
+
+    return hash_group_apply(filtered, ["user_id"], merge, 0, sort=True)
+
+
+def lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language exact length quantiles over documents:
+    (lang, n_docs, p50_chars, p90_chars) with DuckDB quantile_disc
+    semantics — sorted[ceil(q*n) - 1]. One hash exchange on lang; each
+    language's values sort inside its own block (bounded: #langs groups,
+    values are int64 — a language's value VECTOR fits a block by the same
+    argument as any groupby state; for heavy-hitter languages at 100 TB
+    swap in a t-digest/KLL sketch combiner)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "p50_chars": pa.array([], pa.int64()),
+                "p90_chars": pa.array([], pa.int64()),
+            })
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        starts, counts = segments(sc)
+
+        def q_disc(q: float) -> np.ndarray:
+            idx = np.ceil(np.round(q * counts, 9)).astype(np.int64) - 1
+            return sv[starts + idx]
+
+        langs = lang.dictionary.take(pa.array(sc[starts]))
+        return pa.table({
+            "lang": langs.cast(pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+            "p50_chars": pa.array(q_disc(0.5), pa.int64()),
+            "p90_chars": pa.array(q_disc(0.9), pa.int64()),
+        })
+
+    return hash_group_apply(ds, ["lang"], agg, 0, sort=False)

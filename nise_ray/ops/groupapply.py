@@ -42,7 +42,11 @@ def _apply_hash_shuffle(ctx: DataContext) -> None:
     #   agg=4  parts=32  cpu=0.05 -> 13.1s      agg=8 parts=64 cpu=0.05 -> 14.7s
     #   agg=16 parts=128 cpu=0.05 -> 31.8s      agg=8 parts=64 cpu=1.0  -> 24.0s
     # => few aggregators, low CPU reservation, moderate partition counts.
+    import os
     cap = max(2, min(cpus // 4 or 1, 8))
+    env_cap = os.environ.get("NISE_MAX_AGGREGATORS")
+    if env_cap:
+        cap = max(1, int(env_cap))  # ops/tuning override, swept in BASELINE.md
     if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = cap

@@ -59,13 +59,17 @@ def edges_table(u: np.ndarray, v: np.ndarray, est: np.ndarray, src: str) -> pa.T
 
 
 def sig_matrix(col: pa.ChunkedArray | pa.Array, k: int) -> np.ndarray:
-    """Zero-copy view of a fixed_size_binary(4k) column as uint32[n, k]."""
+    """Zero-copy view of a fixed_size_binary(b*k) column as uintB[n, k];
+    the per-slot width (uint32 or uint16) is inferred from the column's
+    byte width (cfg.sig_value_bytes)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    width = col.type.byte_width // k
+    dtype = "<u2" if width == 2 else "<u4"
     if len(col) == 0:
-        return np.empty((0, k), dtype=np.uint32)
+        return np.empty((0, k), dtype=np.dtype(dtype))
     buf = col.buffers()[1]
-    a = np.frombuffer(buf, dtype="<u4")
+    a = np.frombuffer(buf, dtype=dtype)
     start = col.offset * k
     return a[start : start + len(col) * k].reshape(len(col), k)
 
@@ -83,7 +87,7 @@ def explode_bands(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         return pa.schema([
             ("bkey", pa.uint64()), ("band_key", pa.uint64()),
             ("doc_key", pa.uint64()), ("sha64", pa.uint64()),
-            ("minhash", pa.binary(4 * cfg.minhash_k)),
+            ("minhash", pa.binary(cfg.sig_value_bytes * cfg.minhash_k)),
         ]).empty_table()
     batch = batch.take(pa.array(keep))
     n = batch.num_rows
@@ -223,6 +227,7 @@ def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
     selection: first row of each segment after (key, doc_key) lexsort)."""
     from nise_ray.ops.groupapply import segments
     tau, cap, k = cfg.tau, cfg.bucket_cap, cfg.minhash_k
+    kb = cfg.sig_value_bytes * k
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         rep_schema_cols = ["band_key", "doc_key", "sha64", "minhash"]
@@ -234,7 +239,7 @@ def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
                 "band_key": pa.array([], pa.uint64()),
                 "doc_key": pa.array([], pa.uint64()),
                 "sha64": pa.array([], pa.uint64()),
-                "minhash": pa.array([], pa.binary(4 * k)),
+                "minhash": pa.array([], pa.binary(kb)),
             })
         keys = batch.column("bkey").to_numpy(zero_copy_only=False)
         doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
@@ -270,7 +275,7 @@ def make_batch_salted_pair_gen(cfg: DedupConfig, src: str = "minhash"):
                                          rep_rows.column("doc_key").combine_chunks()]),
             "sha64": pa.concat_arrays([pa.nulls(n_e, pa.uint64()),
                                        rep_rows.column("sha64").combine_chunks()]),
-            "minhash": pa.concat_arrays([pa.nulls(n_e, pa.binary(4 * k)),
+            "minhash": pa.concat_arrays([pa.nulls(n_e, pa.binary(kb)),
                                          rep_rows.column("minhash").combine_chunks()]),
         })
 

@@ -109,10 +109,15 @@ class Signer:
             sigs = minhash_signatures(all_shingles, offsets, self.seeds)
         simhash = simhash_from_shingles(all_shingles, offsets)
 
-        sig_bytes = sigs.astype("<u4").tobytes()
-        k4 = 4 * cfg.minhash_k
+        if cfg.sig_value_bytes == 2:
+            # high 16 bits: >>16 is monotone, so it commutes with the
+            # per-slot min — this is exactly 16-bit OPH, not a lossy hack
+            sig_bytes = (sigs >> 16).astype("<u2").tobytes()
+        else:
+            sig_bytes = sigs.astype("<u4").tobytes()
+        kb = cfg.sig_value_bytes * cfg.minhash_k
         minhash_col = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(k4), n, [None, pa.py_buffer(sig_bytes)])
+            pa.binary(kb), n, [None, pa.py_buffer(sig_bytes)])
 
         out = pa.table({
             "repo": batch.column("repo"),

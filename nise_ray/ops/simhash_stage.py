@@ -25,7 +25,7 @@ def explode_simhash_blocks(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     schema = pa.schema([
         ("block_key", pa.uint64()), ("doc_key", pa.uint64()),
         ("sha64", pa.uint64()), ("simhash", pa.uint64()),
-        ("minhash", pa.binary(4 * cfg.minhash_k)),
+        ("minhash", pa.binary(cfg.sig_value_bytes * cfg.minhash_k)),
     ])
     if len(keep) == 0:
         return schema.empty_table()

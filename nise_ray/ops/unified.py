@@ -105,7 +105,8 @@ def explode_unified(batch: pa.Table, cfg: DedupConfig,
         ("simhash", pa.uint64()),
     ]
     if carry_sigs:
-        fields.append(("minhash", pa.binary(4 * cfg.minhash_k)))
+        fields.append(("minhash",
+                       pa.binary(cfg.sig_value_bytes * cfg.minhash_k)))
     schema = pa.schema(fields)
     if not keys:
         return schema.empty_table()

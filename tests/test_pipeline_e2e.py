@@ -145,6 +145,38 @@ def test_determinism_two_runs(ray_session, small_fixture):
     assert outs[0].equals(outs[1])
 
 
+def test_sig16_recall_and_pair_parity(ray_session, small_fixture, e2e):
+    """sig_value_bytes=2 (16-bit OPH): recall gate holds and the verified
+    pair set matches the 32-bit run's (truncation only ADDS 2^-16/slot
+    false matches — it can't lose a true signature agreement)."""
+    import ray
+    fx, _, _, edges32 = e2e
+    ds = ray.data.from_arrow(fx.corpus)
+    res = dedup_pipeline(ds, DedupConfig(sig_value_bytes=2))
+    edges16 = collect_table(res.edges)
+    found = set(zip(edges16.column("u").to_pylist(),
+                    edges16.column("v").to_pylist()))
+    from nise_ray.ops.components import UnionFind
+    uf = UnionFind()
+    for u, v in found:
+        uf.union(u, v)
+    denom = hit = 0
+    for u, v, kind, jv in _truth_keys(fx):
+        if kind == "exact" or (kind in ("near_high", "whitespace")
+                               and jv is not None and jv >= 0.8):
+            denom += 1
+            if (u, v) in found or (u in uf.parent and v in uf.parent
+                                   and uf.find(u) == uf.find(v)):
+                hit += 1
+    assert hit / denom >= 0.99, f"sig16 recall {hit/denom:.4f}"
+    pairs32 = set(zip(edges32.column("u").to_pylist(),
+                      edges32.column("v").to_pylist()))
+    # every 32-bit pair above tau must survive (est is monotone non-
+    # decreasing under truncation); tiny additions are allowed
+    assert pairs32 <= found
+    assert len(found) - len(pairs32) <= max(2, len(pairs32) // 100)
+
+
 def test_substring_stage_finds_planted_blocks(ray_session, small_fixture):
     import ray
     fx = small_fixture

@@ -1,0 +1,113 @@
+"""Exact token-Jaccard similarity join, as-of join, and per-lang
+quantiles — each checked against a brute-force / DuckDB reference at
+sf0.001 (the driver's oracle re-checks at sf0.01)."""
+
+import re
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+from nise_ray.util import collect_table
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[A-Za-z0-9_]+")
+
+
+def test_token_jaccard_matches_bruteforce(ray_session):
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+    tau = 0.5
+    got = token_jaccard_pairs(SF, tau=tau)
+    raw = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(i): frozenset(_TOK.findall(t))
+            for i, t in zip(raw.column("doc_id").to_pylist(),
+                            raw.column("text").to_pylist())}
+    ids = sorted(sets)
+    want = set()
+    for a_i, a in enumerate(ids):
+        ta = sets[a]
+        if not ta:
+            continue
+        for b in ids[a_i + 1:]:
+            tb = sets[b]
+            if not tb:
+                continue
+            inter = len(ta & tb)
+            union = len(ta) + len(tb) - inter
+            if inter >= tau * union:
+                want.add((a, b, inter, union))
+    have = set(zip(got.column("doc_id_u").to_pylist(),
+                   got.column("doc_id_v").to_pylist(),
+                   got.column("n_inter").to_pylist(),
+                   got.column("n_union").to_pylist()))
+    assert have == want
+    assert len(want) > 10, f"fixture too sparse: {len(want)} pairs"
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    from nise_ray.ops.events import asof_join_events
+    got = collect_table(asof_join_events(SF, "click", "view"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    ot = con.execute("""
+        SELECT c.event_id AS event_id, c.user_id AS user_id, c.ts AS ts,
+               c.value AS value, v.ts AS right_ts, v.value AS right_value
+        FROM (SELECT * FROM events WHERE event_type='click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type='view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """).arrow()
+    cols = sorted(got.column_names)
+    g = got.select(cols).sort_by([(c, "ascending") for c in cols])
+    o = ot.select(cols).cast(g.schema).sort_by([(c, "ascending") for c in cols])
+    assert g.num_rows == o.num_rows > 50
+    assert g.equals(o)
+
+
+def test_asof_tie_and_boundary_semantics(ray_session):
+    """Right event at exactly left.ts matches; a right from a DIFFERENT
+    user never leaks across the per-user boundary; lefts with no prior
+    right are dropped (inner)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    from nise_ray.ops.events import asof_join_events
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([100, 100, 50, 200, 10, 300],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8, 8, 9], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "click", "view",
+                                "click"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = collect_table(asof_join_events(d, "click", "view"))
+    rows = {int(e): (int(rts), rv) for e, rts, rv in zip(
+        got.column("event_id").to_pylist(),
+        got.column("right_ts").cast(pa.int64()).to_pylist(),
+        got.column("right_value").to_pylist())}
+    assert rows[2] == (100, 1.0)   # equal-ts view matches, not the t=50 one
+    assert rows[4] == (10, 5.0)    # user 8's own view, not user 7's
+    assert 6 not in rows           # user 9 has no view -> dropped
+    assert got.num_rows == 2
+
+
+def test_lang_quantiles_match_duckdb(ray_session):
+    from nise_ray.ops.events import lang_length_quantiles
+    got = collect_table(lang_length_quantiles(SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ot = con.execute("""
+        SELECT lang, count(*) AS n_docs,
+               quantile_disc(n_chars, 0.5) AS p50_chars,
+               quantile_disc(n_chars, 0.9) AS p90_chars
+        FROM documents GROUP BY lang
+    """).arrow()
+    cols = sorted(got.column_names)
+    g = got.select(cols).sort_by([(c, "ascending") for c in cols])
+    o = ot.select(cols).cast(g.schema).sort_by([(c, "ascending") for c in cols])
+    assert g.equals(o)
