@@ -203,6 +203,16 @@ def _q_lang_quantiles(sf_dir: str):
     return lang_length_quantiles(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    from nise_ray.ops.events import user_prior_event_counts
+    return user_prior_event_counts(sf_dir, window_minutes=60)
+
+
+def _q_running_stats(sf_dir: str):
+    from nise_ray.ops.events import user_running_stats
+    return user_running_stats(sf_dir)
+
+
 def _q_windowed_events(sf_dir: str):
     from nise_ray.ops.events import windowed_event_counts
     return windowed_event_counts(sf_dir, hours=1)
@@ -328,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
         "asof_join_events": _q_asof_join,
+        "range_join_prior_counts": _q_range_join,
+        "window_running_stats": _q_running_stats,
         "lang_length_quantiles": _q_lang_quantiles,
         "windowed_events": _q_windowed_events,
         "sliding_windows": _q_sliding_windows,
@@ -400,6 +412,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') c
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        # self range join: events by the same user within the preceding
+        # hour — integer-exact contract
+        "range_join_prior_counts": """
+            SELECT a.event_id AS event_id, count(b.event_id) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+            GROUP BY a.event_id
+        """,
+        # window functions: row_number + running max are comparison-only,
+        # so the value-hash compare has no float-accumulation hazard
+        "window_running_stats": """
+            SELECT event_id,
+                   row_number() OVER w AS row_num,
+                   max(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS running_max
+            FROM events WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
         """,
         "lang_length_quantiles": """
             SELECT lang, count(*) AS n_docs,

@@ -269,3 +269,92 @@ def lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(ds, ["lang"], agg, 0, sort=False)
+
+def user_prior_event_counts(sf_dir: str,
+                            window_minutes: int = 60) -> "ray.data.Dataset":
+    """RANGE JOIN (self): for every event, the number of earlier events by
+    the same user with ts in [ts - window, ts). Integer-exact contract
+    (event_id, n_prior).
+
+    Plan: one hash exchange on user_id, then a per-block vectorized
+    range count — rows sorted by (user_id, ts, event_id), each user
+    segment's timestamps offset into a disjoint key range
+    (seg_id << 45 | ts - t0, a year of microseconds fits 45 bits) so ONE
+    np.searchsorted over the whole block answers every row's window
+    lower bound; n_prior = row_position - lower_bound. No per-user
+    Python loop, no O(n^2) pairs."""
+    win_us = window_minutes * 60_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def count_prior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_prior": pa.array([], pa.int64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        starts, counts = segments(uid)
+        assert len(starts) < (1 << 18), "too many user segments per block"
+        t0 = ts.min()
+        span = np.int64(1) << np.int64(45)
+        assert (ts.max() - t0) < span, "ts span exceeds 45-bit key range"
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        keys = seg_id * span + (ts - t0)
+        targets = seg_id * span + np.maximum(ts - t0 - win_us, 0)
+        lo = np.searchsorted(keys, targets, side="left")
+        pos = np.arange(len(keys), dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "n_prior": pa.array(pos - lo, pa.int64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], count_prior, 0, sort=False)
+
+
+def user_running_stats(sf_dir: str) -> "ray.data.Dataset":
+    """WINDOW FUNCTIONS per user ordered by (ts, event_id):
+    row_number and running max(value) — both comparison-only, so the
+    DuckDB hash comparison is bit-exact (no float accumulation).
+    One hash exchange on user_id; per block: lexsort + vectorized
+    per-segment cumulative max (np.maximum.accumulate with segment
+    resets via a two-pass subtract-free trick)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "row_num": pa.array([], pa.int64()),
+                             "running_max": pa.array([], pa.float64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts, counts = segments(uid)
+        pos = np.arange(len(order), dtype=np.int64)
+        row_num = pos - np.repeat(starts, counts) + 1
+        # segmented running max by logarithmic doubling: after pass s,
+        # rm[i] = max(val[i-2s+1 .. i]) clipped to the segment — log2(max
+        # segment length) fully vectorized passes, no per-segment loop
+        rm = val.copy()
+        idx_in_seg = row_num - 1
+        s = 1
+        max_len = int(counts.max())
+        while s < max_len:
+            ci = np.flatnonzero(idx_in_seg >= s)
+            rm[ci] = np.maximum(rm[ci], rm[ci - s])
+            s <<= 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "row_num": pa.array(row_num, pa.int64()),
+            "running_max": pa.array(rm, pa.float64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], stats, 0, sort=False)
