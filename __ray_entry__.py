@@ -114,6 +114,28 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(sf_dir, threshold=0.3)
 
 
+def _q_embedding_dups_exact(sf_dir: str):
+    from nise_ray.ops.ann import embedding_dup_pairs_exact
+    # 0.3 matches the LSH variant above so the two results are directly
+    # comparable (this one is the exact, SQL-oracled baseline)
+    return embedding_dup_pairs_exact(sf_dir, threshold=0.3)
+
+
+def _q_event_type_user_counts(sf_dir: str):
+    from nise_ray.ops.events import event_type_user_counts
+    return event_type_user_counts(sf_dir)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    from nise_ray.ops.events import top_docs_per_lang
+    return top_docs_per_lang(sf_dir, n_per_group=3)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    from nise_ray.ops.relational import customers_without_orders
+    return customers_without_orders(sf_dir)
+
+
 def _q_substring_pairs(sf_dir: str):
     from nise_ray.config import DedupConfig
     from nise_ray.io import corpus_from_documents
@@ -330,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_norms": _q_embedding_norms,
         "embedding_dup_pairs": _q_embedding_dups,
+        "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         # --- text analysis --------------------------------------------
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -346,10 +369,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": _q_user_event_stats,
         "top_tokens": _q_top_tokens,
         "top_docs_by_len": _q_top_docs_by_len,
+        "event_type_user_counts": _q_event_type_user_counts,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "pricing_summary": _q_pricing_summary,
         "segment_revenue": _q_segment_revenue,
         "top_unshipped_orders": _q_top_unshipped,
         "nation_revenue": _q_nation_revenue,
+        "customers_without_orders": _q_customers_without_orders,
         "flagship_sha_audit": _q_flagship_sha_audit,
         "shingle_stats": _q_shingle_stats,
         # --- index build/query (reference's online surface) -----------
@@ -477,6 +503,41 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.qid
                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
                          e.vec_id) <= 10
+        """,
+        "embedding_dup_pairs_exact": """
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])),
+                        4) >= 0.3
+            ORDER BY 1, 2
+        """,
+        "event_type_user_counts": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+            WHERE rank <= 3
+            ORDER BY lang, rank
+        """,
+        "customers_without_orders": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000)
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "windowed_events": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -354,6 +354,57 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
                             sort=False)
 
 
+def embedding_dup_pairs_exact(sf_dir: str, threshold: float = 0.5,
+                              round_to: int = 4,
+                              broadcast_max: int = 1_000_000) -> pa.Table:
+    """EXACT embedding-cosine pairs (u < v, round(cosine, 4) >= threshold)
+    — the SQL-oracled correctness baseline for `embedding_dup_pairs`.
+
+    Shape: the normalized corpus matrix is built once on the driver and
+    broadcast via ray.put; every batch does ONE numpy matmul against it
+    (batch x N sims, never an N x N matrix) and emits only its qualifying
+    upper-triangle pairs. Work is inherently O(N^2/batches) — exact
+    all-pairs does not scale past ~1M vectors, which is why the gate
+    refuses beyond `broadcast_max` and points at the SRP-LSH / IVF paths;
+    this op exists to *measure* those paths' recall, not to replace them."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    n_vecs = ds.count()  # parquet metadata count — no read
+    if n_vecs > broadcast_max:
+        raise ValueError(
+            f"embedding_dup_pairs_exact: {n_vecs} vectors > broadcast_max="
+            f"{broadcast_max}; exact all-pairs is O(N^2) — use "
+            "embedding_dup_pairs (SRP-LSH) at this scale")
+    full = collect_table(ds)
+    order = np.argsort(full.column("vec_id").to_numpy(zero_copy_only=False))
+    full = full.take(pa.array(order))
+    vids = full.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = _normalize(_embedding_matrix(full))
+    corpus_ref = ray.put((vids, mat))
+
+    class ExactScorer:
+        def __init__(self) -> None:
+            self.vids, self.mat = ray.get(corpus_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bm = _normalize(_embedding_matrix(b))
+            bv = b.column("vec_id").to_numpy(zero_copy_only=False)
+            sims = np.round(bm @ self.mat.T, round_to)  # batch x N
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = bv[ii] < self.vids[jj]  # u < v (also drops self-pairs)
+            return pa.table({
+                "u": pa.array(bv[ii[keep]], pa.int64()),
+                "v": pa.array(self.vids[jj[keep]], pa.int64()),
+                "cosine": pa.array(sims[ii[keep], jj[keep]], pa.float64()),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    out = collect_table(ds.map_batches(ExactScorer, batch_format="pyarrow",
+                                       zero_copy_batch=True,
+                                       concurrency=default_concurrency()))
+    return out.sort_by([("u", "ascending"), ("v", "ascending")])
+
+
 def _uniform_sample(ds: "ray.data.Dataset", n: int) -> pa.Table:
     """~n uniformly-sampled rows, deterministic and order-independent:
     keep rows where splitmix64(vec_id) < threshold (threshold sized from

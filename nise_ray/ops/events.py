@@ -358,3 +358,115 @@ def user_running_stats(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(ds, ["user_id"], stats, 0, sort=False)
+
+
+def event_type_user_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped COUNT DISTINCT: (event_type, n_users, n_events) — exact
+    distinct-user count per event type. Per-batch combiner dedups to
+    (event_type, user_id, cnt) triples (distinct pairs + partial counts)
+    so the exchange carries at most |distinct pairs| rows, not |events|;
+    one hash exchange on event_type, then a per-segment unique count +
+    count rollup. At 100 TB the pair space is bounded by
+    |event types| x |users| — for a truly unbounded key space swap the
+    combiner for an HLL sketch (see metrics.shingle_stats)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, codes))
+        sc, su = codes[order], uid[order]
+        pair_change = np.empty(len(order), dtype=bool)
+        pair_change[0] = True
+        pair_change[1:] = (sc[1:] != sc[:-1]) | (su[1:] != su[:-1])
+        starts = np.flatnonzero(pair_change)
+        cnt = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(sc[starts])).cast(pa.string()),
+            "user_id": pa.array(su[starts], pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, codes))
+        sc, su, scnt = codes[order], uid[order], cnt[order]
+        starts, _ = segments(sc)
+        n_events = np.add.reduceat(scnt, starts)
+        # distinct (type, user) pairs, counted per type segment
+        pair_first = np.empty(len(order), dtype=bool)
+        pair_first[0] = True
+        pair_first[1:] = (sc[1:] != sc[:-1]) | (su[1:] != su[:-1])
+        n_users = np.add.reduceat(pair_first.astype(np.int64), starts)
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(sc[starts])).cast(pa.string()),
+            "n_users": pa.array(n_users, pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+        })
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return hash_group_apply(partial, ["event_type"], agg, 0, sort=False)
+
+
+def top_docs_per_lang(sf_dir: str, n_per_group: int = 3) -> pa.Table:
+    """Grouped TOP-N: the `n_per_group` longest documents per language
+    with their rank (row_number over n_chars DESC, doc_id ASC). Top-N is
+    a monoid, so each batch keeps only its LOCAL top-N per language (a
+    combiner — at most n x |langs| rows leave any block), then one
+    hash exchange on lang and a per-segment final top-N. Output is
+    group-count sized, sorted on the driver."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    def local_topn(b: pa.Table, with_rank: bool = False) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {"lang": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64())}
+            if with_rank:
+                cols["rank"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        lang = b.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nch, codes))
+        sc = codes[order]
+        starts, counts = segments(sc)
+        pos = np.arange(len(order), dtype=np.int64)
+        rank = pos - np.repeat(starts, counts) + 1
+        keep = rank <= n_per_group
+        sel = order[keep]
+        cols = {
+            "lang": lang.dictionary.take(pa.array(sc[keep])).cast(pa.string()),
+            "doc_id": pa.array(did[sel], pa.int64()),
+            "n_chars": pa.array(nch[sel], pa.int64()),
+        }
+        if with_rank:
+            cols["rank"] = pa.array(rank[keep], pa.int64())
+        return pa.table(cols)
+
+    partial = ds.map_batches(local_topn, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    final = hash_group_apply(partial, ["lang"],
+                             lambda b: local_topn(b, with_rank=True),
+                             0, sort=False)
+    return collect_table(final).sort_by(
+        [("lang", "ascending"), ("rank", "ascending")])

@@ -310,3 +310,85 @@ def nation_revenue(sf_dir: str) -> pa.Table:
         "n_orders": pa.array(df["n_orders"], pa.int64()),
         "total_price": pa.array(df["total_price"], pa.float64()),
     })
+
+
+def customers_without_orders(sf_dir: str,
+                             min_price: float = 350_000.0) -> pa.Table:
+    """Distributed ANTI JOIN: customers with no order above `min_price`,
+    rolled up to (c_nationkey, n_customers). The order side is filtered
+    AT THE READ (predicate pushdown — only qualifying row groups leave
+    storage) and shrunk to its DISTINCT custkeys with a per-batch
+    combiner + one hash exchange (|customers|-bounded, never
+    |orders|-sized), then — because a distinct-key set is by construction
+    small relative to the fact table — broadcast once via ray.put into a
+    vectorized NOT-IN filter over customer batches (np.searchsorted on
+    the sorted key set). For a key set too big to broadcast, the same
+    filter runs as a left-anti hash join on the custkey exchange; the
+    broadcast is the small-side-lookup pattern the brief calls for."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > min_price)
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": pa.array(np.unique(ck), pa.int64())})
+
+    distinct = hash_group_apply(orders.map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], local_distinct, 0, sort=False)
+    keys = np.unique(collect_table(distinct)
+                     .column("o_custkey").to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            has = (self.keys[pos] == ck) if len(self.keys) else \
+                np.zeros(len(ck), dtype=bool)
+            return b.filter(pa.array(~has))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    lonely = cust.map_batches(AntiFilter, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency())
+
+    def partial_rollup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(nk, kind="stable")
+        starts, counts = segments(nk[order])
+        return pa.table({"c_nationkey": pa.array(nk[order][starts], pa.int64()),
+                         "n_customers": pa.array(counts, pa.int64())})
+
+    def merge_rollup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        n = b.column("n_customers").to_numpy(zero_copy_only=False)
+        order = np.argsort(nk, kind="stable")
+        starts, _ = segments(nk[order])
+        return pa.table({"c_nationkey": pa.array(nk[order][starts], pa.int64()),
+                         "n_customers": pa.array(
+                             np.add.reduceat(n[order], starts), pa.int64())})
+
+    out = hash_group_apply(lonely.map_batches(
+        partial_rollup, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey"], merge_rollup, 0, sort=False)
+    t = collect_table(out)
+    if t.num_columns == 0:  # no lonely customers at all
+        t = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                      "n_customers": pa.array([], pa.int64())})
+    return t.sort_by([("c_nationkey", "ascending")])
