@@ -245,6 +245,26 @@ def _q_sliding_windows(sf_dir: str):
     return sliding_window_counts(sf_dir, window_hours=1, hop_minutes=30)
 
 
+def _q_user_sessions(sf_dir: str):
+    from nise_ray.ops.events import user_sessions
+    return user_sessions(sf_dir, gap_minutes=30)
+
+
+def _q_event_type_pivot(sf_dir: str):
+    from nise_ray.ops.events import event_type_pivot
+    return event_type_pivot(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from nise_ray.ops.analytics import stratified_sample_docs
+    return stratified_sample_docs(sf_dir, k=10)
+
+
+def _q_rollup_doc_counts(sf_dir: str):
+    from nise_ray.ops.analytics import rollup_doc_counts
+    return rollup_doc_counts(sf_dir)
+
+
 def _q_top_tokens(sf_dir: str):
     from nise_ray.ops.textstats import top_tokens
     return top_tokens(sf_dir, k=50)
@@ -366,6 +386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_quantiles,
         "windowed_events": _q_windowed_events,
         "sliding_windows": _q_sliding_windows,
+        "user_sessions": _q_user_sessions,
+        "event_type_pivot": _q_event_type_pivot,
+        "stratified_sample_docs": _q_stratified_sample,
+        "rollup_doc_counts": _q_rollup_doc_counts,
         "user_event_stats": _q_user_event_stats,
         "top_tokens": _q_top_tokens,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -538,6 +562,56 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_totalprice > 350000)
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        # gap-based sessionization (30-min inactivity gap): lag + running
+        # sum of session-start flags, then one row per session
+        "user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS session_num
+              FROM flagged)
+            SELECT user_id, session_num,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_num
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        # deterministic stratified sample: same multiplicative hash both
+        # engines (doc_id * 2654435761 fits int64 — no overflow hazard)
+        "stratified_sample_docs": """
+            SELECT lang, doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 10
+            ORDER BY lang, doc_id
+        """,
+        "rollup_doc_counts": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP(documents.lang, documents.source)
+            ORDER BY 1, 2
         """,
         "windowed_events": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

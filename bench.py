@@ -231,9 +231,15 @@ def run_scaling(sf_dir: str, cpus=(8, 32), rounds=3) -> dict:
                    GRAFT_BENCH_FILES=str(n_files))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
+            env=env, capture_output=True, text=True, timeout=7200)
+        json_lines = [l for l in out.stdout.strip().splitlines()
+                      if l.startswith("{")]
+        if not json_lines:
+            sys.stderr.write(f"--- headline subprocess (cpus={c}) produced "
+                             f"no JSON; rc={out.returncode}; stderr tail ---\n"
+                             + "\n".join(out.stderr.splitlines()[-40:]) + "\n")
+            raise RuntimeError(f"headline run at cpus={c} failed")
+        line = json_lines[-1]
         res = json.loads(line)
         times[c].append(res["queries"]["dedup_corpus"])
         tput[c].append(res["files_per_s"])

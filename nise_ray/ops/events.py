@@ -470,3 +470,115 @@ def top_docs_per_lang(sf_dir: str, n_per_group: int = 3) -> pa.Table:
                              0, sort=False)
     return collect_table(final).sort_by(
         [("lang", "ascending"), ("rank", "ascending")])
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """SESSIONIZATION (gap-based session windows): per user, events
+    ordered by ts are split into sessions wherever the gap to the
+    previous event exceeds `gap_minutes`. The batch-engine equivalent of
+    a streaming session window — one hash exchange on user_id, then a
+    fully vectorized per-block sweep (lexsort + gap mask + cumulative
+    session numbering; no per-user Python loop). Returns one row per
+    session: (user_id, session_num, session_start, session_end,
+    n_events) — comparison/count-only columns so the cross-engine hash
+    compare is bit-exact."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60_000_000
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def sessions(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_num": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            })
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        # a session starts at each user boundary or gap > gap_us
+        new_sess = np.empty(len(order), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        # global session index -> per-user session_num via the index of
+        # the user's first session (sessions within a user are contiguous)
+        sess_idx = np.cumsum(new_sess) - 1          # 0-based global
+        u_starts, u_counts = segments(uid)
+        user_base = np.repeat(sess_idx[u_starts], u_counts)
+        sess_num = sess_idx - user_base + 1          # 1-based per user
+        s_starts = np.flatnonzero(new_sess)
+        s_counts = np.diff(np.append(s_starts, len(order)))
+        s_end = s_starts + s_counts - 1              # ts-sorted -> last = max
+        return pa.table({
+            "user_id": pa.array(uid[s_starts], pa.int64()),
+            "session_num": pa.array(sess_num[s_starts], pa.int64()),
+            "session_start": pa.array(ts[s_starts], pa.int64()).cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[s_end], pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(s_counts, pa.int64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], sessions, 0, sort=False)
+
+
+def event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT: per-user event counts widened into one column per event
+    type (n_click, n_error, n_purchase, n_signup, n_view, n_total).
+    Per-batch combiner reduces each block to distinct (user, type)
+    partial counts, one hash exchange on user_id, then a vectorized
+    scatter into the fixed column set. Integer-only output."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    type_idx = {t: i for i, t in enumerate(types)}
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "tcode": pa.array([], pa.int8()),
+                             "cnt": pa.array([], pa.int64())})
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        dict_map = np.array([type_idx.get(s, len(types))
+                             for s in et.dictionary.to_pylist()], dtype=np.int8)
+        codes = dict_map[et.indices.to_numpy(zero_copy_only=False)]
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        combo = uid * np.int64(8) + codes           # <=5 types, 3 bits
+        order = np.argsort(combo, kind="stable")
+        starts, cnt = segments(combo[order])
+        sel = order[starts]
+        return pa.table({
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "tcode": pa.array(codes[sel], pa.int8()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pa.array([], pa.int64())
+        cols["n_total"] = pa.array([], pa.int64())
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        tcode = batch.column("tcode").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, tcode, cnt = uid[order], tcode[order], cnt[order]
+        u_starts, _ = segments(uid)
+        row = np.searchsorted(uid[u_starts], uid)    # dense row index
+        mat = np.zeros((len(u_starts), len(types) + 1), dtype=np.int64)
+        np.add.at(mat, (row, tcode.astype(np.int64)), cnt)
+        out = {"user_id": pa.array(uid[u_starts], pa.int64())}
+        for i, t in enumerate(types):
+            out[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
+        out["n_total"] = pa.array(mat[:, :len(types)].sum(axis=1), pa.int64())
+        return pa.table(out)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return hash_group_apply(partial, ["user_id"], pivot, 0, sort=False)

@@ -1,0 +1,122 @@
+"""Round-3 analytics operators vs DuckDB at sf0.001: gap-based
+sessionization, per-user event-type pivot, deterministic stratified
+sampling, ROLLUP multi-level aggregates."""
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_user_sessions_match_duckdb(ray_session):
+    from nise_ray.ops.events import user_sessions
+    from nise_ray.util import collect_table
+    got = collect_table(user_sessions(SF, gap_minutes=30)).to_pandas() \
+        .sort_values(["user_id", "session_num"]).reset_index(drop=True)
+    want = _con(["events"]).execute("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS session_num
+          FROM flagged)
+        SELECT user_id, session_num,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_num
+        ORDER BY user_id, session_num
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    # every user has >1 session in a 30-day event window with 30-min gaps
+    assert want["session_num"].max() > 1
+    for col in ["user_id", "session_num", "n_events"]:
+        assert list(got[col]) == list(want[col]), col
+    for col in ["session_start", "session_end"]:
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_user_sessions_single_user_gap_boundary(ray_session):
+    """Gap exactly == gap_minutes stays in the same session (strict >)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    us = 60_000_000
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([0, 30 * us, 60 * us + 1, 61 * us],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table(rows), os.path.join(d, "events.parquet"))
+        from nise_ray.ops.events import user_sessions
+        from nise_ray.util import collect_table
+        got = collect_table(user_sessions(d, gap_minutes=30)).to_pandas() \
+            .sort_values("session_num").reset_index(drop=True)
+    # ts=0 and ts=30min: gap == 30min -> same session; ts=60min+1us opens
+    # session 2 (gap 30min+1us), ts=61min joins it
+    assert list(got["session_num"]) == [1, 2]
+    assert list(got["n_events"]) == [2, 2]
+
+
+def test_event_type_pivot_matches_duckdb(ray_session):
+    from nise_ray.ops.events import event_type_pivot
+    from nise_ray.util import collect_table
+    got = collect_table(event_type_pivot(SF)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = _con(["events"]).execute("""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS n_click,
+               count(*) FILTER (event_type = 'error')    AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup')   AS n_signup,
+               count(*) FILTER (event_type = 'view')     AS n_view,
+               count(*) AS n_total
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).fetchdf()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    from nise_ray.ops.analytics import stratified_sample_docs
+    got = stratified_sample_docs(SF, k=10).to_pandas()
+    want = _con(["documents"]).execute("""
+        SELECT lang, doc_id, n_chars FROM documents
+        QUALIFY row_number() OVER (
+          PARTITION BY lang
+          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 10
+        ORDER BY lang, doc_id
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_rollup_matches_duckdb(ray_session):
+    from nise_ray.ops.analytics import rollup_doc_counts
+    got = rollup_doc_counts(SF).to_pandas()
+    want = _con(["documents"]).execute("""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM documents
+        GROUP BY ROLLUP(documents.lang, documents.source)
+        ORDER BY 1, 2
+    """).fetchdf()
+    assert len(got) == len(want)
+    assert got.values.tolist() == want.values.tolist()
