@@ -107,18 +107,62 @@ def _join_partitions() -> int:
     return max(2, min(64, cpus))
 
 
-def segment_revenue(sf_dir: str) -> pa.Table:
-    """orders ⋈ customer (distributed hash join on custkey), then revenue
-    per market segment: (c_mktsegment, n_orders, total_price). The join is
-    the all-to-all exchange; the 5-group aggregate is a per-batch combiner
-    + tiny driver merge (never a second shuffle)."""
+def _broadcast_side(ds: "ray.data.Dataset", key_col: str, val_col: str,
+                    max_rows: int):
+    """Scale gate for the broadcast-hash-join path: if the dimension side
+    is small enough, collect it ONCE to (sorted keys, values) and ray.put
+    the pair — every map task then joins by searchsorted with an equality
+    check, no shuffle. Returns None above the gate (caller falls back to
+    the distributed hash join). ds.count() on a raw parquet read is
+    metadata-only."""
+    if ds.count() > max_rows:
+        return None
+    t = collect_table(ds)
+    keys = t.column(key_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    vals = t.column(val_col).take(pa.array(order))
+    return ray.put((keys[order], vals))
+
+
+def segment_revenue(sf_dir: str, broadcast_max: int = 5_000_000) -> pa.Table:
+    """orders ⋈ customer, then revenue per market segment:
+    (c_mktsegment, n_orders, total_price). Scale-adaptive join: when the
+    customer side fits the broadcast gate it is ray.put once and the join
+    is a vectorized per-batch lookup over streaming orders (NO exchange);
+    beyond the gate it falls back to the distributed hash join (the
+    10^12-row configuration, kept oracled via the forced-gate test). The
+    5-group aggregate is a per-batch combiner + tiny driver merge either
+    way."""
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
-    _hash_shuffle_on(orders, cust)
-    joined = orders.join(cust, join_type="inner", num_partitions=_join_partitions(),
-                         on=("o_custkey",), right_on=("c_custkey",))
+    ref = _broadcast_side(cust, "c_custkey", "c_mktsegment", broadcast_max)
+    if ref is not None:
+        class AttachSegment:
+            def __init__(self) -> None:
+                self.keys, self.vals = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, ck), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[pos] == ck          # inner-join semantics
+                return pa.table({
+                    "c_mktsegment": self.vals.take(pa.array(pos[hit])),
+                    "o_totalprice": b.column("o_totalprice").filter(
+                        pa.array(hit)),
+                })
+
+        from nise_ray.ops.groupapply import default_concurrency
+        joined = orders.map_batches(AttachSegment, batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    concurrency=default_concurrency())
+    else:
+        _hash_shuffle_on(orders, cust)
+        joined = orders.join(cust, join_type="inner",
+                             num_partitions=_join_partitions(),
+                             on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -140,7 +184,6 @@ def segment_revenue(sf_dir: str) -> pa.Table:
                                     pa.float64()),
         })
 
-    from nise_ray.util import collect_table
     partials = collect_table(joined.map_batches(partial, batch_format="pyarrow",
                                                 zero_copy_batch=True))
     df = partials.to_pandas().groupby("c_mktsegment", as_index=False).agg(
@@ -157,13 +200,17 @@ _Q3_CUTOFF_US = np.datetime64("1995-03-15", "us").astype(np.int64)
 
 
 def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
-                         k: int = 10) -> pa.Table:
+                         k: int = 10,
+                         broadcast_max: int = 5_000_000) -> pa.Table:
     """TPC-H-Q3-style three-table pipeline: customer (filtered to one
     segment) ⋈ orders (filtered o_orderdate < cutoff) ⋈ lineitem
     (filtered l_shipdate > cutoff), revenue per order, top-k by revenue.
-    Two distributed hash joins; the per-order aggregate is one hash
-    exchange; top-k is per-block pre-top-k + driver merge (no global
-    sort)."""
+    Scale-adaptive: each dimension side below the broadcast gate (checked
+    on metadata row counts, no execution barrier) becomes a ray.put
+    lookup inside map_batches (semi-join membership filter for customer,
+    orderkey→orderdate attach for orders); above the gate that step is a
+    distributed hash join. The per-order aggregate is one hash exchange;
+    top-k is per-block pre-top-k + driver merge (no global sort)."""
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
     orders = ray.data.read_parquet(
@@ -195,13 +242,69 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
     orders_f = orders.map_batches(f_orders, batch_format="pyarrow",
                                   zero_copy_batch=True)
     li_f = li.map_batches(f_li, batch_format="pyarrow", zero_copy_batch=True)
-    _hash_shuffle_on(cust_f, orders_f, li_f)
 
-    j1 = orders_f.join(cust_f, join_type="inner", num_partitions=_join_partitions(),
-                       on=("o_custkey",), right_on=("c_custkey",))
-    j2 = li_f.join(j1.select_columns(["o_orderkey", "o_orderdate"]),
-                   join_type="inner", num_partitions=_join_partitions(),
-                   on=("l_orderkey",), right_on=("o_orderkey",))
+    from nise_ray.ops.groupapply import default_concurrency
+
+    # join 1: orders ⋉ customer-in-segment (membership only)
+    if cust.count() <= broadcast_max:
+        ck = collect_table(cust_f).column("c_custkey") \
+            .to_numpy(zero_copy_only=False)
+        ck_ref = ray.put(np.sort(ck))
+
+        class SemiJoinCust:
+            def __init__(self) -> None:
+                self.keys = ray.get(ck_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ok = b.column("o_custkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, ok), 0,
+                              max(len(self.keys) - 1, 0))
+                hit = (self.keys[pos] == ok) if len(self.keys) else \
+                    np.zeros(len(ok), dtype=bool)
+                return b.filter(pa.array(hit)) \
+                        .select(["o_orderkey", "o_orderdate"])
+
+        j1 = orders_f.map_batches(SemiJoinCust, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  concurrency=default_concurrency())
+    else:
+        _hash_shuffle_on(cust_f, orders_f)
+        j1 = orders_f.join(cust_f, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    # join 2: lineitem ⋈ surviving orders (attach o_orderdate)
+    if orders.count() <= broadcast_max:
+        ot = collect_table(j1.select_columns(["o_orderkey", "o_orderdate"]))
+        okeys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oorder = np.argsort(okeys)
+        od_ref = ray.put((okeys[oorder],
+                          ot.column("o_orderdate").take(pa.array(oorder))))
+
+        class AttachOrderdate:
+            def __init__(self) -> None:
+                self.keys, self.dates = ray.get(od_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, lk), 0,
+                              max(len(self.keys) - 1, 0))
+                hit = (self.keys[pos] == lk) if len(self.keys) else \
+                    np.zeros(len(lk), dtype=bool)
+                return pa.table({
+                    "l_orderkey": b.column("l_orderkey").filter(pa.array(hit)),
+                    "rev": b.column("rev").filter(pa.array(hit)),
+                    "o_orderdate": self.dates.take(pa.array(pos[hit])),
+                })
+
+        j2 = li_f.map_batches(AttachOrderdate, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency())
+    else:
+        _hash_shuffle_on(li_f)
+        j2 = li_f.join(j1.select_columns(["o_orderkey", "o_orderdate"]),
+                       join_type="inner", num_partitions=_join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
 
     from nise_ray.ops.groupapply import hash_group_apply, segments
 
@@ -228,7 +331,6 @@ def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
         return out
 
     agg = hash_group_apply(j2, ["l_orderkey"], per_order)
-    from nise_ray.util import collect_table
     t = collect_table(agg)
     if t.num_rows == 0:
         return t

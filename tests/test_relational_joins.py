@@ -3,8 +3,14 @@ ds.join primitive that verify_mode="join" and large-label attach rely on."""
 
 import duckdb
 import numpy as np
+import pytest
 
 SF = "/root/testdata/sf0.001"
+
+# broadcast_max=0 forces the distributed hash-join fallback (the 10^12-row
+# configuration); the default exercises the scale-gated broadcast path.
+PATHS = [pytest.param(0, id="distributed"),
+         pytest.param(5_000_000, id="broadcast")]
 
 
 def _con():
@@ -15,10 +21,11 @@ def _con():
     return con
 
 
-def test_segment_revenue_matches_duckdb(ray_session):
+@pytest.mark.parametrize("bmax", PATHS)
+def test_segment_revenue_matches_duckdb(ray_session, bmax):
     from nise_ray.ops.relational import segment_revenue
-    got = segment_revenue(SF).to_pandas().sort_values("c_mktsegment") \
-                             .reset_index(drop=True)
+    got = segment_revenue(SF, broadcast_max=bmax).to_pandas() \
+        .sort_values("c_mktsegment").reset_index(drop=True)
     want = _con().execute("""
         SELECT c_mktsegment, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS total_price
@@ -30,9 +37,11 @@ def test_segment_revenue_matches_duckdb(ray_session):
     assert np.allclose(got["total_price"], want["total_price"])
 
 
-def test_top_unshipped_orders_matches_duckdb(ray_session):
+@pytest.mark.parametrize("bmax", PATHS)
+def test_top_unshipped_orders_matches_duckdb(ray_session, bmax):
     from nise_ray.ops.relational import top_unshipped_orders
-    got = top_unshipped_orders(SF).to_pandas().reset_index(drop=True)
+    got = top_unshipped_orders(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
     want = _con().execute("""
         SELECT l_orderkey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
