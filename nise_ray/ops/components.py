@@ -199,35 +199,40 @@ def attach_labels(signed_ds: "ray.data.Dataset", labels: pa.Table | "ray.data.Da
     if isinstance(labels, pa.Table):
         n_labels = labels.num_rows
     else:
+        # materialize ONCE so the count gate and the (possible) collect
+        # below are both metadata-cheap — count()+to_arrow_refs() on a
+        # streaming Dataset would execute the label plan 2-3 times
+        labels = labels.materialize()
         n_labels = labels.count()
 
     if n_labels <= cfg.broadcast_label_max:
         if not isinstance(labels, pa.Table):
-            labels = pa.concat_tables(
-                [ray.get(r) for r in labels.to_arrow_refs()])
+            from nise_ray.util import collect_table
+            labels = collect_table(labels)
         keys = labels.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
         vals = labels.column("cluster_id").to_numpy(zero_copy_only=False).astype(U64)
         order = np.argsort(keys)
         ref = ray.put((keys[order], vals[order]))
 
-        class Labeler:
-            def __init__(self) -> None:
-                self.keys, self.vals = ray.get(ref)
+        # task-path closure, NOT an actor pool: the only per-worker state
+        # is ray.get(ref) — a zero-copy plasma read that every warm worker
+        # shares — so an actor pool would pay seconds of cold-start per
+        # stage for nothing (measured ~2-4 s per pool on this host)
+        def label_batch(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+            pos = np.searchsorted(keys, dk)
+            pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+            if len(keys):
+                hit = keys[pos] == dk
+                cluster = np.where(hit, vals[pos], dk)
+            else:
+                cluster = dk
+            return b.append_column("cluster_id", pa.array(cluster, pa.uint64()))
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-                pos = np.searchsorted(self.keys, dk)
-                pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-                if len(self.keys):
-                    hit = self.keys[pos] == dk
-                    cluster = np.where(hit, self.vals[pos], dk)
-                else:
-                    cluster = dk
-                return b.append_column("cluster_id", pa.array(cluster, pa.uint64()))
-
-        from nise_ray.ops.groupapply import default_concurrency
-        return signed_ds.map_batches(Labeler, batch_format="pyarrow",
-                                     concurrency=default_concurrency())
+        label_batch.__name__ = "Labeler"
+        return signed_ds.map_batches(label_batch, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     # large label map: distributed join. Partition count derived from the
     # cluster — a fixed 64-partition floor spawns a join aggregator fleet

@@ -328,20 +328,17 @@ def broadcast_sig_map(signed, k: int, needed_keys: np.ndarray | None = None):
     if needed_keys is not None and len(needed_keys):
         needed_ref = ray.put(np.sort(np.asarray(needed_keys, dtype=U64)))
 
-        class NeededFilter:
-            def __init__(self) -> None:
-                self.needed = ray.get(needed_ref)
+        # task-path closure: per-task state is one zero-copy plasma read
+        # of the broadcast key array — no actor-pool cold start
+        def needed_filter(b: pa.Table) -> pa.Table:
+            needed = ray.get(needed_ref)
+            dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
+            pos = np.clip(np.searchsorted(needed, dk), 0, len(needed) - 1)
+            return b.filter(pa.array(needed[pos] == dk))
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                dk = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-                pos = np.clip(np.searchsorted(self.needed, dk), 0,
-                              len(self.needed) - 1)
-                return b.filter(pa.array(self.needed[pos] == dk))
-
-        from nise_ray.ops.groupapply import default_concurrency
-        src = src.map_batches(NeededFilter, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
+        needed_filter.__name__ = "NeededFilter"
+        src = src.map_batches(needed_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
     t = collect_table(src)
     keys = t.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
     sigs = sig_matrix(t.column("minhash"), k)

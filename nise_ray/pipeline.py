@@ -506,7 +506,9 @@ def _pipeline_from_signed(
             len(np.unique(labels.column("cluster_id").to_numpy(
                 zero_copy_only=False))))
     else:
-        labels = distributed_components(edges, cfg)
+        # materialize once: attach_labels and the n_labeled_docs stat both
+        # consume this — lazy, each would re-run the final label shuffle
+        labels = distributed_components(edges, cfg).materialize()
         stats["cc_path"] = "distributed_hash_to_min"
 
     stage_timings["components"] = round(time.time() - t_cc, 3)
