@@ -36,19 +36,41 @@ CACHE_ROOT = "/tmp/nise_bench_cache"
 
 def ensure_bench_corpus(sf_name: str, n_files: int | None = None) -> str:
     n_files = n_files or SF_FILES.get(sf_name, 100_000)
-    # many small files so the parquet READ parallelizes at 32 CPUs
-    out_dir = os.path.join(CACHE_ROOT, f"{sf_name}-{n_files}-v2")
+    # v3: files capped at 25k rows AND written with 4096-row row groups so
+    # the parquet read splits into ~25 MB units at any tier. v2 wrote
+    # n_files//48 rows per file in ONE row group — at the 8M tier that is
+    # a 477 MB file a single read task must decompress whole (~1 GB heap),
+    # which serialized the read and thrashed the object store.
+    out_dir = os.path.join(CACHE_ROOT, f"{sf_name}-{n_files}-v3")
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
-    import pyarrow.parquet as pq
+    import glob
 
-    from nise_ray.fixtures import gen_bench_corpus
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
-    t = gen_bench_corpus(seed=42, n_files=n_files)
-    per = max(2_000, n_files // 48)
-    for i, s0 in enumerate(range(0, t.num_rows, per)):
-        pq.write_table(t.slice(s0, per), os.path.join(out_dir, f"part-{i:04d}.parquet"))
+    per = min(max(2_000, n_files // 48), 25_000)
+    i = 0
+    v2_dir = os.path.join(CACHE_ROOT, f"{sf_name}-{n_files}-v2")
+    if os.path.exists(os.path.join(v2_dir, "_DONE")):
+        # migrate the cached v2 corpus (identical rows, identical order)
+        # instead of regenerating — only the file/row-group layout changes
+        for f in sorted(glob.glob(os.path.join(v2_dir, "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            for rb in pf.iter_batches(batch_size=per):
+                pq.write_table(pa.Table.from_batches([rb]),
+                               os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                               row_group_size=4096)
+                i += 1
+    else:
+        from nise_ray.fixtures import gen_bench_corpus
+        t = gen_bench_corpus(seed=42, n_files=n_files)
+        for s0 in range(0, t.num_rows, per):
+            pq.write_table(t.slice(s0, per),
+                           os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                           row_group_size=4096)
+            i += 1
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

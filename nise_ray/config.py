@@ -74,7 +74,10 @@ class DedupConfig:
     substring_min_len: int = 100
 
     # --- execution -------------------------------------------------------
-    batch_size: int = 256         # rows per map_batches call in sign stage
+    batch_size: int = 1024        # rows per map_batches call in sign stage
+                                  # (~6 MB content per batch; the batched
+                                  # tokenize/dictionary-encode kernels
+                                  # amortize better on larger batches)
     sign_concurrency: int | None = None   # explicit actor-pool size; None = task path
                                           # with per-worker signer cache (default)
     driver_cc_max_edges: int = 5_000_000  # <= this: driver union-find, else distributed

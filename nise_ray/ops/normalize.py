@@ -57,6 +57,19 @@ class TokenHasher:
             out[i] = h
         return out
 
+    def hash_vocab(self, vocab: list[str]) -> np.ndarray:
+        """Hashes for a batch's UNIQUE tokens (dictionary-encoded path)."""
+        cache = self._cache
+        out = np.empty(len(vocab), dtype=U64)
+        for i, t in enumerate(vocab):
+            h = cache.get(t)
+            if h is None:
+                h = blake2b64(t.encode())
+                if len(cache) < self._max:
+                    cache[t] = h
+            out[i] = h
+        return out
+
 
 def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
     """Unique w-gram shingle hashes (sorted uint64) from per-token hashes."""
@@ -70,3 +83,106 @@ def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
 def doc_shingles(text: str, w: int, hasher: TokenHasher) -> np.ndarray:
     toks = tokenize(normalize_text(text))
     return shingle_hashes(hasher.hash_tokens(toks), w)
+
+
+# --------------------------------------------------------- batched kernels
+#
+# Column-level equivalents of tokenize(normalize_text(x)) /
+# shingle_hashes(...) used by the sign stage: one Arrow regex pass over the
+# whole batch instead of a Python re.findall per row.
+#
+# Exactness: NFC is the identity on ASCII text, and whitespace collapse +
+# strip are token-invariant (they only rewrite characters outside
+# [A-Za-z0-9_] and never join two token runs), so ASCII rows can skip
+# normalization and split directly. Non-ASCII rows (rare in source
+# corpora) take the per-row reference path — this build's
+# pc.utf8_normalize is broken (every form decomposes, i.e. behaves as
+# NFD), so Arrow-side NFC is not available. Per-row parity is pinned in
+# `tests/test_ops_local.py`.
+
+def batch_token_hashes(
+    arr: "object", hasher: TokenHasher,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """content column -> (flat token hashes, per-row offsets, n_tokens).
+
+    Tokens are dictionary-encoded so blake2b runs once per UNIQUE token in
+    the batch (the TokenHasher cache then carries the vocabulary across
+    batches — source corpora have heavy-tailed vocabularies)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    non_ascii_rows = np.flatnonzero(~is_ascii)
+    if len(non_ascii_rows):
+        # replace non-ASCII rows with their NFC normalization done by
+        # Python's unicodedata (correct), then split everything in Arrow
+        vals = arr.to_pylist()
+        for i in non_ascii_rows:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        arr = pa.array(vals, pa.string())
+    lists = pc.split_pattern_regex(arr, pattern=r"[^A-Za-z0-9_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    raw_offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    vocab_h = hasher.hash_vocab(vocab)
+    # split_pattern_regex yields "" fragments at token-boundary edges;
+    # drop them (findall semantics) and rebuild per-row counts
+    try:
+        empty_idx = vocab.index("")
+    except ValueError:
+        empty_idx = -1
+    if empty_idx >= 0:
+        mask = idx != empty_idx
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(raw_offs))
+        counts = np.bincount(row[mask], minlength=n).astype(np.int64)
+        flat_h = vocab_h[idx[mask]]
+    else:
+        counts = np.diff(raw_offs)
+        flat_h = vocab_h[idx]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat_h, offsets, counts
+
+
+def batch_shingle_hashes(flat_h: np.ndarray, offsets: np.ndarray,
+                         w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row unique w-gram shingle hashes over a flat token-hash array.
+
+    One poly_fold over the whole batch's sliding windows (row-crossing
+    windows excluded by start filtering), one lexsort for per-row unique —
+    no per-row numpy calls. Output per row is sorted-unique, bit-identical
+    to shingle_hashes()."""
+    n = len(offsets) - 1
+    cnt = np.diff(offsets)
+    wcnt = np.maximum(cnt - w + 1, 0)
+    total = int(wcnt.sum())
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    if total == 0:
+        return np.empty(0, dtype=U64), out_offsets
+    row = np.repeat(np.arange(n, dtype=np.int64), wcnt)
+    first_w = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wcnt, out=first_w[1:])
+    intra = np.arange(total, dtype=np.int64) - first_w[:-1][row]
+    starts = offsets[:-1][row] + intra
+    # fold BEFORE gathering: poly_fold over the sliding-window VIEW is w
+    # strided multiply-adds over the flat array (no copy); gathering the
+    # (total, w) window matrix first would materialize it
+    fold_all = poly_fold(np.lib.stride_tricks.sliding_window_view(flat_h, w))
+    fold = fold_all[starts]
+    order = np.lexsort((fold, row))
+    f = fold[order]
+    r = row[order]
+    keep = np.empty(total, dtype=bool)
+    keep[0] = True
+    keep[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    ff = f[keep]
+    n_sh = np.bincount(r[keep], minlength=n).astype(np.int64)
+    np.cumsum(n_sh, out=out_offsets[1:])
+    return ff, out_offsets

@@ -29,7 +29,14 @@ from nise_ray.hashing import (
     oph_signatures,
     simhash_from_shingles,
 )
-from nise_ray.ops.normalize import TokenHasher, normalize_text, shingle_hashes, tokenize
+from nise_ray.ops.normalize import (
+    TokenHasher,
+    batch_shingle_hashes,
+    batch_token_hashes,
+    normalize_text,
+    shingle_hashes,
+    tokenize,
+)
 
 SIGNED_COLUMNS = [
     "repo", "path", "commit", "lang",
@@ -80,9 +87,6 @@ class Signer:
         sha_buf = bytearray(32 * n)  # fixed_size_binary(32) values
         sha64 = np.empty(n, dtype=U64)
         n_bytes = np.empty(n, dtype=np.int64)
-        n_tokens = np.empty(n, dtype=np.int64)
-        shingle_arrays: list[np.ndarray] = []
-        offsets = np.zeros(n + 1, dtype=np.int64)
 
         for i in range(n):
             key_blob = (repo[i].encode() + b"\x00" + path[i].encode()
@@ -94,14 +98,30 @@ class Signer:
             sha_buf[32 * i:32 * i + 32] = dig
             sha64[i] = int.from_bytes(dig[:8], "little")
             n_bytes[i] = len(raw)
-            toks = tokenize(self.normalize(contents[i]))
-            n_tokens[i] = len(toks)
-            sh = shingle_hashes(self.hasher.hash_tokens(toks), cfg.shingle_w)
-            shingle_arrays.append(sh)
-            offsets[i + 1] = offsets[i] + len(sh)
 
-        all_shingles = (np.concatenate(shingle_arrays) if shingle_arrays
-                        else np.empty(0, dtype=U64))
+        if self.normalize is normalize_text:
+            # batched tokenize/shingle: one Arrow regex pass + one
+            # dictionary-encode + one lexsort for the whole batch
+            # (bit-identical to the per-row path; parity pinned in tests)
+            flat_h, tok_offs, n_tokens_arr = batch_token_hashes(
+                batch.column("content"), self.hasher)
+            all_shingles, offsets = batch_shingle_hashes(
+                flat_h, tok_offs, cfg.shingle_w)
+            n_tokens = n_tokens_arr
+        else:
+            # custom normalizer hook: per-row reference path
+            n_tokens = np.empty(n, dtype=np.int64)
+            shingle_arrays: list[np.ndarray] = []
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            for i in range(n):
+                toks = tokenize(self.normalize(contents[i]))
+                n_tokens[i] = len(toks)
+                sh = shingle_hashes(self.hasher.hash_tokens(toks),
+                                    cfg.shingle_w)
+                shingle_arrays.append(sh)
+                offsets[i + 1] = offsets[i] + len(sh)
+            all_shingles = (np.concatenate(shingle_arrays) if shingle_arrays
+                            else np.empty(0, dtype=U64))
         if cfg.minhash_mode == "oph":
             sigs = oph_signatures(all_shingles, offsets, cfg.minhash_k,
                                   self.oph_seed)  # n x K u32

@@ -159,3 +159,42 @@ def test_sig_matrix_roundtrip():
     # sliced column (non-zero offset)
     m2 = sig_matrix(col.slice(1), 128)
     assert (m2 == sigs[1:]).all()
+
+
+def test_batched_tokenize_shingle_parity():
+    """The sign stage's batched Arrow kernels must be bit-identical to the
+    per-row reference (tokenize(normalize_text) + shingle_hashes),
+    including non-ASCII rows, empty rows and whitespace-only rows."""
+    from nise_ray.ops.normalize import batch_shingle_hashes, batch_token_hashes
+    texts = [
+        "def foo(x):\n    return x+1\n", "", "   \t\n  ", "café naive",
+        "a_b9 Zéßİ end", "éclair x",  # decomposed é -> NFC composes
+        "🦀 rust_code fn main()", "İstanbul Iı", "short",
+        "a b c d e f g h i j k", "same same same same same same",
+    ]
+    arr = pa.array(texts, pa.string())
+    h1, h2 = TokenHasher(), TokenHasher()
+    w = CFG.shingle_w
+    ref_tok, ref_sh = [], []
+    for s in texts:
+        toks = tokenize(normalize_text(s))
+        ref_tok.append(len(toks))
+        ref_sh.append(shingle_hashes(h1.hash_tokens(toks), w))
+    flat_h, offs, ntok = batch_token_hashes(arr, h2)
+    sh_flat, sh_offs = batch_shingle_hashes(flat_h, offs, w)
+    assert np.array_equal(np.array(ref_tok), ntok)
+    for i in range(len(texts)):
+        assert np.array_equal(ref_sh[i], sh_flat[sh_offs[i]:sh_offs[i + 1]])
+
+
+def test_signer_batched_matches_custom_normalizer_path():
+    """Signer's fast path (default normalizer) and the per-row fallback
+    (custom normalizer set to the same function) must agree exactly."""
+    import dataclasses
+    t = _corpus_table(["def f(x):\n  return x", "a b c d e f g", "", "café x"])
+    fast = Signer(CFG)(t)
+    slow_cfg = dataclasses.replace(CFG, custom_normalizer=normalize_text)
+    slow = Signer(slow_cfg)(t)
+    for col in ("doc_key", "content_sha256", "sha64", "n_bytes", "n_tokens",
+                "n_shingles", "minhash", "simhash"):
+        assert fast.column(col).equals(slow.column(col)), col
