@@ -215,6 +215,11 @@ def _q_token_jaccard(sf_dir: str):
     return token_jaccard_pairs(sf_dir, tau=0.5)
 
 
+def _q_source_overlap(sf_dir: str):
+    from nise_ray.ops.simjoin import source_overlap_pairs
+    return source_overlap_pairs(sf_dir, tau=0.5)
+
+
 def _q_asof_join(sf_dir: str):
     from nise_ray.ops.events import asof_join_events
     return asof_join_events(sf_dir, left_type="click", right_type="view")
@@ -364,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_docs": _q_substring_pairs,
         "substring_containment_docs": _q_substring_containment,
         "token_jaccard_pairs_docs": _q_token_jaccard,
+        "source_overlap_pairs": _q_source_overlap,
         "dedup_flagship": _q_dedup_flagship,
         "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
@@ -453,6 +459,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz su ON su.doc_id = u
             JOIN sz sv ON sv.doc_id = v
             WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
+            ORDER BY 1, 2
+        """,
+        # fork/source-overlap detection: the token-Jaccard near-dup pairs
+        # rolled up to (source_u, source_v) — the repo-overlap query a
+        # code-dedup pipeline runs to collapse forks
+        "source_overlap_pairs": """
+            WITH d AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+              FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            p AS (
+              SELECT u, v FROM inter
+              JOIN sz su ON su.doc_id = u
+              JOIN sz sv ON sv.doc_id = v
+              WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i))
+            SELECT LEAST(du.source, dv.source) AS source_u,
+                   GREATEST(du.source, dv.source) AS source_v,
+                   count(*) AS n_pairs
+            FROM p
+            JOIN documents du ON du.doc_id = p.u
+            JOIN documents dv ON dv.doc_id = p.v
+            WHERE du.source <> dv.source
+            GROUP BY 1, 2
             ORDER BY 1, 2
         """,
         "asof_join_events": """

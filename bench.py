@@ -116,8 +116,16 @@ def warm_cluster(num_cpus: int) -> None:
 
     @ray.remote
     def _noop() -> int:
+        # the full import set a worker touches during the pipeline: ray
+        # core is already loaded, but ray.data internals, pandas, pyarrow
+        # and the engine package each cost ~0.5-2 CPU-s on first import
         import numpy  # noqa: F401
+        import pandas  # noqa: F401
         import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+        import ray.data  # noqa: F401
+
+        import nise_ray.pipeline  # noqa: F401
         return 0
 
     ray.get([_noop.remote() for _ in range(num_cpus * 2)])

@@ -249,3 +249,93 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
         "n_union": pa.array(n_union[keep], pa.int64()),
     })
     return out.sort_by([("doc_id_u", "ascending"), ("doc_id_v", "ascending")])
+
+
+def source_overlap_pairs(sf_dir: str, tau: float = 0.5,
+                         broadcast_max: int = 5_000_000) -> pa.Table:
+    """Fork/source-overlap detection: aggregate the exact token-Jaccard
+    near-duplicate doc pairs to the SOURCE level — (source_u, source_v,
+    n_pairs) for every pair of distinct sources that share at least one
+    near-duplicate document pair (J >= tau), source_u < source_v.
+
+    This is the repo-overlap query a code-dedup pipeline runs to collapse
+    forks: the heavy lifting is the prefix-filtered similarity self-join
+    (one token-bucket exchange, no all-pairs); the source rollup is a
+    vocab-sized aggregation. The doc_id -> source lookup is a broadcast
+    gated on the document count with a distributed-join fallback."""
+    from nise_ray.util import collect_table
+
+    pairs = token_jaccard_pairs(sf_dir, tau=tau)
+    if pairs.num_rows == 0:
+        return pa.table({"source_u": pa.array([], pa.string()),
+                         "source_v": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    pu = pairs.column("doc_id_u").to_numpy(zero_copy_only=False)
+    pv = pairs.column("doc_id_v").to_numpy(zero_copy_only=False)
+    if docs.count() <= broadcast_max:  # parquet metadata count, no scan
+        m = collect_table(docs)
+        ids = m.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        src = m.column("source").combine_chunks().take(pa.array(order))
+        iu = np.searchsorted(ids, pu)
+        iv = np.searchsorted(ids, pv)
+        if not ((ids[np.clip(iu, 0, len(ids) - 1)] == pu).all()
+                and (ids[np.clip(iv, 0, len(ids) - 1)] == pv).all()):
+            raise ValueError("pair endpoint missing from documents table")
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        su, sv = codes[iu], codes[iv]
+    else:
+        # distributed fallback: two hash joins attach both endpoints'
+        # sources, with a projection between them so the second join's
+        # right columns cannot collide with the first's
+        from nise_ray.ops.relational import _join_partitions
+        np_ = _join_partitions()
+        pd_ds = ray.data.from_arrow(pairs.select(["doc_id_u", "doc_id_v"]))
+        j = pd_ds.join(docs, join_type="inner", num_partitions=np_,
+                       on=("doc_id_u",), right_on=("doc_id",))
+
+        def _proj1(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id_v": b.column("doc_id_v"),
+                             "source_u": b.column("source")})
+
+        j = j.map_batches(_proj1, batch_format="pyarrow")
+        j = j.join(docs, join_type="inner", num_partitions=np_,
+                   on=("doc_id_v",), right_on=("doc_id",))
+
+        def _proj2(b: pa.Table) -> pa.Table:
+            return pa.table({"source_u": b.column("source_u"),
+                             "source_v": b.column("source")})
+
+        jt = collect_table(j.map_batches(_proj2, batch_format="pyarrow"))
+        all_src = pa.concat_arrays([
+            jt.column("source_u").combine_chunks(),
+            jt.column("source_v").combine_chunks()])
+        enc = all_src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        su, sv = codes[:jt.num_rows], codes[jt.num_rows:]
+    # canonical order by source NAME (matches SQL LEAST/GREATEST), drop
+    # same-source pairs, count per (source_u, source_v)
+    nu, nv = names[su], names[sv]
+    swap = nu > nv
+    nu[swap], nv[swap] = nv[swap], nu[swap]
+    keep = nu != nv
+    nu, nv = nu[keep], nv[keep]
+    order = np.lexsort((nv, nu))
+    nu, nv = nu[order], nv[order]
+    new = np.empty(len(nu), dtype=bool)
+    if len(nu):
+        new[0] = True
+        new[1:] = (nu[1:] != nu[:-1]) | (nv[1:] != nv[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(nu)))
+    return pa.table({
+        "source_u": pa.array(nu[starts].tolist(), pa.string()),
+        "source_v": pa.array(nv[starts].tolist(), pa.string()),
+        "n_pairs": pa.array(counts.astype(np.int64), pa.int64()),
+    })

@@ -292,7 +292,13 @@ def _pipeline_from_signed(
     # ---- edge-producing branches ---------------------------------------
     edge_sets: list[ray.data.Dataset] = []
 
-    n_parts = cfg.shuffle_partitions
+    # partition count derives from DATA SIZE, not cluster width (north
+    # rule: pinned, manifest-recorded, stable across resumes). Sizing by
+    # cluster CPUs made the 8-CPU and 32-CPU runs of the identical job
+    # execute different plans (8 vs 32 partitions) — the N vs 4N scaling
+    # comparison then measured two different jobs. ~25k docs/partition
+    # keeps blocks in the tens-of-MB range through the narrow exchange.
+    n_parts = cfg.shuffle_partitions or max(8, min(512, n_docs // 25_000))
 
     def _lineage(fn, stage: str):
         """Per-partition lineage records for shuffle stages (R14)."""
@@ -493,7 +499,8 @@ def _pipeline_from_signed(
     t_cc = time.time()
     n_edges = edges.count()
     stats: dict[str, Any] = {"n_edges": n_edges,
-                             "verify_mode_resolved": verify_mode}
+                             "verify_mode_resolved": verify_mode,
+                             "shuffle_partitions_resolved": n_parts}
     if n_edges == 0:
         labels: pa.Table | ray.data.Dataset = pa.table(
             {"doc_key": pa.array([], pa.uint64()),

@@ -151,3 +151,43 @@ def test_window_running_stats_match_duckdb(ray_session):
     assert g.equals(o)
     # running max is genuinely running (non-decreasing within a user)
     assert max(got.column("row_num").to_pylist()) > 5
+
+
+def test_source_overlap_matches_duckdb(ray_session):
+    from nise_ray.ops.simjoin import source_overlap_pairs
+    got = source_overlap_pairs(SF, tau=0.5)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH d AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+                   FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        inter AS (SELECT a.doc_id u, b.doc_id v, count(*) i
+                  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        p AS (SELECT u, v FROM inter
+              JOIN sz su ON su.doc_id = u JOIN sz sv ON sv.doc_id = v
+              WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i))
+        SELECT LEAST(du.source, dv.source) AS source_u,
+               GREATEST(du.source, dv.source) AS source_v,
+               count(*) AS n_pairs
+        FROM p JOIN documents du ON du.doc_id = p.u
+               JOIN documents dv ON dv.doc_id = p.v
+        WHERE du.source <> dv.source GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    have = list(zip(got.column("source_u").to_pylist(),
+                    got.column("source_v").to_pylist(),
+                    got.column("n_pairs").to_pylist()))
+    assert have == [tuple(r) for r in want]
+    assert len(have) > 0, "fixture produced no cross-source overlap"
+
+
+def test_source_overlap_join_fallback_parity(ray_session):
+    """The distributed-join path (broadcast gate forced to 0) must return
+    exactly the broadcast path's rollup."""
+    from nise_ray.ops.simjoin import source_overlap_pairs
+    a = source_overlap_pairs(SF, tau=0.5)
+    b = source_overlap_pairs(SF, tau=0.5, broadcast_max=0)
+    assert a.equals(b)
