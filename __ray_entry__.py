@@ -220,6 +220,11 @@ def _q_source_overlap(sf_dir: str):
     return source_overlap_pairs(sf_dir, tau=0.5)
 
 
+def _q_decontaminate(sf_dir: str):
+    from nise_ray.ops.decontam import decontaminate
+    return decontaminate(sf_dir, eval_max=20, w=5)
+
+
 def _q_asof_join(sf_dir: str):
     from nise_ray.ops.events import asof_join_events
     return asof_join_events(sf_dir, left_type="click", right_type="view")
@@ -370,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment_docs": _q_substring_containment,
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "source_overlap_pairs": _q_source_overlap,
+        "decontaminate_docs": _q_decontaminate,
         "dedup_flagship": _q_dedup_flagship,
         "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
@@ -488,6 +494,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE du.source <> dv.source
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # benchmark decontamination: corpus docs (doc_id >= 20) sharing at
+        # least one 5-token n-gram with the eval set (doc_id < 20), with
+        # the exact count of distinct shared grams
+        "decontaminate_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ts, i + 1, i + 5), ' ') AS gram
+              FROM toks, UNNEST(range(greatest(len(ts) - 4, 0))) AS u(i)),
+            e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+            SELECT g.doc_id AS doc_id, count(*) AS n_shared
+            FROM g JOIN e USING (gram)
+            WHERE g.doc_id >= 20
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         "asof_join_events": """
             SELECT c.event_id AS event_id, c.user_id AS user_id,
