@@ -51,6 +51,9 @@ def _apply_hash_shuffle(ctx: DataContext) -> None:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = cap
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    # joins default to 0.125 CPU/partition — 2.5x the shuffle density;
+    # align them so the same schedulability math covers both op kinds
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.default_hash_shuffle_parallelism = min(
         ctx.default_hash_shuffle_parallelism, 4 * cap)
 
@@ -80,6 +83,39 @@ def default_partitions(requested: int = 0) -> int:
     except Exception:
         cpus = 8
     return max(8, min(128, cpus))
+
+
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        return 8
+
+
+def schedulable_partitions(requested: int) -> int:
+    """Clamp a partition count so ONE shuffle operator's aggregator pool
+    is schedulable alongside the rest of the plan.
+
+    Hash-shuffle/join aggregator pools reserve num_partitions x
+    cpus-per-partition (0.05 with our override) CPUs EAGERLY, and a pool
+    that cannot fully schedule backpressures the whole plan forever — an
+    over-wide request is a deadlock, not a slowdown (observed: a
+    data-sized 320-partition request on an 8-CPU cluster demanded 16
+    CPUs per shuffle op + 40 per join). Cap at ~cpus*5, i.e. ~cpus/4 of
+    aggregator reservation per op — the density the 1M-file scaling runs
+    validated (40 partitions at 8 CPUs) — leaving headroom for several
+    concurrent shuffle ops plus the map tasks that feed them. On
+    production clusters (thousands of CPUs) the cap sits far above any
+    data-sized partition count, so it only binds on small clusters."""
+    return max(8, min(requested, _cluster_cpus() * 5))
+
+
+def join_safe_partitions(requested: int, concurrent_joins: int = 2) -> int:
+    """Like schedulable_partitions but for CHAINED joins, whose pools all
+    reserve concurrently: cap so `concurrent_joins` pools together take
+    ~cpus*0.4 of reservation (0.05 CPU/partition x cpus*4 parts per join)."""
+    cap = max(8, (_cluster_cpus() * 4) // max(concurrent_joins, 1))
+    return max(2, min(requested, cap))
 
 
 def default_concurrency(frac: float = 1.0, min_actors: int = 1) -> tuple[int, int]:

@@ -298,7 +298,13 @@ def _pipeline_from_signed(
     # execute different plans (8 vs 32 partitions) — the N vs 4N scaling
     # comparison then measured two different jobs. ~25k docs/partition
     # keeps blocks in the tens-of-MB range through the narrow exchange.
-    n_parts = cfg.shuffle_partitions or max(8, min(512, n_docs // 25_000))
+    # The schedulability clamp (aggregator pools reserve CPU per
+    # partition and deadlock if they can't fully schedule) only binds
+    # when the per-session data volume outgrows the cluster — the
+    # resolved value is recorded in stats and lineage manifests.
+    from nise_ray.ops.groupapply import schedulable_partitions
+    n_parts = schedulable_partitions(
+        cfg.shuffle_partitions or max(8, min(512, n_docs // 25_000)))
 
     def _lineage(fn, stage: str):
         """Per-partition lineage records for shuffle stages (R14)."""
@@ -462,13 +468,15 @@ def _pipeline_from_signed(
             # then the two-sided signature hash join verifies. Non-unified
             # plans already verified inline (est >= tau at pair gen), so
             # the join would be pure redundant work — distinct only.
-            from nise_ray.ops.groupapply import default_partitions
+            from nise_ray.ops.groupapply import (default_partitions,
+                                                 join_safe_partitions)
             distinct = hash_group_apply(ds, ["u", "v"],
                                         _lineage(edge_distinct_batch, "edges"),
                                         n_parts, sort=False)
             if narrow:
                 return join_verify(distinct, signed, cfg,
-                                   default_partitions(n_parts))
+                                   join_safe_partitions(
+                                       default_partitions(n_parts)))
             return distinct
         if n_docs <= cfg.driver_docs_max:
             # driver fast path gated on the ALREADY-KNOWN doc count — no

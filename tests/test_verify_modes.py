@@ -50,3 +50,15 @@ def test_join_mode_distributed_distinct(ray_session, small_fixture):
     base = _edges(small_fixture, DedupConfig())
     dist = _edges(small_fixture, cfg)
     assert base == dist
+
+
+def test_join_mode_oversized_partition_request(ray_session, small_fixture):
+    """A data-sized partition count far beyond the cluster's aggregator
+    CPU budget must be capped to a schedulable value, not deadlock: two
+    chained verify joins at 320 partitions demand 2x40 aggregator CPUs,
+    which can never schedule on a small cluster (the streaming executor
+    backpressures forever). Regression for the 8M-file scaling run."""
+    cfg = DedupConfig(verify_mode="join", shuffle_partitions=320)
+    base = _edges(small_fixture, DedupConfig())
+    capped = _edges(small_fixture, cfg)
+    assert base == capped
