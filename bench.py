@@ -302,6 +302,13 @@ def run_scaling(sf_dir: str, cpus=(8, 32), rounds=3) -> dict:
                                    for c in cpus},
         "wall_s": {str(c): times[c] for c in cpus},
         "cpu_seconds": {str(c): cpusec[c] for c in cpus},
+        # CPU-boundness per leg: ~1.0 * cpus means the job is compute-
+        # bound (the regime where the N->4N ratio measures the engine);
+        # far below cpus means a shared non-CPU resource binds (see the
+        # 8M-file analysis in BENCH/scaling_evidence.md).
+        "avg_busy_cpus": {str(c): [round(cs / w, 2) if w else None
+                                   for cs, w in zip(cpusec[c], times[c])]
+                          for c in cpus},
         "copy_bw_GBps": {str(c): bw[c] for c in cpus},
         "cpus": list(cpus),
     }
