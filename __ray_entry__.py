@@ -639,7 +639,7 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING)
                        AS session_num
               FROM flagged)
-            SELECT user_id, session_num,
+            SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, session_num
@@ -666,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_doc_counts": """
             SELECT coalesce(lang, 'ALL') AS lang,
                    coalesce(source, 'ALL') AS source,
-                   count(*) AS n_docs, sum(n_chars) AS sum_chars
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY ROLLUP(documents.lang, documents.source)
             ORDER BY 1, 2

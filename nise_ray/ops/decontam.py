@@ -22,8 +22,12 @@ Scale shape (the part that must hold at 10^12 corpus files):
   take the exact string-confirm path, so 64-bit hash collisions cannot
   produce a false positive: the output contract is EXACT and therefore
   fully SQL-expressible (DuckDB oracle in `__ray_entry__.oracle_sql`).
-  False negatives are impossible — equal gram strings hash equal by
+  False negatives are impossible — BOTH the hash prefilter and the
+  exact confirm tokenize the RAW (unnormalized) text, matching the
+  oracle's contract, so equal raw gram strings hash equal by
   construction (same tokenizer, same per-token blake2b, same fold).
+  (A normalized prefilter over a raw confirm path could miss docs whose
+  NFC form changes the token stream — see batch_token_hashes.)
 """
 
 from __future__ import annotations
@@ -59,7 +63,8 @@ def decontaminate(sf_dir: str, eval_max: int = 20, w: int = 5) -> pa.Table:
         columns=["doc_id", "text"],
         filter=pds.field("doc_id") < eval_max)
     hasher = TokenHasher()
-    flat_h, offs, _ = batch_token_hashes(ev.column("text"), hasher)
+    flat_h, offs, _ = batch_token_hashes(ev.column("text"), hasher,
+                                         normalize=False)
     ev_hashes, _ = batch_shingle_hashes(flat_h, offs, w)
     ev_hashes = np.unique(ev_hashes)
     ev_grams: set[str] = set()
@@ -84,7 +89,8 @@ def decontaminate(sf_dir: str, eval_max: int = 20, w: int = 5) -> pa.Table:
                 ids = ids[keep]
             if b.num_rows == 0:
                 return _EMPTY
-            fh, offs2, _ = batch_token_hashes(b.column("text"), self.hasher)
+            fh, offs2, _ = batch_token_hashes(b.column("text"), self.hasher,
+                                              normalize=False)
             sh, soffs = batch_shingle_hashes(fh, offs2, w)
             hit = np.isin(sh, self.h)
             if not hit.any():

@@ -576,7 +576,10 @@ def event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
         out = {"user_id": pa.array(uid[u_starts], pa.int64())}
         for i, t in enumerate(types):
             out[f"n_{t}"] = pa.array(mat[:, i], pa.int64())
-        out["n_total"] = pa.array(mat[:, :len(types)].sum(axis=1), pa.int64())
+        # n_total = count(*) including the overflow column (unknown event
+        # types) — summing only the named columns would silently diverge
+        # from the oracle on any new type in the data
+        out["n_total"] = pa.array(mat.sum(axis=1), pa.int64())
         return pa.table(out)
 
     partial = ds.map_batches(combine, batch_format="pyarrow",

@@ -101,21 +101,30 @@ def doc_shingles(text: str, w: int, hasher: TokenHasher) -> np.ndarray:
 # `tests/test_ops_local.py`.
 
 def batch_token_hashes(
-    arr: "object", hasher: TokenHasher,
+    arr: "object", hasher: TokenHasher, normalize: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """content column -> (flat token hashes, per-row offsets, n_tokens).
 
     Tokens are dictionary-encoded so blake2b runs once per UNIQUE token in
     the batch (the TokenHasher cache then carries the vocabulary across
-    batches — source corpora have heavy-tailed vocabularies)."""
+    batches — source corpora have heavy-tailed vocabularies).
+
+    normalize=False skips the NFC pass and tokenizes the RAW text —
+    required when the consumer's exactness contract is defined over raw
+    text (e.g. decontamination, whose oracle tokenizes unnormalized
+    text; NFC can merge a combining sequence into a token character and
+    change the gram set)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
-    non_ascii_rows = np.flatnonzero(~is_ascii)
+    if normalize:
+        is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+        non_ascii_rows = np.flatnonzero(~is_ascii)
+    else:
+        non_ascii_rows = np.empty(0, dtype=np.int64)
     if len(non_ascii_rows):
         # replace non-ASCII rows with their NFC normalization done by
         # Python's unicodedata (correct), then split everything in Arrow

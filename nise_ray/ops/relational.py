@@ -118,10 +118,55 @@ def _broadcast_side(ds: "ray.data.Dataset", key_col: str, val_col: str,
     if ds.count() > max_rows:
         return None
     t = collect_table(ds)
+    if t.num_rows == 0:
+        # empty dimension side: explicit empty broadcast (collect_table
+        # returns a column-less table here, so .column() would raise)
+        return ray.put((np.empty(0, dtype=np.int64),
+                        pa.array([], pa.string())))
     keys = t.column(key_col).to_numpy(zero_copy_only=False)
     order = np.argsort(keys)
+    keys = keys[order]
+    # a duplicate dimension key would silently drop join multiplicity
+    # (searchsorted finds one match); real inner-join fan-out needs the
+    # distributed path, so fail loudly instead
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise AssertionError(
+            f"_broadcast_side: duplicate {key_col} values in broadcast "
+            f"dimension table — use the distributed join path")
     vals = t.column(val_col).take(pa.array(order))
-    return ray.put((keys[order], vals))
+    return ray.put((keys, vals))
+
+
+def _merge_grouped_partials(partials: pa.Table, key_col: str,
+                            sum_cols: dict[str, "pa.DataType"],
+                            round_cols: dict[str, int] | None = None
+                            ) -> pa.Table:
+    """Driver-side merge of group-count-sized partial aggregates, fully
+    Arrow/numpy (segments + add.reduceat) — replaces the former pandas
+    groupby detour (repo rule: no pandas on any path). Keys come out in
+    lexicographic order."""
+    from nise_ray.ops.groupapply import segments
+    round_cols = round_cols or {}
+    if partials.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         **{c: pa.array([], t) for c, t in sum_cols.items()}})
+    enc = partials.column(key_col).combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    vocab_order = np.argsort(vocab)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vocab_order] = np.arange(len(vocab))
+    order = np.argsort(rank[codes], kind="stable")
+    starts, _ = segments(rank[codes][order])
+    out: dict[str, pa.Array] = {
+        key_col: pa.array(vocab[vocab_order], pa.string())}
+    for col, typ in sum_cols.items():
+        v = partials.column(col).to_numpy(zero_copy_only=False)
+        s = np.add.reduceat(v[order], starts)
+        if col in round_cols:
+            s = np.round(s, round_cols[col])
+        out[col] = pa.array(s, typ)
+    return pa.table(out)
 
 
 def segment_revenue(sf_dir: str, broadcast_max: int = 5_000_000) -> pa.Table:
@@ -146,8 +191,9 @@ def segment_revenue(sf_dir: str, broadcast_max: int = 5_000_000) -> pa.Table:
             def __call__(self, b: pa.Table) -> pa.Table:
                 ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
                 pos = np.clip(np.searchsorted(self.keys, ck), 0,
-                              len(self.keys) - 1)
-                hit = self.keys[pos] == ck          # inner-join semantics
+                              max(len(self.keys) - 1, 0))
+                hit = (self.keys[pos] == ck) if len(self.keys) else \
+                    np.zeros(len(ck), dtype=bool)  # inner-join semantics
                 return pa.table({
                     "c_mktsegment": self.vals.take(pa.array(pos[hit])),
                     "o_totalprice": b.column("o_totalprice").filter(
@@ -186,14 +232,10 @@ def segment_revenue(sf_dir: str, broadcast_max: int = 5_000_000) -> pa.Table:
 
     partials = collect_table(joined.map_batches(partial, batch_format="pyarrow",
                                                 zero_copy_batch=True))
-    df = partials.to_pandas().groupby("c_mktsegment", as_index=False).agg(
-        n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
-    df["total_price"] = df["total_price"].round(2)
-    return pa.table({
-        "c_mktsegment": pa.array(df["c_mktsegment"], pa.string()),
-        "n_orders": pa.array(df["n_orders"], pa.int64()),
-        "total_price": pa.array(df["total_price"], pa.float64()),
-    })
+    return _merge_grouped_partials(
+        partials, "c_mktsegment",
+        {"n_orders": pa.int64(), "total_price": pa.float64()},
+        round_cols={"total_price": 2})
 
 
 _Q3_CUTOFF_US = np.datetime64("1995-03-15", "us").astype(np.int64)
@@ -404,29 +446,26 @@ def nation_revenue(sf_dir: str) -> pa.Table:
 
     partials = collect_table(joined.map_batches(partial, batch_format="pyarrow",
                                                 zero_copy_batch=True))
-    df = partials.to_pandas().groupby("n_name", as_index=False).agg(
-        n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
-    df["total_price"] = df["total_price"].round(2)
-    return pa.table({
-        "n_name": pa.array(df["n_name"], pa.string()),
-        "n_orders": pa.array(df["n_orders"], pa.int64()),
-        "total_price": pa.array(df["total_price"], pa.float64()),
-    })
+    return _merge_grouped_partials(
+        partials, "n_name",
+        {"n_orders": pa.int64(), "total_price": pa.float64()},
+        round_cols={"total_price": 2})
 
 
 def customers_without_orders(sf_dir: str,
-                             min_price: float = 350_000.0) -> pa.Table:
+                             min_price: float = 350_000.0,
+                             broadcast_max: int = 5_000_000) -> pa.Table:
     """Distributed ANTI JOIN: customers with no order above `min_price`,
     rolled up to (c_nationkey, n_customers). The order side is filtered
     AT THE READ (predicate pushdown — only qualifying row groups leave
     storage) and shrunk to its DISTINCT custkeys with a per-batch
     combiner + one hash exchange (|customers|-bounded, never
-    |orders|-sized), then — because a distinct-key set is by construction
-    small relative to the fact table — broadcast once via ray.put into a
-    vectorized NOT-IN filter over customer batches (np.searchsorted on
-    the sorted key set). For a key set too big to broadcast, the same
-    filter runs as a left-anti hash join on the custkey exchange; the
-    broadcast is the small-side-lookup pattern the brief calls for."""
+    |orders|-sized). When the distinct set fits the `broadcast_max` gate
+    it is broadcast once via ray.put into a vectorized NOT-IN filter over
+    customer batches (np.searchsorted on the sorted key set); above the
+    gate the same filter runs as Ray Data's distributed `left_anti` hash
+    join on the custkey exchange (parity-tested against the broadcast
+    path in tests/test_relational_joins.py)."""
     import pyarrow.dataset as pads
 
     from nise_ray.ops.groupapply import (default_concurrency,
@@ -442,27 +481,36 @@ def customers_without_orders(sf_dir: str,
     distinct = hash_group_apply(orders.map_batches(
         local_distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], local_distinct, 0, sort=False)
-    keys = np.unique(collect_table(distinct)
-                     .column("o_custkey").to_numpy(zero_copy_only=False))
-    keys_ref = ray.put(keys)
-
-    class AntiFilter:
-        def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, ck)
-            pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
-            has = (self.keys[pos] == ck) if len(self.keys) else \
-                np.zeros(len(ck), dtype=bool)
-            return b.filter(pa.array(~has))
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"])
-    lonely = cust.map_batches(AntiFilter, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
+
+    # the distinct key set is bounded by |customer| (metadata-only count)
+    if cust.count() <= broadcast_max:
+        keys = np.unique(collect_table(distinct)
+                         .column("o_custkey").to_numpy(zero_copy_only=False))
+        keys_ref = ray.put(keys)
+
+        class AntiFilter:
+            def __init__(self) -> None:
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.keys, ck)
+                pos = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+                has = (self.keys[pos] == ck) if len(self.keys) else \
+                    np.zeros(len(ck), dtype=bool)
+                return b.filter(pa.array(~has))
+
+        lonely = cust.map_batches(AntiFilter, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  concurrency=default_concurrency())
+    else:
+        _hash_shuffle_on(cust, distinct)
+        lonely = cust.join(distinct, join_type="left_anti",
+                           num_partitions=_join_partitions(),
+                           on=("c_custkey",), right_on=("o_custkey",))
 
     def partial_rollup(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -188,8 +188,9 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     t = collect_table(per_part)
     if t.num_rows == 0:
         return t
-    df = t.to_pandas().sort_values(["n", "token"],
-                                   ascending=[False, True]).head(k)
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False).cast(
-        pa.schema([("token", pa.string()), ("n", pa.int64())]))
+    # final k-row merge, Arrow/numpy (no pandas): lexsort by (-n, token)
+    ns = t.column("n").to_numpy(zero_copy_only=False)
+    toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+    keep = np.lexsort((toks, -ns))[:k]
+    return pa.table({"token": pa.array(toks[keep], pa.string()),
+                     "n": pa.array(ns[keep], pa.int64())})

@@ -299,12 +299,30 @@ def _pipeline_from_signed(
     # comparison then measured two different jobs. ~25k docs/partition
     # keeps blocks in the tens-of-MB range through the narrow exchange.
     # The schedulability clamp (aggregator pools reserve CPU per
-    # partition and deadlock if they can't fully schedule) only binds
-    # when the per-session data volume outgrows the cluster — the
-    # resolved value is recorded in stats and lineage manifests.
+    # partition and deadlock if they can't fully schedule) applies only
+    # to the ENGINE-CHOSEN data-sized count. A user-pinned
+    # cfg.shuffle_partitions is honored verbatim — clamping it would
+    # silently re-introduce cluster-width-dependent plans exactly where
+    # the pin promises stability (resume on a differently-sized cluster,
+    # N-vs-4N legs executing different plans). A pin beyond the
+    # schedulable bound FAILS LOUDLY instead: honoring it hangs forever
+    # (verified: a 512-partition pin on an 8-CPU cluster deadlocks the
+    # aggregator pool), and a hang is strictly worse than an error that
+    # names the fix.
     from nise_ray.ops.groupapply import schedulable_partitions
-    n_parts = schedulable_partitions(
-        cfg.shuffle_partitions or max(8, min(512, n_docs // 25_000)))
+    if cfg.shuffle_partitions:
+        n_parts = cfg.shuffle_partitions
+        bound = schedulable_partitions(n_parts)
+        if n_parts > bound:
+            raise ValueError(
+                f"cfg.shuffle_partitions={n_parts} exceeds the schedulable "
+                f"bound {bound} for this cluster (shuffle aggregator pools "
+                f"reserve CPU per partition eagerly and an unschedulable "
+                f"pool deadlocks the run) — lower the pin, run on a wider "
+                f"cluster, or leave shuffle_partitions=0 for the data-sized "
+                f"default")
+    else:
+        n_parts = schedulable_partitions(max(8, min(512, n_docs // 25_000)))
 
     def _lineage(fn, stage: str):
         """Per-partition lineage records for shuffle stages (R14)."""
@@ -627,13 +645,21 @@ def substring_pairs(
     use_hash_shuffle()
     corpus_ds = (read_corpus(corpus) if isinstance(corpus, (str, list))
                  else corpus)
+    # driver-vs-distributed span path gated on the CORPUS SIZE (metadata-
+    # only count for parquet inputs), mirroring the main edge path's
+    # known-doc-count gate — the round-3 version paid a materialize()+
+    # count() FULL BARRIER on the fingerprint pair set here just to pick
+    # the path, which serialized the fp exchange against the span stage
+    # (measured 13% substring_corpus regression).
+    n_docs = corpus_ds.count()
     fps = corpus_ds.map_batches(
         lambda b: explode_fingerprints(b, cfg),
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = hash_group_apply(fps, ["fp"], make_batch_substring_pair_gen(cfg),
-                             cfg.shuffle_partitions).materialize()
-    if pairs.count() <= cfg.driver_pairs_max:
-        # driver fast path (scale-gated, mirrors the main edge distinct)
+                             cfg.shuffle_partitions)
+    if n_docs <= cfg.driver_docs_max:
+        # driver fast path (scale-gated, mirrors the main edge distinct):
+        # one streaming consume of the pair set, no mid-pipeline barrier
         from nise_ray.util import collect_table
         t = collect_table(pairs)
         if t.num_rows == 0:

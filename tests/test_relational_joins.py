@@ -57,3 +57,59 @@ def test_top_unshipped_orders_matches_duckdb(ray_session, bmax):
     """).fetchdf()
     assert list(got["l_orderkey"]) == list(want["l_orderkey"])
     assert np.allclose(got["revenue"], want["revenue"])
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_customers_without_orders_matches_duckdb(ray_session, bmax):
+    """broadcast NOT-IN filter vs the distributed left_anti hash join
+    (bmax=0 forces the fallback) — identical rollup either way."""
+    from nise_ray.ops.relational import customers_without_orders
+    got = customers_without_orders(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 350000)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """).fetchdf()
+    assert list(got["c_nationkey"]) == list(want["c_nationkey"])
+    assert list(got["n_customers"]) == list(want["n_customers"])
+
+
+def test_broadcast_side_rejects_duplicate_keys(ray_session):
+    """_broadcast_side must fail loudly on duplicate dimension keys (a
+    searchsorted lookup would silently drop inner-join multiplicity)."""
+    import pyarrow as pa
+
+    import ray
+    from nise_ray.ops.relational import _broadcast_side
+    dup = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string())}))
+    with pytest.raises(AssertionError, match="duplicate"):
+        _broadcast_side(dup, "k", "v", 1000)
+
+
+def test_attach_segment_empty_broadcast(ray_session):
+    """Empty dimension side: the broadcast join path must yield zero rows,
+    not IndexError on the clipped searchsorted."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.relational import segment_revenue
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_mktsegment": pa.array([], pa.string())}),
+            os.path.join(d, "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64())}),
+            os.path.join(d, "orders.parquet"))
+        out = segment_revenue(d)
+        assert out.num_rows == 0

@@ -53,12 +53,19 @@ def test_join_mode_distributed_distinct(ray_session, small_fixture):
 
 
 def test_join_mode_oversized_partition_request(ray_session, small_fixture):
-    """A data-sized partition count far beyond the cluster's aggregator
-    CPU budget must be capped to a schedulable value, not deadlock: two
-    chained verify joins at 320 partitions demand 2x40 aggregator CPUs,
-    which can never schedule on a small cluster (the streaming executor
-    backpressures forever). Regression for the 8M-file scaling run."""
+    """A USER-PINNED partition count beyond the cluster's aggregator CPU
+    budget must fail loudly: honoring it deadlocks the aggregator pool
+    (verified — a 512-partition pin on 8 CPUs hangs forever), while
+    silently clamping breaks the pinned-plan manifest invariant (resume
+    on a differently-sized cluster would execute a different plan).
+    Engine-chosen data-sized counts (shuffle_partitions=0) are still
+    clamped to a schedulable value — that path stays deadlock-free."""
     cfg = DedupConfig(verify_mode="join", shuffle_partitions=320)
-    base = _edges(small_fixture, DedupConfig())
-    capped = _edges(small_fixture, cfg)
-    assert base == capped
+    with pytest.raises(ValueError, match="schedulable"):
+        _edges(small_fixture, cfg)
+    # a schedulable pin is honored verbatim
+    import ray
+    from nise_ray.pipeline import dedup_pipeline as dp
+    res = dp(ray.data.from_arrow(small_fixture.corpus),
+             DedupConfig(verify_mode="join", shuffle_partitions=10))
+    assert res.stats["shuffle_partitions_resolved"] == 10

@@ -46,6 +46,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Replicate the driver's exact value-hash compare.
+
+    The driver hashes values bit-exactly after sorting columns by name;
+    an int64 engine column vs a float64 oracle column (e.g. DuckDB
+    HUGEINT window sums round-tripping through pandas) hash-mismatches
+    even when numerically identical, so dtype-kind differences and
+    exact float differences are FAILURES here, not tolerated."""
     if len(a) != len(b):
         return f"rows {len(a)} != {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
@@ -53,10 +60,20 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = canon(a), canon(b)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
-                bv.dtype, np.floating):
-            if not np.allclose(av.astype(float), bv.astype(float),
-                               rtol=1e-9, atol=1e-9, equal_nan=True):
+        a_float = np.issubdtype(av.dtype, np.floating)
+        b_float = np.issubdtype(bv.dtype, np.floating)
+        if a_float != b_float:
+            return (f"dtype kind mismatch in {c}: engine {av.dtype} vs "
+                    f"oracle {bv.dtype} (driver hashes exactly — CAST in "
+                    f"the oracle SQL)")
+        if a_float:
+            avf, bvf = av.astype(float), bv.astype(float)
+            both_nan = np.isnan(avf) & np.isnan(bvf)
+            if not np.array_equal(avf[~both_nan], bvf[~both_nan]):
+                if np.allclose(avf, bvf, rtol=1e-9, atol=1e-9,
+                               equal_nan=True):
+                    return (f"values in {c} match only with tolerance "
+                            f"(driver hashes exactly -> would FAIL)")
                 return f"values differ in {c}"
         elif not (av.astype(str) == bv.astype(str)).all():
             return f"values differ in {c}"
