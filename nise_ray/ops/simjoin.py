@@ -10,9 +10,11 @@ still scale-shaped:
 
   1. df pass: one vocab-sized hash exchange counts document frequency per
      token (the combiner pattern — per-batch partial counts, never token
-     instances); the (tok -> df) map is broadcast via ray.put (vocab-sized;
-     at 100 TB replace with a distributed join on tok, same shape as
-     join_verify).
+     instances). The (tok -> df) attach is mode-gated (`df_mode`):
+     "broadcast" ray.puts the vocab-sized map once; "join" runs a
+     distributed hash join on tok + a doc_id regroup (the 100-TB path,
+     same shape as join_verify); "auto" picks by vocab size. Both paths
+     are parity-tested to emit identical pairs.
   2. prefix explode: each doc emits only its p = n - ceil(tau*n) + 1
      RAREST tokens (global order = (df, tok) asc). The prefix-filter
      theorem guarantees any pair with J >= tau shares a prefix token, so
@@ -22,9 +24,17 @@ still scale-shaped:
      token-inverted-index join is filtered out by construction.
   3. candidate pairs per token group with the size filter
      (min(nu,nv) >= tau * max(nu,nv)), then one (u, v) distinct exchange.
-  4. verify: exact intersection against a broadcast needed-docs token-set
-     map (gathered with the NeededFilter pattern — driver memory scales
-     with the PAIR set, not the corpus).
+  4. verify: DISTRIBUTED map_batches over the pair set — each worker
+     holds the needed-docs token-set map (broadcast once via ray.put;
+     needed set is bounded by the PAIR set, not the corpus) and counts
+     intersections fully vectorized (one lexsort + adjacent-duplicate
+     count per batch of pairs, no per-pair Python).
+
+All tokenize/hash work uses the batched kernels from ops/normalize
+(Arrow regex split + dictionary-encoded blake2b with a per-actor vocab
+cache) over RAW text — matching the oracle's tokenizer exactly; the
+round-3 per-row Python `_TOKEN.findall` + per-token blake2b sites are
+gone.
 
 Output is integer-exact: (doc_id_u, doc_id_v, n_inter, n_union) — no
 float in the contract, so the DuckDB hash comparison has no rounding
@@ -38,8 +48,8 @@ import pyarrow as pa
 
 import ray
 
-from nise_ray.hashing import U64, blake2b64
-from nise_ray.ops.normalize import _TOKEN
+from nise_ray.hashing import U64
+from nise_ray.ops.normalize import TokenHasher, batch_token_hashes
 
 _EMPTY_PAIRS = pa.schema([
     ("doc_id_u", pa.int64()), ("doc_id_v", pa.int64()),
@@ -47,25 +57,60 @@ _EMPTY_PAIRS = pa.schema([
 ])
 
 
-def _distinct_token_hashes(text: str) -> np.ndarray:
-    toks = set(_TOKEN.findall(text))
-    if not toks:
-        return np.empty(0, dtype=U64)
-    return np.unique(np.fromiter((blake2b64(t.encode()) for t in toks),
-                                 dtype=U64, count=len(toks)))
+def _row_unique_token_hashes(
+    col: "pa.Array | pa.ChunkedArray", hasher: TokenHasher,
+) -> tuple[np.ndarray, np.ndarray]:
+    """text column -> (flat per-row sorted-unique token hashes, offsets).
+
+    Batched: one Arrow regex split + dictionary-encoded blake2b for the
+    whole column, one lexsort for the per-row dedup — no per-row Python.
+    Raw-text tokenization (normalize=False): this operator's contract and
+    oracle are defined over unnormalized text."""
+    flat_h, offs, _ = batch_token_hashes(col, hasher, normalize=False)
+    n = len(offs) - 1
+    cnt = np.diff(offs)
+    row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    if len(flat_h) == 0:
+        return flat_h, np.zeros(n + 1, dtype=np.int64)
+    order = np.lexsort((flat_h, row))
+    f = flat_h[order]
+    r = row[order]
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    uf = f[keep]
+    ucnt = np.bincount(r[keep], minlength=n).astype(np.int64)
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ucnt, out=uoffs[1:])
+    return uf, uoffs
 
 
-def _df_partial_batch(b: pa.Table) -> pa.Table:
-    """Per-batch combiner: (tok, partial document frequency)."""
-    toks: list[np.ndarray] = [
-        _distinct_token_hashes(t) for t in b.column("text").to_pylist()]
-    allt = (np.concatenate(toks) if toks else np.empty(0, dtype=U64))
-    if len(allt) == 0:
-        return pa.table({"tok": pa.array([], pa.uint64()),
-                         "df": pa.array([], pa.int64())})
-    uniq, counts = np.unique(allt, return_counts=True)
-    return pa.table({"tok": pa.array(uniq, pa.uint64()),
-                     "df": pa.array(counts, pa.int64())})
+def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of [s, s+c) index ranges, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    incr = np.ones(total, dtype=np.int64)
+    incr[0] = starts[0]
+    reset = np.cumsum(counts)[:-1]
+    incr[reset] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return np.cumsum(incr)
+
+
+class _DfPartial:
+    """Per-batch combiner: (tok, partial document frequency). Actor-pool
+    stage so the token-hash vocabulary cache persists across batches."""
+
+    def __init__(self) -> None:
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        uf, _ = _row_unique_token_hashes(b.column("text"), self.hasher)
+        if len(uf) == 0:
+            return pa.table({"tok": pa.array([], pa.uint64()),
+                             "df": pa.array([], pa.int64())})
+        uniq, counts = np.unique(uf, return_counts=True)
+        return pa.table({"tok": pa.array(uniq, pa.uint64()),
+                         "df": pa.array(counts, pa.int64())})
 
 
 def _df_merge_batch(batch: pa.Table) -> pa.Table:
@@ -81,10 +126,160 @@ def _df_merge_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
+def _prefix_lengths(cnt: np.ndarray, tau: float) -> np.ndarray:
+    """Bayardo'07 Jaccard prefix length p = n - ceil(tau*n) + 1 (0 when
+    the row has no tokens)."""
+    p = cnt - np.ceil(np.round(tau * cnt, 9)).astype(np.int64) + 1
+    return np.where(cnt > 0, p, 0)
+
+
+def _prefix_select(uf: np.ndarray, dfv: np.ndarray, row: np.ndarray,
+                   uoffs: np.ndarray, cnt: np.ndarray, tau: float,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row prefix selection, one batch-wide lexsort: keep each row's
+    first p_row entries in (df asc, tok asc) order. Returns (flat indices
+    into uf's row-sorted order, row index per kept entry)."""
+    p = _prefix_lengths(cnt, tau)
+    order = np.lexsort((uf, dfv, row))  # row-major; within row (df, tok)
+    intra = np.arange(len(uf), dtype=np.int64) - np.repeat(uoffs[:-1], cnt)
+    keep = intra < np.repeat(p, cnt)
+    return order[keep], row[keep]  # row[order] == row (row already sorted)
+
+
+class _PrefixExplodeBroadcast:
+    """Prefix explode with the broadcast (tok -> df) map."""
+
+    def __init__(self, df_ref, tau: float) -> None:
+        self.toks, self.dfs = ray.get(df_ref)
+        self.tau = tau
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        uf, uoffs = _row_unique_token_hashes(b.column("text"), self.hasher)
+        if len(uf) == 0:
+            return pa.table({"tok": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        n = len(uoffs) - 1
+        cnt = np.diff(uoffs)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        pos = np.searchsorted(self.toks, uf)
+        dfv = self.dfs[pos]  # every token exists in the global map
+        sel, rk = _prefix_select(uf, dfv, row, uoffs, cnt, self.tau)
+        return pa.table({
+            "tok": pa.array(uf[sel], pa.uint64()),
+            "doc_id": pa.array(ids[rk], pa.int64()),
+            "n_tok": pa.array(cnt[rk], pa.int64()),
+        })
+
+
+class _ExplodeAllTokens:
+    """(doc_id, text) -> one row per DISTINCT token (doc_id, tok, n_tok);
+    feeds the distributed df join path."""
+
+    def __init__(self) -> None:
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        uf, uoffs = _row_unique_token_hashes(b.column("text"), self.hasher)
+        n = len(uoffs) - 1
+        cnt = np.diff(uoffs)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        return pa.table({
+            "tok": pa.array(uf, pa.uint64()),
+            "doc_id": pa.array(ids[row], pa.int64()),
+            "n_tok": pa.array(cnt[row], pa.int64()),
+        })
+
+
+def _prefix_regroup_batch(tau: float):
+    """Block fn for the df-join path: the block holds complete doc_id
+    groups of (doc_id, tok, n_tok, df) rows; re-derive each doc's prefix
+    with the same batch-wide lexsort as the broadcast path."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tok": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64())})
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
+        nt = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        # group rows by doc (block is hash-partitioned but not sorted)
+        o = np.argsort(ids, kind="stable")
+        ids, toks, nt, dfv = ids[o], toks[o], nt[o], dfv[o]
+        from nise_ray.ops.groupapply import segments
+        starts, cnt = segments(ids)
+        uoffs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=uoffs[1:])
+        row = np.repeat(np.arange(len(starts), dtype=np.int64), cnt)
+        sel, rk = _prefix_select(toks, dfv, row, uoffs, cnt, tau)
+        return pa.table({
+            "tok": pa.array(toks[sel], pa.uint64()),
+            "doc_id": pa.array(ids[starts][rk], pa.int64()),
+            "n_tok": pa.array(nt[starts][rk], pa.int64()),
+        })
+
+    return fn
+
+
+class _VerifyPairs:
+    """Distributed exact verification: per batch of candidate pairs,
+    gather both endpoints' sorted-unique token sets from the broadcast
+    needed-docs map and count intersections with ONE lexsort + adjacent-
+    duplicate scan — no per-pair Python (the round-3 driver loop)."""
+
+    def __init__(self, map_ref, tau: float) -> None:
+        self.ids, self.flat, self.offs = ray.get(map_ref)
+        self.tau = tau
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_PAIRS.empty_table()
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        hi = max(len(self.ids) - 1, 0)
+        iu = np.clip(np.searchsorted(self.ids, u), 0, hi)
+        iv = np.clip(np.searchsorted(self.ids, v), 0, hi)
+        if not ((self.ids[iu] == u).all() and (self.ids[iv] == v).all()):
+            raise AssertionError("pair endpoint missing from token-set map")
+        cu = self.offs[iu + 1] - self.offs[iu]
+        cv = self.offs[iv + 1] - self.offs[iv]
+        npair = len(u)
+        pair_idx = np.arange(npair, dtype=np.int64)
+        a_idx = _ranges(self.offs[iu], cu)
+        b_idx = _ranges(self.offs[iv], cv)
+        all_pair = np.concatenate([np.repeat(pair_idx, cu),
+                                   np.repeat(pair_idx, cv)])
+        all_hash = np.concatenate([self.flat[a_idx], self.flat[b_idx]])
+        order = np.lexsort((all_hash, all_pair))
+        ps, hs = all_pair[order], all_hash[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        n_inter = np.bincount(ps[1:][dup], minlength=npair)
+        n_union = cu + cv - n_inter
+        keep = n_inter.astype(np.float64) >= self.tau * n_union
+        return pa.table({
+            "doc_id_u": pa.array(u[keep], pa.int64()),
+            "doc_id_v": pa.array(v[keep], pa.int64()),
+            "n_inter": pa.array(n_inter[keep], pa.int64()),
+            "n_union": pa.array(n_union[keep], pa.int64()),
+        })
+
+
+def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
+                        df_mode: str = "auto",
+                        df_broadcast_max: int = 10_000_000) -> pa.Table:
     """All document pairs with exact token-set Jaccard >= tau, as
     (doc_id_u, doc_id_v, n_inter, n_union), sorted by (u, v).
-    See module docstring for the prefix-filtered plan."""
+    See module docstring for the prefix-filtered plan.
+
+    df_mode: "broadcast" | "join" | "auto" — how the per-token document
+    frequency reaches the prefix selector. "join" is the 100-TB path
+    (distributed hash join on tok + doc_id regroup, no vocab-sized
+    driver/worker state); "auto" gates on the measured vocab size."""
     from nise_ray.ops.groupapply import (
         default_concurrency,
         hash_group_apply,
@@ -96,66 +291,51 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
                                  columns=["doc_id", "text"])
 
     # ---- pass 1: global document frequency per token (vocab-sized) ------
-    partials = docs.map_batches(_df_partial_batch, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    df_t = collect_table(hash_group_apply(partials, ["tok"], _df_merge_batch))
-    toks_sorted = df_t.column("tok").to_numpy(zero_copy_only=False).astype(U64)
-    order = np.argsort(toks_sorted)
-    toks_sorted = toks_sorted[order]
-    dfs_sorted = df_t.column("df").to_numpy(zero_copy_only=False)[order]
-    df_ref = ray.put((toks_sorted, dfs_sorted))
+    partials = docs.map_batches(_DfPartial, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+    # vocab-sized, consumed twice in join mode (gate count + join input)
+    df_ds = hash_group_apply(partials, ["tok"], _df_merge_batch).materialize()
+    if df_mode == "auto":
+        df_mode = "broadcast" if df_ds.count() <= df_broadcast_max else "join"
 
     # ---- pass 2: prefix explode ----------------------------------------
-    class PrefixExplode:
-        def __init__(self) -> None:
-            self.toks, self.dfs = ray.get(df_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            out_tok: list[np.ndarray] = []
-            out_doc: list[int] = []
-            out_n: list[int] = []
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            for i, text in enumerate(b.column("text").to_pylist()):
-                th = _distinct_token_hashes(text)
-                n = len(th)
-                if n == 0:
-                    continue
-                pos = np.searchsorted(self.toks, th)
-                dfv = self.dfs[pos]  # every token exists in the global map
-                # global canonical order: (df asc, tok asc); prefix length
-                # p = n - ceil(tau*n) + 1 (Bayardo'07 Jaccard prefix)
-                p = n - int(np.ceil(np.round(tau * n, 9))) + 1
-                sel = np.lexsort((th, dfv))[:p]
-                out_tok.append(th[sel])
-                out_doc.append(int(ids[i]))
-                out_n.append(n)
-            if not out_tok:
-                return pa.table({"tok": pa.array([], pa.uint64()),
-                                 "doc_id": pa.array([], pa.int64()),
-                                 "n_tok": pa.array([], pa.int64())})
-            lens = [len(x) for x in out_tok]
-            return pa.table({
-                "tok": pa.array(np.concatenate(out_tok), pa.uint64()),
-                "doc_id": pa.array(np.repeat(out_doc, lens), pa.int64()),
-                "n_tok": pa.array(np.repeat(out_n, lens), pa.int64()),
-            })
-
-    prefix = docs.map_batches(PrefixExplode, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
+    if df_mode == "broadcast":
+        df_t = collect_table(df_ds)
+        toks_sorted = df_t.column("tok").to_numpy(
+            zero_copy_only=False).astype(U64)
+        order = np.argsort(toks_sorted)
+        df_ref = ray.put((toks_sorted[order],
+                          df_t.column("df").to_numpy(
+                              zero_copy_only=False)[order]))
+        prefix = docs.map_batches(
+            _PrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency())
+    elif df_mode == "join":
+        from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        full = docs.map_batches(_ExplodeAllTokens, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+        _hash_shuffle_on(full, df_ds)
+        joined = full.join(df_ds, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("tok",))
+        prefix = hash_group_apply(joined, ["doc_id"],
+                                  _prefix_regroup_batch(tau), sort=False)
+    else:
+        raise ValueError(f"unknown df_mode {df_mode!r}")
 
     # ---- pass 3: candidate pairs per token group + (u,v) distinct -------
     def pair_gen(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64()),
-                             "nu": pa.array([], pa.int64()),
-                             "nv": pa.array([], pa.int64())})
+                             "v": pa.array([], pa.int64())})
         tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         nt = batch.column("n_tok").to_numpy(zero_copy_only=False)
         starts, counts = segments(tok)
-        us, vs, nus, nvs = [], [], [], []
+        us, vs = [], []
         for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
             gid = ids[s:s + c]
             gnt = nt[s:s + c]
@@ -167,18 +347,14 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
             hi = np.maximum(gnt[ii], gnt[jj])
             keep = lo.astype(np.float64) >= tau * hi
             if keep.any():
-                us.append(gid[ii[keep]]); vs.append(gid[jj[keep]])
-                nus.append(gnt[ii[keep]]); nvs.append(gnt[jj[keep]])
+                us.append(gid[ii[keep]])
+                vs.append(gid[jj[keep]])
         if not us:
             return pa.table({"u": pa.array([], pa.int64()),
-                             "v": pa.array([], pa.int64()),
-                             "nu": pa.array([], pa.int64()),
-                             "nv": pa.array([], pa.int64())})
+                             "v": pa.array([], pa.int64())})
         return pa.table({
             "u": pa.array(np.concatenate(us), pa.int64()),
             "v": pa.array(np.concatenate(vs), pa.int64()),
-            "nu": pa.array(np.concatenate(nus), pa.int64()),
-            "nv": pa.array(np.concatenate(nvs), pa.int64()),
         })
 
     cands = hash_group_apply(prefix, ["tok"], pair_gen)
@@ -190,23 +366,33 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
         v = batch.column("v").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))
         first = np.ones(len(order), dtype=bool)
-        first[1:] = (u[order][1:] != u[order][:-1]) | (v[order][1:] != v[order][:-1])
+        first[1:] = (u[order][1:] != u[order][:-1]) | \
+                    (v[order][1:] != v[order][:-1])
         return batch.take(pa.array(order[first]))
 
-    pairs = collect_table(hash_group_apply(cands, ["u", "v"], distinct_uv,
-                                           sort=False))
-    if pairs.num_rows == 0:
-        return _EMPTY_PAIRS.empty_table()
+    # pair-set-sized, consumed twice (endpoint distinct + verify input)
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+                                sort=False).materialize()
 
-    # ---- pass 4: exact verification against needed docs' token sets -----
-    pu = pairs.column("u").to_numpy(zero_copy_only=False)
-    pv = pairs.column("v").to_numpy(zero_copy_only=False)
-    needed = np.unique(np.concatenate([pu, pv]))
+    # ---- pass 4: distributed exact verification -------------------------
+    # needed-docs set: distinct pair endpoints (pair-bounded, not corpus)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        e = np.unique(np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(e, pa.int64())})
+
+    ep = collect_table(pairs_ds.map_batches(endpoints,
+                                            batch_format="pyarrow"))
+    if ep.num_rows == 0:
+        return _EMPTY_PAIRS.empty_table()
+    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
     needed_ref = ray.put(needed)
 
     class GatherTokenSets:
         def __init__(self) -> None:
             self.needed = ray.get(needed_ref)
+            self.hasher = TokenHasher()
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -214,40 +400,40 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5) -> pa.Table:
                           len(self.needed) - 1)
             rows = np.flatnonzero(self.needed[pos] == ids)
             if len(rows) == 0:
-                return pa.table({"doc_id": pa.array([], pa.int64()),
-                                 "toks": pa.array([], pa.list_(pa.uint64()))})
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "toks": pa.array([], pa.large_list(pa.uint64()))})
             sel = b.take(pa.array(rows))
+            uf, uoffs = _row_unique_token_hashes(sel.column("text"),
+                                                 self.hasher)
             return pa.table({
                 "doc_id": sel.column("doc_id"),
-                "toks": pa.array(
-                    [_distinct_token_hashes(t)
-                     for t in sel.column("text").to_pylist()],
-                    pa.list_(pa.uint64())),
+                "toks": pa.LargeListArray.from_arrays(
+                    pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
             })
 
     got = collect_table(docs.map_batches(
         GatherTokenSets, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=default_concurrency()))
-    by_id: dict[int, np.ndarray] = {}
-    ids = got.column("doc_id").to_numpy(zero_copy_only=False)
-    toks_col = got.column("toks")
-    for i in range(got.num_rows):
-        by_id[int(ids[i])] = np.asarray(toks_col[i].as_py(), dtype=U64)
+    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
+    glists = got.column("toks").combine_chunks()
+    g_flat = glists.flatten().to_numpy(zero_copy_only=False).astype(U64)
+    g_offs = np.asarray(glists.offsets, dtype=np.int64) - glists.offset
+    # re-pack sorted by doc_id so workers can searchsorted
+    order = np.argsort(gids)
+    cnts = np.diff(g_offs)[order]
+    flat_sorted = g_flat[_ranges(g_offs[:-1][order], cnts)]
+    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs_sorted[1:])
+    map_ref = ray.put((gids[order], flat_sorted, offs_sorted))
 
-    n_inter = np.empty(pairs.num_rows, dtype=np.int64)
-    n_union = np.empty(pairs.num_rows, dtype=np.int64)
-    for i, (a, b_) in enumerate(zip(pu, pv)):
-        ta, tb = by_id[int(a)], by_id[int(b_)]
-        inter = len(np.intersect1d(ta, tb, assume_unique=True))
-        n_inter[i] = inter
-        n_union[i] = len(ta) + len(tb) - inter
-    keep = n_inter.astype(np.float64) >= tau * n_union
-    out = pa.table({
-        "doc_id_u": pa.array(pu[keep], pa.int64()),
-        "doc_id_v": pa.array(pv[keep], pa.int64()),
-        "n_inter": pa.array(n_inter[keep], pa.int64()),
-        "n_union": pa.array(n_union[keep], pa.int64()),
-    })
+    verified = pairs_ds.map_batches(
+        _VerifyPairs, fn_constructor_args=(map_ref, tau),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency())
+    out = collect_table(verified)
+    if out.num_rows == 0:
+        return _EMPTY_PAIRS.empty_table()
     return out.sort_by([("doc_id_u", "ascending"), ("doc_id_v", "ascending")])
 
 

@@ -191,3 +191,14 @@ def test_source_overlap_join_fallback_parity(ray_session):
     a = source_overlap_pairs(SF, tau=0.5)
     b = source_overlap_pairs(SF, tau=0.5, broadcast_max=0)
     assert a.equals(b)
+
+
+def test_token_jaccard_df_join_parity(ray_session):
+    """The distributed df path ("join": hash join on tok + doc_id regroup
+    — the 100-TB configuration, no vocab-sized broadcast) must emit
+    exactly the broadcast path's pair set."""
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+    a = token_jaccard_pairs(SF, tau=0.5, df_mode="broadcast")
+    b = token_jaccard_pairs(SF, tau=0.5, df_mode="join")
+    assert a.num_rows > 0
+    assert a.equals(b)
