@@ -105,12 +105,48 @@ def driver_components(edges_ds: "ray.data.Dataset") -> pa.Table:
 
 
 # ----------------------------------------------------------- distributed path
+#
+# Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14) — replacing round-3's
+# hash-to-min. The decisive property at 10^12-file scale: each round's
+# output edge count is BOUNDED BY THE INPUT edge count (large-star emits
+# at most one edge per larger-neighbor relation, small-star at most one
+# per edge), so a giant near-dup component cannot inflate the round-trip
+# row set the way hash-to-min's member lists could (hash-to-min
+# concentrates every member of a component onto its min-node's partition
+# with up-to-quadratic intermediate rows; see round-3 VERDICT). The final
+# state is a star per component centered at the min node; the hub's
+# |component|-row group is the irreducible output size, processed by one
+# vectorized reduceat.
 
-def _htm_round_batch(batch: pa.Table) -> pa.Table:
-    """One hash-to-min round over a hash partition sorted by node —
-    fully vectorized (np.minimum.reduceat segment mins): for each node u
-    with members C(u), emit (x, m) and (m, x) for all x in C(u) ∪ {u},
-    m = min(C(u) ∪ {u})."""
+
+def _canon_pairs_batch(b: pa.Table) -> pa.Table:
+    """(u, v) edges -> canonical (node=max, member=min) pairs, self-loops
+    dropped, per-block dedup."""
+    u = b.column("u").to_numpy(zero_copy_only=False).astype(U64)
+    v = b.column("v").to_numpy(zero_copy_only=False).astype(U64)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    keep = hi != lo
+    pairs = np.unique(np.stack([hi[keep], lo[keep]], axis=1), axis=0)
+    return pa.table({"node": pa.array(pairs[:, 0], pa.uint64()),
+                     "member": pa.array(pairs[:, 1], pa.uint64())})
+
+
+def _both_orientations_batch(b: pa.Table) -> pa.Table:
+    node = b.column("node").to_numpy(zero_copy_only=False).astype(U64)
+    member = b.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    return pa.table({
+        "node": pa.array(np.concatenate([node, member]), pa.uint64()),
+        "member": pa.array(np.concatenate([member, node]), pa.uint64()),
+    })
+
+
+def _large_star_batch(batch: pa.Table) -> pa.Table:
+    """large-star(u): connect every STRICTLY LARGER neighbor v > u to
+    m = min(Γ(u) ∪ {u}). Input: both orientations, hash-partitioned and
+    sorted by node; output edges are canonical (larger, smaller).
+    Vectorized: one reduceat for the per-group min, one mask."""
     from nise_ray.ops.groupapply import segments
     if batch.num_rows == 0:
         return batch
@@ -119,12 +155,28 @@ def _htm_round_batch(batch: pa.Table) -> pa.Table:
     starts, counts = segments(node)
     seg_min = np.minimum(np.minimum.reduceat(member, starts), node[starts])
     m_rep = np.repeat(seg_min, counts)
-    node_vals = node[starts]
-    out_node = np.concatenate([member, m_rep, node_vals, seg_min])
-    out_member = np.concatenate([m_rep, member, seg_min, node_vals])
-    # within-partition dedup to damp the row explosion between rounds
-    pairs = np.stack([out_node, out_member], axis=1)
-    pairs = np.unique(pairs, axis=0)
+    keep = member > node
+    pairs = np.unique(np.stack([member[keep], m_rep[keep]], axis=1), axis=0)
+    return pa.table({"node": pa.array(pairs[:, 0], pa.uint64()),
+                     "member": pa.array(pairs[:, 1], pa.uint64())})
+
+
+def _small_star_batch(batch: pa.Table) -> pa.Table:
+    """small-star(u): connect every smaller neighbor (and u itself) to
+    m = min(Γ⁻(u)). Input: canonical (node, member<node) pairs sorted by
+    node; output stays canonical."""
+    from nise_ray.ops.groupapply import segments
+    if batch.num_rows == 0:
+        return batch
+    node = batch.column("node").to_numpy(zero_copy_only=False).astype(U64)
+    member = batch.column("member").to_numpy(zero_copy_only=False).astype(U64)
+    starts, counts = segments(node)
+    seg_min = np.minimum.reduceat(member, starts)
+    m_rep = np.repeat(seg_min, counts)
+    keep = member != m_rep
+    out_hi = np.concatenate([member[keep], node[starts]])
+    out_lo = np.concatenate([m_rep[keep], seg_min])
+    pairs = np.unique(np.stack([out_hi, out_lo], axis=1), axis=0)
     return pa.table({"node": pa.array(pairs[:, 0], pa.uint64()),
                      "member": pa.array(pairs[:, 1], pa.uint64())})
 
@@ -142,48 +194,59 @@ def _label_batch(batch: pa.Table) -> pa.Table:
                      "cluster_id": pa.array(label, pa.uint64())})
 
 
-def _labels_checksum(labels_ds: "ray.data.Dataset") -> int:
+def _pairs_checksum(pairs_ds: "ray.data.Dataset") -> int:
+    """Order-insensitive XOR checksum over the canonical pair set (the
+    convergence detector — the star decomposition is a fixed point of
+    both round types)."""
     def batch_xor(b: pa.Table) -> pa.Table:
-        n = b.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-        l = b.column("cluster_id").to_numpy(zero_copy_only=False).astype(U64)
-        h = splitmix64(n ^ splitmix64(l))
+        n = b.column("node").to_numpy(zero_copy_only=False).astype(U64)
+        m = b.column("member").to_numpy(zero_copy_only=False).astype(U64)
+        h = splitmix64(n ^ splitmix64(m))
         x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
         return pa.table({"x": pa.array([int(x)], pa.uint64())})
 
     total = 0
-    for row in labels_ds.map_batches(batch_xor, batch_format="pyarrow").take_all():
+    for row in pairs_ds.map_batches(batch_xor,
+                                    batch_format="pyarrow").take_all():
         total ^= row["x"]
     return total
 
 
-def distributed_components(edges_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
-    """Hash-to-min connected components; returns Dataset(doc_key, cluster_id)."""
-    def edges_to_pairs(b: pa.Table) -> pa.Table:
-        u = b.column("u").to_numpy(zero_copy_only=False).astype(U64)
-        v = b.column("v").to_numpy(zero_copy_only=False).astype(U64)
-        return pa.table({
-            "node": pa.array(np.concatenate([u, v]), pa.uint64()),
-            "member": pa.array(np.concatenate([v, u]), pa.uint64()),
-        })
-
+def distributed_components(edges_ds: "ray.data.Dataset", cfg: DedupConfig,
+                           stats: "dict | None" = None) -> "ray.data.Dataset":
+    """Alternating large-star/small-star connected components; returns
+    Dataset(doc_key, cluster_id = min doc_key of the component). Pass a
+    dict as ``stats`` to receive {"cc_rounds", "cc_max_round_rows"} —
+    the row bound the giant-component test asserts on."""
     from nise_ray.ops.groupapply import hash_group_apply
 
     pairs = edges_ds.select_columns(["u", "v"]).map_batches(
-        edges_to_pairs, batch_format="pyarrow")
+        _canon_pairs_batch, batch_format="pyarrow")
     n_parts = cfg.shuffle_partitions
     prev_sum: int | None = None
-    for _ in range(cfg.cc_max_rounds):
-        pairs = hash_group_apply(pairs, ["node"], _htm_round_batch,
+    max_rows = 0
+    rounds = 0
+    for rounds in range(1, cfg.cc_max_rounds + 1):
+        both = pairs.map_batches(_both_orientations_batch,
+                                 batch_format="pyarrow")
+        big = hash_group_apply(both, ["node"], _large_star_batch, n_parts)
+        pairs = hash_group_apply(big, ["node"], _small_star_batch,
                                  n_parts).materialize()
-        labels = hash_group_apply(pairs, ["node"], _label_batch, n_parts)
-        checksum = _labels_checksum(labels)
+        max_rows = max(max_rows, pairs.count())
+        checksum = _pairs_checksum(pairs)
         if checksum == prev_sum:
             break
         prev_sum = checksum
     else:
         raise RuntimeError(
-            f"hash-to-min did not converge in {cfg.cc_max_rounds} rounds")
-    return hash_group_apply(pairs, ["node"], _label_batch, n_parts)
+            f"large-star/small-star did not converge in "
+            f"{cfg.cc_max_rounds} rounds")
+    if stats is not None:
+        stats["cc_rounds"] = rounds
+        stats["cc_max_round_rows"] = max_rows
+    labels_in = pairs.map_batches(_both_orientations_batch,
+                                  batch_format="pyarrow")
+    return hash_group_apply(labels_in, ["node"], _label_batch, n_parts)
 
 
 # ------------------------------------------------------------- label attach

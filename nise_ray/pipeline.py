@@ -541,8 +541,10 @@ def _pipeline_from_signed(
     else:
         # materialize once: attach_labels and the n_labeled_docs stat both
         # consume this — lazy, each would re-run the final label shuffle
-        labels = distributed_components(edges, cfg).materialize()
-        stats["cc_path"] = "distributed_hash_to_min"
+        cc_stats: dict[str, Any] = {}
+        labels = distributed_components(edges, cfg, stats=cc_stats).materialize()
+        stats["cc_path"] = "distributed_two_star"
+        stats.update(cc_stats)
 
     stage_timings["components"] = round(time.time() - t_cc, 3)
 

@@ -52,3 +52,38 @@ def test_union_find_label_is_min():
     t = uf.labels()
     d = dict(zip(t.column("doc_key").to_pylist(), t.column("cluster_id").to_pylist()))
     assert set(d.values()) == {5}
+
+
+def test_distributed_cc_giant_component_bounded(ray_session):
+    """Planted 200k-node single near-dup component (random-attachment
+    tree): the two-star rounds must converge within the round cap, label
+    every node with the global min, and never inflate the per-round edge
+    set beyond ~2x the input edge count — the bound hash-to-min lacked
+    (its member lists grow with component size and concentrate on the
+    min-node's partition)."""
+    import pyarrow as pa
+
+    import ray
+    from nise_ray.config import DedupConfig
+    from nise_ray.ops.components import distributed_components
+    from nise_ray.util import collect_table
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 200_000
+    base = 1000
+    child = np.arange(1, n, dtype=np.uint64)
+    parent = (rng.random(n - 1) * child).astype(np.uint64)
+    edges = pa.table({"u": pa.array(parent + base, pa.uint64()),
+                      "v": pa.array(child + base, pa.uint64())})
+    cfg = DedupConfig()
+    stats = {}
+    labels = collect_table(distributed_components(
+        ray.data.from_arrow(edges), cfg, stats=stats))
+    assert labels.num_rows == n
+    cl = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+    assert (cl == base).all()
+    e = n - 1
+    assert stats["cc_rounds"] <= cfg.cc_max_rounds
+    # large-star emits <= E edges, small-star <= E + one per group:
+    # per-round rows stay linear in the input edge count
+    assert stats["cc_max_round_rows"] <= 2 * e + n
