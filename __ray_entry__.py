@@ -235,6 +235,15 @@ def _q_lang_quantiles(sf_dir: str):
     return lang_length_quantiles(sf_dir)
 
 
+def _q_lang_quantiles_sketch(sf_dir: str):
+    """DDSketch-style log-binned quantile sketch (rows-only: the output
+    is an alpha-relative-error ESTIMATE, not SQL-expressible; the exact
+    variant lang_length_quantiles is the oracled baseline and the
+    error-bound test in tests/test_events_ops.py pins the guarantee)."""
+    from nise_ray.ops.events import lang_length_quantiles_sketch
+    return lang_length_quantiles_sketch(sf_dir)
+
+
 def _q_range_join(sf_dir: str):
     from nise_ray.ops.events import user_prior_event_counts
     return user_prior_event_counts(sf_dir, window_minutes=60)
@@ -396,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_prior_counts": _q_range_join,
         "window_running_stats": _q_running_stats,
         "lang_length_quantiles": _q_lang_quantiles,
+        "lang_length_quantiles_sketch": _q_lang_quantiles_sketch,
         "windowed_events": _q_windowed_events,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,

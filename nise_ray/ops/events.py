@@ -270,6 +270,110 @@ def lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
 
     return hash_group_apply(ds, ["lang"], agg, 0, sort=False)
 
+
+def lang_length_quantiles_sketch(sf_dir: str,
+                                 alpha: float = 0.01) -> "ray.data.Dataset":
+    """SKETCH path for per-group quantiles (the 100-TB configuration the
+    exact path's docstring promises): DDSketch-style log-binned histogram
+    (Masson et al., VLDB'19) with relative-error guarantee `alpha` on the
+    quantile VALUE.
+
+    Why this shape scales where the exact path cannot: the exact operator
+    ships every group member's value into one block and sorts it — a
+    heavy-hitter language at 10^12 docs puts that language's whole value
+    vector in one partition. Here each batch emits SPARSE (lang, bin, n)
+    histogram partials — bounded by #langs x #bins (~2k bins for 1%
+    relative error over int64 lengths) REGARDLESS of corpus size — and
+    the exchange merges them with one reduceat. Log bins are trivially
+    mergeable (pure count addition), deterministic, and alpha-accurate:
+    bin(x) = ceil(log_gamma(x)), gamma = (1+alpha)/(1-alpha), estimate =
+    2*gamma^b/(gamma+1) (the bin's relative midpoint).
+
+    Output (lang, n_docs, p50_chars, p90_chars): n_docs is EXACT; the
+    quantiles are estimates within alpha relative error of the exact
+    quantile_disc values (asserted in tests/test_events_ops.py). The
+    exact operator stays the oracled default."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    log_gamma = np.log(gamma)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    _empty = pa.table({"lang": pa.array([], pa.string()),
+                       "bin": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # bin 0 holds values < 1 (exact zero lengths); bins 1.. are the
+        # log-gamma buckets, shifted by +1 to keep 0 reserved
+        bins = np.where(vals < 1.0, 0,
+                        np.ceil(np.log(np.maximum(vals, 1.0)) / log_gamma
+                                ).astype(np.int64) + 1)
+        n_bins = int(bins.max()) + 1
+        combo = codes * np.int64(n_bins) + bins
+        uniq, counts = np.unique(combo, return_counts=True)
+        return pa.table({
+            "lang": lang.dictionary.take(
+                pa.array(uniq // n_bins)).cast(pa.string()),
+            "bin": pa.array(uniq % n_bins, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_schema = pa.table({"lang": pa.array([], pa.string()),
+                               "n_docs": pa.array([], pa.int64()),
+                               "p50_chars": pa.array([], pa.float64()),
+                               "p90_chars": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return out_schema
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = batch.column("bin").to_numpy(zero_copy_only=False)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bins, codes))
+        sc, sb, sn = codes[order], bins[order], ns[order]
+        g_starts, g_counts = segments(sc)
+        # merge duplicate (lang, bin) partials then walk the cumulative
+        # histogram per group — all lengths are #distinct-bins sized
+        langs_out, nd_out, p50_out, p90_out = [], [], [], []
+        for s, c in zip(g_starts, g_counts):
+            b_seg, n_seg = sb[s:s + c], sn[s:s + c]
+            bs, bc = segments(b_seg)
+            ub = b_seg[bs]
+            un = np.add.reduceat(n_seg, bs)
+            cum = np.cumsum(un)
+            n_total = int(cum[-1])
+
+            def est(q: float) -> float:
+                rank = int(np.ceil(np.round(q * n_total, 9))) - 1
+                b = int(ub[np.searchsorted(cum, rank + 1)])
+                return 0.0 if b == 0 else \
+                    2.0 * gamma ** (b - 1) / (gamma + 1.0)
+
+            langs_out.append(sc[s])
+            nd_out.append(n_total)
+            p50_out.append(est(0.5))
+            p90_out.append(est(0.9))
+        return pa.table({
+            "lang": lang.dictionary.take(
+                pa.array(langs_out, pa.int64())).cast(pa.string()),
+            "n_docs": pa.array(nd_out, pa.int64()),
+            "p50_chars": pa.array(p50_out, pa.float64()),
+            "p90_chars": pa.array(p90_out, pa.float64()),
+        })
+
+    return hash_group_apply(partial, ["lang"], finish, 0, sort=False)
+
+
 def user_prior_event_counts(sf_dir: str,
                             window_minutes: int = 60) -> "ray.data.Dataset":
     """RANGE JOIN (self): for every event, the number of earlier events by

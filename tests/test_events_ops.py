@@ -81,3 +81,26 @@ def test_top_tokens_match_duckdb(ray_session):
     """).fetchdf()
     assert list(got["token"]) == list(want["token"])
     assert list(got["n"]) == list(want["n"])
+
+
+def test_lang_quantiles_sketch_error_bound(ray_session):
+    """The DDSketch-style sketch path must return EXACT group counts and
+    quantile estimates within its alpha relative-error guarantee of the
+    exact quantile_disc values (for every group, both quantiles)."""
+    from nise_ray.ops.events import (
+        lang_length_quantiles,
+        lang_length_quantiles_sketch,
+    )
+    from nise_ray.util import collect_table
+    alpha = 0.01
+    exact = collect_table(lang_length_quantiles(SF))
+    sketch = collect_table(lang_length_quantiles_sketch(SF, alpha=alpha))
+    e = {r["lang"]: r for r in exact.to_pylist()}
+    s = {r["lang"]: r for r in sketch.to_pylist()}
+    assert set(e) == set(s) and len(e) > 0
+    for lang, er in e.items():
+        sr = s[lang]
+        assert sr["n_docs"] == er["n_docs"]
+        for col in ("p50_chars", "p90_chars"):
+            rel = abs(sr[col] - er[col]) / max(er[col], 1)
+            assert rel <= alpha, (lang, col, sr[col], er[col], rel)
