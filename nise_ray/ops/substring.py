@@ -37,7 +37,8 @@ from nise_ray.ops.normalize import normalize_text
 
 FP_SCHEMA = pa.schema([
     ("fp", pa.uint64()), ("doc_key", pa.uint64()), ("sha64", pa.uint64()),
-    ("pos", pa.int64()),
+    ("pos", pa.int32()),  # normalized-text byte offset; int32 keeps the
+                          # corpus-dominating fp exchange 12.5% narrower
 ])
 
 SPAN_SCHEMA = pa.schema([
@@ -47,9 +48,15 @@ SPAN_SCHEMA = pa.schema([
     ("v_start", pa.int64()), ("v_end", pa.int64()),
 ])
 
-PAIR_POS_SCHEMA = pa.schema([
-    ("u", pa.uint64()), ("v", pa.uint64()),
-    ("u_pos", pa.int64()), ("v_pos", pa.int64()),
+# per-block PARTIAL span aggregate — the pair gen pre-aggregates each
+# block's (u, v) anchors into one row (count + position bounds), so the
+# (u, v) exchange / driver collect moves distinct-pair-sized partials
+# instead of one row per shared fingerprint (measured 5.1M raw anchor
+# rows vs 108k distinct pairs at the sf0.1 bench tier)
+PAIR_PARTIAL_SCHEMA = pa.schema([
+    ("u", pa.uint64()), ("v", pa.uint64()), ("n_fps", pa.int64()),
+    ("u_min", pa.int64()), ("u_max", pa.int64()),
+    ("v_min", pa.int64()), ("v_max", pa.int64()),
 ])
 
 
@@ -105,7 +112,7 @@ def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         "fp": pa.array(np.concatenate(fps), pa.uint64()),
         "doc_key": pa.array(np.repeat(np.array(doc_keys, dtype=U64), counts), pa.uint64()),
         "sha64": pa.array(np.repeat(np.array(sha64s, dtype=U64), counts), pa.uint64()),
-        "pos": pa.array(np.concatenate(poss), pa.int64()),
+        "pos": pa.array(np.concatenate(poss).astype(np.int32), pa.int32()),
     })
 
 
@@ -133,20 +140,48 @@ def _substring_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray,
             np.full(m - 1, p[0], dtype=np.int64), p[1:])
 
 
+def _span_partials(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
+                   v_pos: np.ndarray) -> pa.Table:
+    """Collapse raw (u, v, anchor, anchor) rows into one partial row per
+    distinct (u, v): fp count + position bounds. One lexsort + reduceat.
+    Distinct fps never repeat across blocks (fp is the partition key), so
+    partial counts add exactly downstream."""
+    order = np.lexsort((v, u))
+    su, sv = u[order], v[order]
+    n = len(order)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    up = u_pos[order].astype(np.int64)
+    vp = v_pos[order].astype(np.int64)
+    return pa.table({
+        "u": pa.array(su[starts], pa.uint64()),
+        "v": pa.array(sv[starts], pa.uint64()),
+        "n_fps": pa.array(counts, pa.int64()),
+        "u_min": pa.array(np.minimum.reduceat(up, starts), pa.int64()),
+        "u_max": pa.array(np.maximum.reduceat(up, starts), pa.int64()),
+        "v_min": pa.array(np.minimum.reduceat(vp, starts), pa.int64()),
+        "v_max": pa.array(np.maximum.reduceat(vp, starts), pa.int64()),
+    })
+
+
 def make_batch_substring_pair_gen(cfg: DedupConfig):
-    """Block-level fn for hash_group_apply keyed on fp: emits candidate
-    pairs WITH each side's fingerprint anchor position."""
+    """Block-level fn for hash_group_apply keyed on fp: generates
+    candidate pairs with anchor positions, then PRE-AGGREGATES them into
+    per-(u, v) span partials before anything leaves the block."""
     from nise_ray.ops.groupapply import segments
     cap = cfg.bucket_cap
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return PAIR_POS_SCHEMA.empty_table()
+            return PAIR_PARTIAL_SCHEMA.empty_table()
         keys = batch.column("fp").to_numpy(zero_copy_only=False)
         starts, counts = segments(keys)
         multi = counts >= 2
         if not multi.any():
-            return PAIR_POS_SCHEMA.empty_table()
+            return PAIR_PARTIAL_SCHEMA.empty_table()
         doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
         sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
         pos = batch.column("pos").to_numpy(zero_copy_only=False)
@@ -160,21 +195,20 @@ def make_batch_substring_pair_gen(cfg: DedupConfig):
                 ups.append(pair[2])
                 vps.append(pair[3])
         if not us:
-            return PAIR_POS_SCHEMA.empty_table()
-        return pa.table({
-            "u": pa.array(np.concatenate(us), pa.uint64()),
-            "v": pa.array(np.concatenate(vs), pa.uint64()),
-            "u_pos": pa.array(np.concatenate(ups), pa.int64()),
-            "v_pos": pa.array(np.concatenate(vps), pa.int64()),
-        })
+            return PAIR_PARTIAL_SCHEMA.empty_table()
+        return _span_partials(np.concatenate(us), np.concatenate(vs),
+                              np.concatenate(ups), np.concatenate(vps))
 
     return batch_fn
 
 
-def span_aggregate(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
-                   v_pos: np.ndarray, k: int) -> pa.Table:
-    """Aggregate per-(u, v) fingerprint anchors into span bounds — one
-    lexsort + reduceat, no per-pair Python. Each anchor covers k bytes."""
+def merge_span_partials(t: pa.Table, k: int) -> pa.Table:
+    """Merge per-block span partials into the final SPAN_SCHEMA rows:
+    counts sum, bounds min/max, each anchor covers k bytes."""
+    if t.num_rows == 0:
+        return SPAN_SCHEMA.empty_table()
+    u = t.column("u").to_numpy(zero_copy_only=False).astype(U64)
+    v = t.column("v").to_numpy(zero_copy_only=False).astype(U64)
     order = np.lexsort((v, u))
     su, sv = u[order], v[order]
     n = len(order)
@@ -182,32 +216,30 @@ def span_aggregate(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
     change[0] = True
     change[1:] = (su[1:] != su[:-1]) | (sv[1:] != sv[:-1])
     starts = np.flatnonzero(change)
-    counts = np.diff(np.append(starts, n))
-    up, vp = u_pos[order], v_pos[order]
+    cols = {name: t.column(name).to_numpy(zero_copy_only=False)[order]
+            for name in ("n_fps", "u_min", "u_max", "v_min", "v_max")}
     return pa.table({
         "u": pa.array(su[starts], pa.uint64()),
         "v": pa.array(sv[starts], pa.uint64()),
-        "n_shared_fps": pa.array(counts, pa.int64()),
-        "u_start": pa.array(np.minimum.reduceat(up, starts), pa.int64()),
-        "u_end": pa.array(np.maximum.reduceat(up, starts) + k, pa.int64()),
-        "v_start": pa.array(np.minimum.reduceat(vp, starts), pa.int64()),
-        "v_end": pa.array(np.maximum.reduceat(vp, starts) + k, pa.int64()),
+        "n_shared_fps": pa.array(
+            np.add.reduceat(cols["n_fps"], starts), pa.int64()),
+        "u_start": pa.array(
+            np.minimum.reduceat(cols["u_min"], starts), pa.int64()),
+        "u_end": pa.array(
+            np.maximum.reduceat(cols["u_max"], starts) + k, pa.int64()),
+        "v_start": pa.array(
+            np.minimum.reduceat(cols["v_min"], starts), pa.int64()),
+        "v_end": pa.array(
+            np.maximum.reduceat(cols["v_max"], starts) + k, pa.int64()),
     })
 
 
 def make_span_distinct_batch(cfg: DedupConfig):
-    """Block fn for the (u, v) exchange: per pair, bounding span over all
-    shared fingerprint anchors."""
+    """Block fn for the (u, v) exchange: merge span partials per pair."""
     k = cfg.winnow_k
 
     def batch_fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return SPAN_SCHEMA.empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False).astype(U64)
-        v = batch.column("v").to_numpy(zero_copy_only=False).astype(U64)
-        up = batch.column("u_pos").to_numpy(zero_copy_only=False)
-        vp = batch.column("v_pos").to_numpy(zero_copy_only=False)
-        return span_aggregate(u, v, up, vp, k)
+        return merge_span_partials(batch, k)
 
     return batch_fn
 

@@ -641,7 +641,7 @@ def substring_pairs(
     from nise_ray.ops.substring import (
         SPAN_SCHEMA,
         make_span_distinct_batch,
-        span_aggregate,
+        merge_span_partials,
     )
     cfg = cfg or DedupConfig()
     use_hash_shuffle()
@@ -661,16 +661,12 @@ def substring_pairs(
                              cfg.shuffle_partitions)
     if n_docs <= cfg.driver_docs_max:
         # driver fast path (scale-gated, mirrors the main edge distinct):
-        # one streaming consume of the pair set, no mid-pipeline barrier
+        # one streaming consume of the PRE-AGGREGATED span partials
+        # (distinct-pair-sized, not one row per shared fingerprint)
         from nise_ray.util import collect_table
         t = collect_table(pairs)
         if t.num_rows == 0:
             return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
-        return ray.data.from_arrow(span_aggregate(
-            t.column("u").to_numpy(zero_copy_only=False),
-            t.column("v").to_numpy(zero_copy_only=False),
-            t.column("u_pos").to_numpy(zero_copy_only=False),
-            t.column("v_pos").to_numpy(zero_copy_only=False),
-            cfg.winnow_k))
+        return ray.data.from_arrow(merge_span_partials(t, cfg.winnow_k))
     return hash_group_apply(pairs, ["u", "v"], make_span_distinct_batch(cfg),
                             cfg.shuffle_partitions, sort=False)
