@@ -284,6 +284,16 @@ def _q_rollup_doc_counts(sf_dir: str):
     return rollup_doc_counts(sf_dir)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    from nise_ray.ops.analytics import snapshot_diff_docs
+    return snapshot_diff_docs(sf_dir)
+
+
+def _q_top_doc_terms(sf_dir: str):
+    from nise_ray.ops.textstats import top_doc_terms
+    return top_doc_terms(sf_dir, k=3)
+
+
 def _q_top_tokens(sf_dir: str):
     from nise_ray.ops.textstats import top_tokens
     return top_tokens(sf_dir, k=50)
@@ -412,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "stratified_sample_docs": _q_stratified_sample,
         "rollup_doc_counts": _q_rollup_doc_counts,
+        "snapshot_diff_docs": _q_snapshot_diff,
+        "top_doc_terms": _q_top_doc_terms,
         "user_event_stats": _q_user_event_stats,
         "top_tokens": _q_top_tokens,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -680,6 +692,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP(documents.lang, documents.source)
             ORDER BY 1, 2
+        """,
+        # snapshot diff: A = doc_id % 5 != 0, B = doc_id % 3 != 0 with
+        # content version bumped for doc_id % 7 == 0 — full outer join
+        "snapshot_diff_docs": """
+            WITH a AS (SELECT doc_id, n_chars AS va FROM documents
+                       WHERE doc_id % 5 <> 0),
+                 b AS (SELECT doc_id,
+                              n_chars + CASE WHEN doc_id % 7 = 0
+                                             THEN 1 ELSE 0 END AS vb
+                       FROM documents WHERE doc_id % 3 <> 0)
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.va <> b.vb THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        # per-doc top terms: tf DESC, global df ASC, token ASC —
+        # integer-exact tf-idf ranking (idf is monotone in df)
+        "top_doc_terms": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1)
+            SELECT doc_id, token, tf, df, rank FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, df.df ASC,
+                                                 tf.token) AS rank
+              FROM tf JOIN df USING (token))
+            WHERE rank <= 3
         """,
         "windowed_events": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

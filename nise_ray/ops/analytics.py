@@ -65,6 +65,76 @@ def stratified_sample_docs(sf_dir: str, k: int = 10) -> pa.Table:
         [("lang", "ascending"), ("doc_id", "ascending")])
 
 
+def snapshot_diff_docs(sf_dir: str) -> "ray.data.Dataset":
+    """SNAPSHOT DIFF — the corpus-version reconciliation a continuously
+    growing training set runs between two crawls: classify every doc as
+    added / removed / changed / unchanged across two snapshots via a
+    DISTRIBUTED FULL OUTER hash join on the doc key.
+
+    The two snapshots derive deterministically from the one documents
+    table (driver contract is a single sf_dir): snapshot A = docs with
+    doc_id % 5 != 0, snapshot B = docs with doc_id % 3 != 0, and B's
+    content version is bumped for doc_id % 7 == 0 (simulating edits) —
+    all mod arithmetic, so the DuckDB oracle reproduces the exact same
+    snapshots. Output: (doc_id, status) per doc in A ∪ B, streamed (the
+    result is corpus-sized; no driver collect).
+
+    Scale shape: two filtered projections of one read, one full_outer
+    hash exchange, a stateless status map — identical plan at any corpus
+    size; this is also the engine's coverage of the full_outer join
+    primitive (inner / left_outer / left_anti are exercised elsewhere)."""
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def mk_a(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did % 5) != 0
+        return pa.table({
+            "doc_id": pa.array(did[keep], pa.int64()),
+            "va": b.column("n_chars").filter(pa.array(keep)).cast(pa.int64()),
+        })
+
+    def mk_b(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (did % 3) != 0
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)[keep]
+        bumped = nch + ((did[keep] % 7) == 0)
+        return pa.table({
+            "doc_id_b": pa.array(did[keep], pa.int64()),
+            "vb": pa.array(bumped, pa.int64()),
+        })
+
+    a = ds.map_batches(mk_a, batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(mk_b, batch_format="pyarrow", zero_copy_batch=True)
+    _hash_shuffle_on(a, b)
+    joined = a.join(b, join_type="full_outer",
+                    num_partitions=_join_partitions(),
+                    on=("doc_id",), right_on=("doc_id_b",))
+
+    def status(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        # Ray's full_outer join coalesces the two key columns into one
+        # `doc_id`; snapshot membership is carried by the payload
+        # validity (va/vb are never null inside their own snapshot).
+        in_a = pc.is_valid(batch.column("va")).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(batch.column("vb")).to_numpy(zero_copy_only=False)
+        va = batch.column("va").fill_null(-1).to_numpy(zero_copy_only=False)
+        vb = batch.column("vb").fill_null(-1).to_numpy(zero_copy_only=False)
+        st = np.where(~in_a, "added",
+                      np.where(~in_b, "removed",
+                               np.where(va != vb, "changed", "unchanged")))
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64()),
+                         "status": pa.array(st, pa.string())})
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
 def rollup_doc_counts(sf_dir: str) -> pa.Table:
     """ROLLUP aggregate: document counts + total chars at three levels —
     (lang, source), (lang, ALL), (ALL, ALL) — the batch form of

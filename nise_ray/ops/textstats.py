@@ -133,6 +133,134 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
                           concurrency=default_concurrency())
 
 
+def top_doc_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-document TOP TERMS — the TF-IDF-shaped keyword extraction a
+    training-data pipeline runs for topical tagging: for every document,
+    the k tokens ranked by (tf DESC, global df ASC, token ASC), emitted
+    as (doc_id, token, tf, df, rank). Integer-exact contract (the
+    float idf = ln(N/df) is monotone-decreasing in df, so ranking by df
+    ascending IS the tf-idf ranking without the float hazard).
+
+    Two passes, both combiner-shaped:
+      1. global document frequency per token string — per-batch distinct
+         (doc, token) partials, one vocab-sized hash exchange, broadcast
+         once via ray.put (vocab-bounded, never corpus-bounded);
+      2. one stateless map over the corpus: Arrow regex split +
+         dictionary-encoded per-(doc, token) counts, vectorized df
+         lookup (searchsorted on the sorted vocab), one batch-wide
+         lexsort for the per-doc rank — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _doc_token_counts(b: pa.Table):
+        """(row-local doc index, token code, count) + the batch vocab."""
+        lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
+                                       pattern=r"[^A-Za-z0-9_]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(offs))
+        # split emits "" fragments at token-boundary edges; drop them
+        empty = np.flatnonzero(vocab == "")
+        if len(empty):
+            keep = codes != empty[0]
+            codes, row = codes[keep], row[keep]
+        if len(codes) == 0:
+            return (np.empty(0, np.int64),) * 3 + (vocab,)
+        combo = row * np.int64(len(vocab)) + codes
+        uniq, counts = np.unique(combo, return_counts=True)
+        return (uniq // len(vocab), uniq % len(vocab),
+                counts.astype(np.int64), vocab)
+
+    # ---- pass 1: global df per token string -----------------------------
+    def df_partial(b: pa.Table) -> pa.Table:
+        rows, codes, _, vocab = _doc_token_counts(b)
+        if len(codes) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        uc, n = np.unique(codes, return_counts=True)
+        return pa.table({"token": pa.array(vocab[uc], pa.string()),
+                         "df": pa.array(n, pa.int64())})
+
+    def df_merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        enc = batch.column("token").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        return pa.table({
+            "token": enc.dictionary.take(
+                pa.array(codes[order][starts])).cast(pa.string()),
+            "df": pa.array(np.add.reduceat(dfv[order], starts), pa.int64()),
+        })
+
+    df_t = collect_table(hash_group_apply(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], df_merge, 0, sort=False))
+    toks = np.asarray(df_t.column("token").to_pylist(), dtype=object)
+    order = np.argsort(toks)
+    df_ref = ray.put((toks[order],
+                      df_t.column("df").to_numpy(
+                          zero_copy_only=False)[order]))
+
+    # ---- pass 2: per-doc ranking with the broadcast df map --------------
+    class RankTerms:
+        def __init__(self) -> None:
+            self.toks, self.dfs = ray.get(df_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "token": pa.array([], pa.string()),
+                              "tf": pa.array([], pa.int64()),
+                              "df": pa.array([], pa.int64()),
+                              "rank": pa.array([], pa.int64())})
+            rows, codes, tf, vocab = _doc_token_counts(b)
+            if len(codes) == 0:
+                return empty
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            vpos = np.searchsorted(self.toks, vocab)
+            dfv_vocab = self.dfs[vpos]  # every batch token is global
+            # integer token order for the lexsort tie-break: rank of the
+            # code's string in the batch vocab's lexicographic order
+            vorder = np.argsort(vocab)
+            vrank = np.empty(len(vocab), dtype=np.int64)
+            vrank[vorder] = np.arange(len(vocab), dtype=np.int64)
+            dfv = dfv_vocab[codes]
+            order = np.lexsort((vrank[codes], dfv, -tf, rows))
+            r = rows[order]
+            starts, counts = segments(r)
+            rank = (np.arange(len(order), dtype=np.int64)
+                    - np.repeat(starts, counts)) + 1
+            keep = rank <= k
+            sel = order[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[rows[sel]], pa.int64()),
+                "token": pa.array(vocab[codes[sel]], pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(dfv[sel], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            })
+
+    return ds.map_batches(RankTerms, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=default_concurrency())
+
+
 def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     """Heavy hitters: the k most frequent tokens across the corpus.
     Per-batch PARTIAL counts (combiner — each batch emits its local

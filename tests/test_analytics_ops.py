@@ -107,6 +107,60 @@ def test_stratified_sample_matches_duckdb(ray_session):
     assert got.values.tolist() == want.values.tolist()
 
 
+def test_snapshot_diff_matches_duckdb(ray_session):
+    from nise_ray.ops.analytics import snapshot_diff_docs
+    from nise_ray.util import collect_table
+    got = collect_table(snapshot_diff_docs(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _con(["documents"]).execute("""
+        WITH a AS (SELECT doc_id, n_chars AS va FROM documents
+                   WHERE doc_id % 5 <> 0),
+             b AS (SELECT doc_id,
+                          n_chars + CASE WHEN doc_id % 7 = 0
+                                         THEN 1 ELSE 0 END AS vb
+                   FROM documents WHERE doc_id % 3 <> 0)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.va <> b.vb THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        ORDER BY doc_id
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    # all four statuses must actually occur in the synthetic snapshots
+    assert set(want["status"]) == {"added", "removed", "changed",
+                                   "unchanged"}
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_top_doc_terms_matches_duckdb(ray_session):
+    from nise_ray.ops.textstats import top_doc_terms
+    from nise_ray.util import collect_table
+    got = collect_table(top_doc_terms(SF, k=3)).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    want = _con(["documents"]).execute("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM tok GROUP BY 1)
+        SELECT doc_id, token, tf, df, rank FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, df.df ASC,
+                                             tf.token) AS rank
+          FROM tf JOIN df USING (token))
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    assert got.values.tolist() == want.values.tolist()
+
+
 def test_rollup_matches_duckdb(ray_session):
     from nise_ray.ops.analytics import rollup_doc_counts
     got = rollup_doc_counts(SF).to_pandas()
