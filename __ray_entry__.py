@@ -329,6 +329,21 @@ def _q_nation_revenue(sf_dir: str):
     return nation_revenue(sf_dir)
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    from nise_ray.ops.relational import local_supplier_revenue
+    return local_supplier_revenue(sf_dir)
+
+
+def _q_order_priority_counts(sf_dir: str):
+    from nise_ray.ops.relational import order_priority_counts
+    return order_priority_counts(sf_dir)
+
+
+def _q_event_interarrival(sf_dir: str):
+    from nise_ray.ops.events import event_interarrival
+    return event_interarrival(sf_dir)
+
+
 def _q_shingle_stats(sf_dir: str):
     """Corpus shingle statistics (SURVEY 3.5 distinct-shingle count):
     exact distinct via one hash exchange + HyperLogLog (no-shuffle scale
@@ -433,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "top_unshipped_orders": _q_top_unshipped,
         "nation_revenue": _q_nation_revenue,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "order_priority_counts": _q_order_priority_counts,
+        "event_interarrival": _q_event_interarrival,
         "customers_without_orders": _q_customers_without_orders,
         "flagship_sha_audit": _q_flagship_sha_audit,
         "shingle_stats": _q_shingle_stats,
@@ -796,6 +814,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "event_interarrival": """
+            SELECT user_id, event_id, ts,
+                   date_diff('microsecond', lag(ts) OVER w, ts)
+                     AS gap_prev_us,
+                   date_diff('microsecond', ts, lead(ts) OVER w)
+                     AS gap_next_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -689,3 +689,56 @@ def event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
     partial = ds.map_batches(combine, batch_format="pyarrow",
                              zero_copy_batch=True)
     return hash_group_apply(partial, ["user_id"], pivot, 0, sort=False)
+
+
+def event_interarrival(sf_dir: str) -> "ray.data.Dataset":
+    """LAG/LEAD window functions: per user, events ordered by
+    (ts, event_id) annotated with the microsecond gap to the PREVIOUS
+    event (LAG) and to the NEXT event (LEAD), NULL at the partition
+    edges — the inter-arrival analysis a feeds-abuse or session-model
+    pipeline runs before featurization. One hash exchange on user_id,
+    then a single vectorized lexsort + shifted-difference sweep per
+    block (whole users per block, no per-row Python). Output is
+    events-sized and streams: (user_id, event_id, ts, gap_prev_us,
+    gap_next_us)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+    from nise_ray.ops.groupapply import hash_group_apply
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "gap_prev_us": pa.array([], pa.int64()),
+                "gap_next_us": pa.array([], pa.int64()),
+            })
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        last = np.empty(len(order), dtype=bool)
+        last[-1] = True
+        last[:-1] = first[1:]
+        gap_prev = np.empty(len(order), dtype=np.int64)
+        gap_prev[0] = 0
+        gap_prev[1:] = ts[1:] - ts[:-1]
+        gap_next = np.empty(len(order), dtype=np.int64)
+        gap_next[-1] = 0
+        gap_next[:-1] = ts[1:] - ts[:-1]
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "gap_prev_us": pa.array(gap_prev, pa.int64(),
+                                    mask=first),
+            "gap_next_us": pa.array(gap_next, pa.int64(),
+                                    mask=last),
+        })
+
+    return hash_group_apply(ds, ["user_id"], gaps, 0, sort=False)

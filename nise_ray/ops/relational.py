@@ -542,3 +542,280 @@ def customers_without_orders(sf_dir: str,
         t = pa.table({"c_nationkey": pa.array([], pa.int64()),
                       "n_customers": pa.array([], pa.int64())})
     return t.sort_by([("c_nationkey", "ascending")])
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1997-01-01",
+                           broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q5-shaped MULTI-JOIN CHAIN: revenue per nation from
+    lineitems whose customer and supplier sit in the SAME nation of one
+    region, over an order-date window. Six tables compose as two
+    distributed hash exchanges plus broadcasts, never a third:
+
+    - nation ⋈ region resolve on the driver (both tiny) into a
+      region-nation key set + name map, ray.put ONCE;
+    - customer is filtered to the region and projected to
+      (c_custkey, c_nationkey) inside map_batches (no exchange);
+    - orders has the date window pushed INTO the parquet read, then one
+      distributed join on custkey → (o_orderkey, c_nationkey);
+    - supplier joins lineitem through the scale-gated broadcast
+      (suppkey → s_nationkey, region rows only) or, above the gate,
+      Ray Data's distributed hash join on l_suppkey;
+    - the second distributed exchange joins on orderkey, the same-nation
+      predicate filters vectorized, and revenue partial-aggregates per
+      nation inside each block — only |nations-in-region| rows reach the
+      driver merge.
+
+    Returns (n_name, revenue) sorted by revenue DESC."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import segments
+
+    nation_t = collect_table(ray.data.read_parquet(f"{sf_dir}/nation.parquet"))
+    region_t = collect_table(ray.data.read_parquet(f"{sf_dir}/region.parquet"))
+    rkeys = region_t.filter(pc.equal(region_t.column("r_name"), region)) \
+        .column("r_regionkey").to_numpy(zero_copy_only=False)
+    in_region = nation_t.filter(
+        pc.is_in(nation_t.column("n_regionkey"),
+                 value_set=pa.array(rkeys, pa.int64())))
+    nat_keys = in_region.column("n_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(nat_keys)
+    nat_ref = ray.put((nat_keys[order],
+                       np.array(in_region.column("n_name").to_pylist(),
+                                dtype=object)[order]))
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    # All three lookup stages below are task-path closures over ray.put
+    # refs, NOT actor pools: their only state is a zero-copy plasma read,
+    # and a plan chaining two JoinOperators (8 aggregator actors at
+    # num_partitions=4) plus three reserved actor pools deadlocks a
+    # 4-CPU cluster — task pools yield CPUs to the join aggregators.
+    def region_cust(b: pa.Table) -> pa.Table:
+        """Keep only customers whose nation is in the region (25-row
+        broadcast membership test — never a shuffle)."""
+        keys, _ = ray.get(nat_ref)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(keys, nk), 0, len(keys) - 1)
+        return b.filter(pa.array(keys[pos] == nk))
+
+    region_cust.__name__ = "RegionCust"
+    cust_r = cust.map_batches(region_cust, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    lo = np.datetime64(date_lo, "us").astype("datetime64[us]").item()
+    hi = np.datetime64(date_hi, "us").astype("datetime64[us]").item()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi))
+    _hash_shuffle_on(orders, cust_r)
+    ordcust = orders.join(cust_r, join_type="inner",
+                          num_partitions=_join_partitions(),
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"])
+
+    if supp.count() <= broadcast_max:
+        st = collect_table(supp)
+        sk = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+        sn = st.column("s_nationkey").to_numpy(zero_copy_only=False)
+        so = np.argsort(sk)
+        supp_ref = ray.put((sk[so], sn[so]))
+
+        def attach_supplier_nation(b: pa.Table) -> pa.Table:
+            """suppkey → s_nationkey lookup, dropping non-region
+            suppliers; revenue computed in the same pass."""
+            sk, sn = ray.get(supp_ref)
+            region_keys, _ = ray.get(nat_ref)
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            if len(sk) == 0:
+                return pa.table({
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "s_nationkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.float64())})
+            pos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            if not (sk[pos] == lsk).all():
+                raise AssertionError("l_suppkey missing from supplier table")
+            nat = sn[pos]
+            if len(region_keys):
+                rpos = np.clip(np.searchsorted(region_keys, nat),
+                               0, len(region_keys) - 1)
+                keep = region_keys[rpos] == nat
+            else:
+                keep = np.zeros(len(nat), dtype=bool)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey").take(
+                    pa.array(np.flatnonzero(keep))),
+                "s_nationkey": pa.array(nat[keep], pa.int64()),
+                "rev": pa.array((price * (1.0 - disc))[keep], pa.float64()),
+            })
+
+        attach_supplier_nation.__name__ = "AttachSupplierNation"
+        li_s = li.map_batches(attach_supplier_nation, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    else:
+        # 10^12-row configuration: supplier exceeds the broadcast gate —
+        # distributed hash join on suppkey, then the same region filter
+        # and revenue projection as a stateless pass
+        _hash_shuffle_on(li, supp)
+        li_j = li.join(supp, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def region_revenue(b: pa.Table) -> pa.Table:
+            region_keys, _ = ray.get(nat_ref)
+            nat = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+            if len(region_keys):
+                rpos = np.clip(np.searchsorted(region_keys, nat),
+                               0, len(region_keys) - 1)
+                keep = region_keys[rpos] == nat
+            else:
+                keep = np.zeros(len(nat), dtype=bool)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey").take(
+                    pa.array(np.flatnonzero(keep))),
+                "s_nationkey": pa.array(nat[keep], pa.int64()),
+                "rev": pa.array((price * (1.0 - disc))[keep], pa.float64()),
+            })
+
+        region_revenue.__name__ = "RegionRevenue"
+        li_s = li_j.map_batches(region_revenue, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    _hash_shuffle_on(li_s, ordcust)
+    joined = li_s.join(ordcust, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        """Same-nation filter + per-block revenue partials keyed by
+        n_name (names resolved from the 25-row broadcast, so the driver
+        merge needs no further lookup)."""
+        keys, names = ray.get(nat_ref)
+        if b.num_rows == 0:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        snat = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cnat = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        if not keep.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64())})
+        nat = snat[keep]
+        rev = b.column("rev").to_numpy(zero_copy_only=False)[keep]
+        order = np.argsort(nat, kind="stable")
+        starts, _ = segments(nat[order])
+        firsts = nat[order][starts]
+        pos = np.searchsorted(keys, firsts)
+        return pa.table({
+            "n_name": pa.array(names[pos], pa.string()),
+            "revenue": pa.array(np.add.reduceat(rev[order], starts),
+                                pa.float64()),
+        })
+
+    nation_partial.__name__ = "NationPartial"
+    partials = collect_table(joined.map_batches(
+        nation_partial, batch_format="pyarrow", zero_copy_batch=True))
+    out = _merge_grouped_partials(partials, "n_name",
+                                  {"revenue": pa.float64()},
+                                  round_cols={"revenue": 2})
+    return out.sort_by([("revenue", "descending"), ("n_name", "ascending")])
+
+
+def order_priority_counts(sf_dir: str, date_lo: str = "1996-01-01",
+                          date_hi: str = "1996-07-01", flag: str = "R",
+                          broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q4-shaped positive SEMI JOIN (EXISTS): count orders per
+    o_orderpriority, within an order-date window, that have at least one
+    lineitem with l_returnflag = `flag`. The complement of the anti-join
+    in customers_without_orders, same scale shape: the EXISTS side is
+    shrunk to DISTINCT l_orderkey with a per-batch combiner + one
+    orders-bounded hash exchange, then either broadcast into a
+    vectorized IN filter (under the gate) or applied as a distributed
+    inner join on the already-distinct key set (which preserves
+    semi-join semantics — no multiplicity). Both predicates are pushed
+    into the parquet reads. Returns (o_orderpriority, n_orders) in
+    priority order."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"],
+                               filter=pads.field("l_returnflag") == flag)
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": pa.array(np.unique(ok), pa.int64())})
+
+    distinct = hash_group_apply(li.map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], local_distinct, 0, sort=False)
+
+    lo = np.datetime64(date_lo, "us").astype("datetime64[us]").item()
+    hi = np.datetime64(date_hi, "us").astype("datetime64[us]").item()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi))
+
+    # the distinct key set is bounded by |orders| (metadata-only count)
+    if orders.count() <= broadcast_max:
+        keys = np.unique(collect_table(distinct)
+                         .column("l_orderkey").to_numpy(zero_copy_only=False))
+        keys_ref = ray.put(keys)
+
+        class SemiFilter:
+            def __init__(self) -> None:
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+                if len(self.keys) == 0:
+                    return b.slice(0, 0)
+                pos = np.clip(np.searchsorted(self.keys, ok), 0,
+                              len(self.keys) - 1)
+                return b.filter(pa.array(self.keys[pos] == ok))
+
+        matched = orders.map_batches(SemiFilter, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     concurrency=default_concurrency())
+    else:
+        _hash_shuffle_on(orders, distinct)
+        matched = orders.join(distinct, join_type="inner",
+                              num_partitions=_join_partitions(),
+                              on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        pr = b.column("o_orderpriority").combine_chunks().dictionary_encode()
+        codes = pr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts, counts = segments(codes[order])
+        return pa.table({
+            "o_orderpriority": pr.dictionary.take(
+                pa.array(codes[order][starts])).cast(pa.string()),
+            "n_orders": pa.array(counts, pa.int64()),
+        })
+
+    partials = collect_table(matched.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    return _merge_grouped_partials(partials, "o_orderpriority",
+                                   {"n_orders": pa.int64()})

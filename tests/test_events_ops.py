@@ -104,3 +104,28 @@ def test_lang_quantiles_sketch_error_bound(ray_session):
         for col in ("p50_chars", "p90_chars"):
             rel = abs(sr[col] - er[col]) / max(er[col], 1)
             assert rel <= alpha, (lang, col, sr[col], er[col], rel)
+
+
+def test_event_interarrival_matches_duckdb(ray_session):
+    """LAG/LEAD gaps per user, NULLs at partition edges."""
+    import duckdb
+
+    from nise_ray.ops.events import event_interarrival
+    sf = "/root/testdata/sf0.001"
+    got = event_interarrival(sf).to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        SELECT user_id, event_id, ts,
+               date_diff('microsecond', lag(ts) OVER w, ts) AS gap_prev_us,
+               date_diff('microsecond', ts, lead(ts) OVER w) AS gap_next_us
+        FROM read_parquet('{sf}/events.parquet')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts, event_id
+    """).fetchdf()
+    assert len(got) == len(want)
+    assert list(got["event_id"]) == list(want["event_id"])
+    for col in ["gap_prev_us", "gap_next_us"]:
+        g, w = got[col], want[col]
+        assert list(g.isna()) == list(w.isna())
+        assert list(g.dropna().astype("int64")) == \
+            list(w.dropna().astype("int64"))

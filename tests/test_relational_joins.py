@@ -113,3 +113,56 @@ def test_attach_segment_empty_broadcast(ray_session):
             os.path.join(d, "orders.parquet"))
         out = segment_revenue(d)
         assert out.num_rows == 0
+
+
+def _con_all():
+    import duckdb
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation",
+              "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_local_supplier_revenue_matches_duckdb(ray_session, bmax):
+    """Q5-shaped 6-table join chain, both supplier-side paths."""
+    from nise_ray.ops.relational import local_supplier_revenue
+    got = local_supplier_revenue(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con_all().execute("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """).fetchdf()
+    assert list(got["n_name"]) == list(want["n_name"])
+    assert np.allclose(got["revenue"], want["revenue"])
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_order_priority_counts_matches_duckdb(ray_session, bmax):
+    """Q4-shaped EXISTS semi-join, both paths (broadcast IN-filter and
+    distributed inner join on the deduped key set)."""
+    from nise_ray.ops.relational import order_priority_counts
+    got = order_priority_counts(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con_all().execute("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).fetchdf()
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
