@@ -344,6 +344,11 @@ def _q_event_interarrival(sf_dir: str):
     return event_interarrival(sf_dir)
 
 
+def _q_promo_revenue_share(sf_dir: str):
+    from nise_ray.ops.relational import promo_revenue_share
+    return promo_revenue_share(sf_dir)
+
+
 def _q_shingle_stats(sf_dir: str):
     """Corpus shingle statistics (SURVEY 3.5 distinct-shingle count):
     exact distinct via one hash exchange + HyperLogLog (no-shuffle scale
@@ -450,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "local_supplier_revenue": _q_local_supplier_revenue,
         "order_priority_counts": _q_order_priority_counts,
+        "promo_revenue_share": _q_promo_revenue_share,
         "event_interarrival": _q_event_interarrival,
         "customers_without_orders": _q_customers_without_orders,
         "flagship_sha_audit": _q_flagship_sha_audit,
@@ -842,6 +848,22 @@ def oracle_sql() -> dict[str, str]:
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "promo_revenue_share": """
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice
+                                               * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
         """,
         "event_interarrival": """
             SELECT user_id, event_id, ts,

@@ -819,3 +819,92 @@ def order_priority_counts(sf_dir: str, date_lo: str = "1996-01-01",
         partial, batch_format="pyarrow", zero_copy_batch=True))
     return _merge_grouped_partials(partials, "o_orderpriority",
                                    {"n_orders": pa.int64()})
+
+
+def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
+                        date_hi: str = "1996-04-01",
+                        broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q14-shaped dimension join + conditional aggregate: the share
+    of lineitem revenue in a ship-date window that comes from PROMO-type
+    parts. part is a dimension table (fact/dimension ratio stays ~30:1 at
+    every scale), so under the gate it broadcasts as a sorted
+    partkey→is-promo bitmap into a task-path lookup — the revenue
+    partials then reduce to TWO numbers per block, no exchange at all;
+    above the gate it is a distributed hash join on partkey followed by
+    the same partials. Returns one row:
+    (promo_revenue, total_revenue, promo_share_pct)."""
+    import pyarrow.dataset as pads
+
+    lo = np.datetime64(date_lo, "us").astype("datetime64[us]").item()
+    hi = np.datetime64(date_hi, "us").astype("datetime64[us]").item()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi))
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"])
+
+    def partials_from(keys_col: str, promo_col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = price * (1.0 - disc)
+            promo = b.column(promo_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "promo_rev": pa.array([float(rev[promo].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev.sum())], pa.float64()),
+            })
+        return partial
+
+    if part.count() <= broadcast_max:
+        pt = collect_table(part)
+        pk = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+        is_promo = pc.equal(pt.column("p_type"), "PROMO") \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        ref = ray.put((pk[order], is_promo[order]))
+
+        def attach_promo(b: pa.Table) -> pa.Table:
+            keys, promo = ray.get(ref)
+            lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return pa.table({"promo_rev": pa.array([0.0], pa.float64()),
+                                 "total_rev": pa.array([0.0], pa.float64())})
+            pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+            if not (keys[pos] == lpk).all():
+                raise AssertionError("l_partkey missing from part table")
+            return pa.table({"is_promo": pa.array(promo[pos], pa.bool_()),
+                             "l_extendedprice": b.column("l_extendedprice"),
+                             "l_discount": b.column("l_discount")})
+
+        attach_promo.__name__ = "AttachPromo"
+        joined = li.map_batches(attach_promo, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:
+        # dimension side above the gate: distributed hash join on partkey
+        def promo_flag(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "p_partkey": b.column("p_partkey"),
+                "is_promo": pc.equal(b.column("p_type"), "PROMO")})
+
+        part_f = part.map_batches(promo_flag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        _hash_shuffle_on(li, part_f)
+        joined = li.join(part_f, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+    partials = collect_table(joined.map_batches(
+        partials_from("l_partkey", "is_promo"), batch_format="pyarrow",
+        zero_copy_batch=True))
+    promo = float(np.sum(partials.column("promo_rev").to_numpy(
+        zero_copy_only=False))) if partials.num_rows else 0.0
+    total = float(np.sum(partials.column("total_rev").to_numpy(
+        zero_copy_only=False))) if partials.num_rows else 0.0
+    share = round(100.0 * promo / total, 4) if total else 0.0
+    return pa.table({
+        "promo_revenue": pa.array([round(promo, 2)], pa.float64()),
+        "total_revenue": pa.array([round(total, 2)], pa.float64()),
+        "promo_share_pct": pa.array([share], pa.float64()),
+    })

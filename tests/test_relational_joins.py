@@ -166,3 +166,33 @@ def test_order_priority_counts_matches_duckdb(ray_session, bmax):
     """).fetchdf()
     assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
     assert list(got["n_orders"]) == list(want["n_orders"])
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_promo_revenue_share_matches_duckdb(ray_session, bmax):
+    """Q14-shaped dimension join + conditional aggregate, both paths."""
+    import duckdb
+
+    from nise_ray.ops.relational import promo_revenue_share
+    got = promo_revenue_share(SF, broadcast_max=bmax).to_pandas()
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.execute("""
+        SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS total_revenue,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS promo_share_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """).fetchdf()
+    for col in ["promo_revenue", "total_revenue", "promo_share_pct"]:
+        assert np.allclose(got[col], want[col]), col
