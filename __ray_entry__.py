@@ -284,6 +284,16 @@ def _q_rollup_doc_counts(sf_dir: str):
     return rollup_doc_counts(sf_dir)
 
 
+def _q_cube_doc_counts(sf_dir: str):
+    from nise_ray.ops.analytics import cube_doc_counts
+    return cube_doc_counts(sf_dir)
+
+
+def _q_user_value_quartiles(sf_dir: str):
+    from nise_ray.ops.events import user_value_quartiles
+    return user_value_quartiles(sf_dir)
+
+
 def _q_snapshot_diff(sf_dir: str):
     from nise_ray.ops.analytics import snapshot_diff_docs
     return snapshot_diff_docs(sf_dir)
@@ -442,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_type_pivot,
         "stratified_sample_docs": _q_stratified_sample,
         "rollup_doc_counts": _q_rollup_doc_counts,
+        "cube_doc_counts": _q_cube_doc_counts,
+        "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
         "user_event_stats": _q_user_event_stats,
@@ -716,6 +728,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP(documents.lang, documents.source)
             ORDER BY 1, 2
+        """,
+        "cube_doc_counts": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY CUBE(documents.lang, documents.source)
+            ORDER BY 1, 2
+        """,
+        "user_value_quartiles": """
+            SELECT user_id, event_id, value,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id) AS BIGINT)
+                     AS quartile
+            FROM events
         """,
         # snapshot diff: A = doc_id % 5 != 0, B = doc_id % 3 != 0 with
         # content version bumped for doc_id % 7 == 0 — full outer join

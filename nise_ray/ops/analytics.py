@@ -135,14 +135,11 @@ def snapshot_diff_docs(sf_dir: str) -> "ray.data.Dataset":
     return joined.map_batches(status, batch_format="pyarrow")
 
 
-def rollup_doc_counts(sf_dir: str) -> pa.Table:
-    """ROLLUP aggregate: document counts + total chars at three levels —
-    (lang, source), (lang, ALL), (ALL, ALL) — the batch form of
-    GROUP BY ROLLUP(lang, source). The finest level is computed with a
-    per-batch combiner + one exchange; coarser levels derive from the
-    finest (group-count sized) on the driver, so the corpus is read
-    once. NULL grouping keys are emitted as the sentinel 'ALL' to keep
-    the cross-engine hash compare total-order-safe."""
+def _finest_lang_source(sf_dir: str) -> pa.Table:
+    """(lang, source, n_docs, sum_chars) — the finest grouping level,
+    computed with a per-batch combiner + one exchange. ROLLUP and CUBE
+    both derive every coarser level from this group-count-sized table on
+    the driver, so the corpus is read once either way."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["lang", "source", "n_chars"])
     from nise_ray.ops.groupapply import hash_group_apply, segments
@@ -185,29 +182,66 @@ def rollup_doc_counts(sf_dir: str) -> pa.Table:
 
     partial = ds.map_batches(combine, batch_format="pyarrow",
                              zero_copy_batch=True)
-    finest = collect_table(hash_group_apply(partial, ["lang", "source"],
-                                            merge, 0, sort=False))
-    # driver-side rollup over the group-count-sized finest level
-    lang = finest.column("lang").to_pylist()
+    return collect_table(hash_group_apply(partial, ["lang", "source"],
+                                          merge, 0, sort=False))
+
+
+def _coarsen(finest: pa.Table, key_col: str) -> pa.Table:
+    """Sum the finest level over one retained grouping key; the other
+    key becomes the 'ALL' sentinel."""
+    keys = finest.column(key_col).to_pylist()
     nd = finest.column("n_docs").to_numpy(zero_copy_only=False)
     sch = finest.column("sum_chars").to_numpy(zero_copy_only=False)
-    rows_lang: dict[str, list[int]] = {}
-    for i, lg in enumerate(lang):
-        acc = rows_lang.setdefault(lg, [0, 0])
-        acc[0] += int(nd[i])
-        acc[1] += int(sch[i])
-    out_lang = sorted(rows_lang)
-    lvl1 = pa.table({
-        "lang": pa.array(out_lang, pa.string()),
-        "source": pa.array(["ALL"] * len(out_lang), pa.string()),
-        "n_docs": pa.array([rows_lang[lg][0] for lg in out_lang], pa.int64()),
-        "sum_chars": pa.array([rows_lang[lg][1] for lg in out_lang], pa.int64()),
-    })
-    lvl0 = pa.table({
+    acc: dict[str, list[int]] = {}
+    for i, k in enumerate(keys):
+        a = acc.setdefault(k, [0, 0])
+        a[0] += int(nd[i])
+        a[1] += int(sch[i])
+    out = sorted(acc)
+    cols = {
+        "lang": pa.array(out if key_col == "lang" else ["ALL"] * len(out),
+                         pa.string()),
+        "source": pa.array(out if key_col == "source" else
+                           ["ALL"] * len(out), pa.string()),
+        "n_docs": pa.array([acc[k][0] for k in out], pa.int64()),
+        "sum_chars": pa.array([acc[k][1] for k in out], pa.int64()),
+    }
+    return pa.table(cols)
+
+
+def _grand_total(finest: pa.Table) -> pa.Table:
+    nd = finest.column("n_docs").to_numpy(zero_copy_only=False)
+    sch = finest.column("sum_chars").to_numpy(zero_copy_only=False)
+    return pa.table({
         "lang": pa.array(["ALL"], pa.string()),
         "source": pa.array(["ALL"], pa.string()),
         "n_docs": pa.array([int(nd.sum())], pa.int64()),
         "sum_chars": pa.array([int(sch.sum())], pa.int64()),
     })
-    return pa.concat_tables([finest, lvl1, lvl0]).sort_by(
+
+
+def rollup_doc_counts(sf_dir: str) -> pa.Table:
+    """ROLLUP aggregate: document counts + total chars at three levels —
+    (lang, source), (lang, ALL), (ALL, ALL) — the batch form of
+    GROUP BY ROLLUP(lang, source). The finest level is computed with a
+    per-batch combiner + one exchange; coarser levels derive from the
+    finest (group-count sized) on the driver, so the corpus is read
+    once. NULL grouping keys are emitted as the sentinel 'ALL' to keep
+    the cross-engine hash compare total-order-safe."""
+    finest = _finest_lang_source(sf_dir)
+    return pa.concat_tables([finest, _coarsen(finest, "lang"),
+                             _grand_total(finest)]).sort_by(
+        [("lang", "ascending"), ("source", "ascending")])
+
+
+def cube_doc_counts(sf_dir: str) -> pa.Table:
+    """CUBE aggregate — GROUP BY CUBE(lang, source): all FOUR grouping
+    sets (lang, source), (lang, ALL), (ALL, source), (ALL, ALL). Same
+    shape as ROLLUP plus the (ALL, source) marginal; every coarser level
+    is derived from the one group-count-sized finest exchange, so CUBE
+    costs exactly what ROLLUP costs regardless of corpus size."""
+    finest = _finest_lang_source(sf_dir)
+    return pa.concat_tables([finest, _coarsen(finest, "lang"),
+                             _coarsen(finest, "source"),
+                             _grand_total(finest)]).sort_by(
         [("lang", "ascending"), ("source", "ascending")])

@@ -742,3 +742,49 @@ def event_interarrival(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(ds, ["user_id"], gaps, 0, sort=False)
+
+
+def user_value_quartiles(sf_dir: str, n_tiles: int = 4) -> "ray.data.Dataset":
+    """NTILE window function: per user, events ranked by (value,
+    event_id) are dealt into `n_tiles` buckets whose sizes differ by at
+    most one (earlier buckets larger) — ANSI NTILE semantics, the
+    per-group binning a feature pipeline uses for quantile bucketing.
+    One hash exchange on user_id, then a vectorized per-block sweep:
+    lexsort, per-segment rank via repeated starts, and the closed-form
+    tile index (no per-user Python loop). Returns (user_id, event_id,
+    value, quartile)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "value"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "quartile": pa.array([], pa.int64()),
+            })
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        starts, counts = segments(uid)
+        m = np.repeat(counts, counts)                   # partition size
+        r = np.arange(len(order), dtype=np.int64) \
+            - np.repeat(starts, counts)                 # 0-based rank
+        q, rem = m // n_tiles, m % n_tiles
+        boundary = rem * (q + 1)       # rows below it sit in big buckets
+        big = r < boundary
+        tile = np.where(big, r // np.maximum(q + 1, 1) + 1,
+                        np.where(q > 0, (r - boundary) // np.maximum(q, 1)
+                                 + rem + 1, 1))
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "value": pa.array(val, pa.float64()),
+            "quartile": pa.array(tile, pa.int64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], tiles, 0, sort=False)

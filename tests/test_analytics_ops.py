@@ -174,3 +174,20 @@ def test_rollup_matches_duckdb(ray_session):
     """).fetchdf()
     assert len(got) == len(want)
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_cube_doc_counts_matches_duckdb(ray_session):
+    """All four CUBE grouping sets vs DuckDB GROUP BY CUBE."""
+    import duckdb
+
+    from nise_ray.ops.analytics import cube_doc_counts
+    sf = "/root/testdata/sf0.001"
+    got = cube_doc_counts(sf).to_pandas().reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY CUBE(lang, source) ORDER BY 1, 2
+    """).fetchdf()
+    assert got.to_dict("list") == want.to_dict("list")

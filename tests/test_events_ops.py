@@ -129,3 +129,47 @@ def test_event_interarrival_matches_duckdb(ray_session):
         assert list(g.isna()) == list(w.isna())
         assert list(g.dropna().astype("int64")) == \
             list(w.dropna().astype("int64"))
+
+
+def test_user_value_quartiles_matches_duckdb(ray_session):
+    """NTILE(4) per user vs DuckDB, exact bucket assignment."""
+    import duckdb
+
+    from nise_ray.ops.events import user_value_quartiles
+    sf = "/root/testdata/sf0.001"
+    got = user_value_quartiles(sf).to_pandas() \
+        .sort_values(["user_id", "value", "event_id"]).reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        SELECT user_id, event_id, value,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY value, event_id) AS BIGINT)
+                 AS quartile
+        FROM read_parquet('{sf}/events.parquet')
+        ORDER BY user_id, value, event_id
+    """).fetchdf()
+    assert list(got["event_id"]) == list(want["event_id"])
+    assert list(got["quartile"]) == list(want["quartile"])
+
+
+def test_ntile_small_partitions(ray_session):
+    """NTILE with fewer rows than tiles: buckets 1..m, sizes 1 (ANSI)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.events import user_value_quartiles
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 2, 3, 3, 3, 3, 3], pa.int64()),
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "value": pa.array([5.0, 1.0, 9.0, 4.0, 3.0, 2.0, 1.0, 0.0],
+                              pa.float64()),
+        }), os.path.join(d, "events.parquet"))
+        got = user_value_quartiles(d).to_pandas() \
+            .sort_values(["user_id", "value", "event_id"]) \
+            .reset_index(drop=True)
+        # user 1 (2 rows) -> tiles 1,2; user 2 (1 row) -> 1;
+        # user 3 (5 rows, 4 tiles) -> sizes 2,1,1,1
+        assert list(got["quartile"]) == [1, 2, 1, 1, 1, 2, 3, 4]
