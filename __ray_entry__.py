@@ -304,6 +304,14 @@ def _q_top_doc_terms(sf_dir: str):
     return top_doc_terms(sf_dir, k=3)
 
 
+def _q_top_tokens_sketch(sf_dir: str):
+    """Misra-Gries bounded heavy-hitter sketch (rows-only: the
+    per-block truncation choice is not SQL-expressible; the exact
+    counterpart `top_tokens` is the oracled default)."""
+    from nise_ray.ops.textstats import top_tokens_sketch
+    return top_tokens_sketch(sf_dir)
+
+
 def _q_top_tokens(sf_dir: str):
     from nise_ray.ops.textstats import top_tokens
     return top_tokens(sf_dir, k=50)
@@ -458,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_terms": _q_top_doc_terms,
         "user_event_stats": _q_user_event_stats,
         "top_tokens": _q_top_tokens,
+        "top_tokens_sketch": _q_top_tokens_sketch,
         "top_docs_by_len": _q_top_docs_by_len,
         "event_type_user_counts": _q_event_type_user_counts,
         "top_docs_per_lang": _q_top_docs_per_lang,

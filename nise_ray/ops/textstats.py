@@ -322,3 +322,95 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     keep = np.lexsort((toks, -ns))[:k]
     return pa.table({"token": pa.array(toks[keep], pa.string()),
                      "n": pa.array(ns[keep], pa.int64())})
+
+
+# sentinel token for carrying per-block truncation bounds through the
+# token exchange — cannot collide with _TOKEN_RE matches (contains \x00)
+_TRUNC_SENTINEL = "\x00__trunc__"
+
+
+def top_tokens_sketch(sf_dir: str, k: int = 50,
+                      capacity: int = 2048) -> pa.Table:
+    """Heavy hitters with a MERGEABLE bounded sketch (Misra-Gries /
+    SpaceSaving truncation; Agarwal et al., 'Mergeable Summaries'): the
+    exact `top_tokens` exchange moves VOCABULARY-sized partials, which
+    on 100 TB of web text is itself a corpus-scale column; this path
+    caps every block's contribution at `capacity` rows. Each block
+    keeps its local top-`capacity` counts and forwards the largest
+    DROPPED count as its truncation bound; bounds ride the same token
+    exchange under a sentinel key and sum into the global `err_bound`.
+    Counts only ever UNDER-estimate, by at most `err_bound`
+    (0 <= exact - estimate <= err_bound, asserted in tests), so the
+    returned top-k is the true top-k whenever true counts are separated
+    by more than the bound. Rows-only (the truncation choice is not
+    SQL-expressible); the exact oracled path remains the default.
+    Returns (token, n_est, err_bound)."""
+    import collections
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: collections.Counter = collections.Counter()
+        for t in b.column("text").to_pylist():
+            counts.update(_TOKEN_RE.findall(t))
+        if not counts:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = np.asarray(list(counts.keys()), dtype=object)
+        ns = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        trunc = 0
+        if len(ns) > capacity:
+            keep = np.lexsort((toks, -ns))
+            trunc = int(ns[keep[capacity]])  # largest dropped count
+            keep = keep[:capacity]
+            toks, ns = toks[keep], ns[keep]
+        return pa.table({
+            "token": pa.array(np.append(toks, _TRUNC_SENTINEL), pa.string()),
+            "n": pa.array(np.append(ns, trunc), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tok = batch.column("token").combine_chunks().dictionary_encode()
+        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        sums = np.add.reduceat(ns[order], starts)
+        toks = tok.dictionary.take(pa.array(codes[order][starts]))
+        toks_np = toks.to_numpy(zero_copy_only=False)
+        # pre-top-k per partition, but the sentinel's summed bound must
+        # always survive to the driver
+        if len(sums) > k + 1:
+            is_sent = toks_np == _TRUNC_SENTINEL
+            keep = np.lexsort((toks_np, -np.where(is_sent, np.iinfo(
+                np.int64).max, sums)))[:k + 1]
+            toks = toks.take(pa.array(keep))
+            sums = sums[keep]
+        return pa.table({"token": toks.cast(pa.string()),
+                         "n": pa.array(sums, pa.int64())})
+
+    t = collect_table(hash_group_apply(partials, ["token"], merge,
+                                       sort=False))
+    if t.num_rows == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n_est": pa.array([], pa.int64()),
+                         "err_bound": pa.array([], pa.int64())})
+    toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+    ns = t.column("n").to_numpy(zero_copy_only=False)
+    sent = toks == _TRUNC_SENTINEL
+    err_bound = int(ns[sent].sum())
+    toks, ns = toks[~sent], ns[~sent]
+    keep = np.lexsort((toks, -ns))[:k]
+    return pa.table({
+        "token": pa.array(toks[keep], pa.string()),
+        "n_est": pa.array(ns[keep], pa.int64()),
+        "err_bound": pa.array(np.full(len(keep), err_bound), pa.int64()),
+    })

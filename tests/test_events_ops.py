@@ -173,3 +173,32 @@ def test_ntile_small_partitions(ray_session):
         # user 1 (2 rows) -> tiles 1,2; user 2 (1 row) -> 1;
         # user 3 (5 rows, 4 tiles) -> sizes 2,1,1,1
         assert list(got["quartile"]) == [1, 2, 1, 1, 1, 2, 3, 4]
+
+
+def test_top_tokens_sketch_error_bound(ray_session):
+    """Misra-Gries truncation bound: estimates only UNDER-count, by at
+    most the summed per-block truncation bound; with a forcing-small
+    capacity the bound must be non-trivial (truncation actually
+    happened) yet still contain the exact counts."""
+    from nise_ray.ops.textstats import top_tokens, top_tokens_sketch
+    sf = "/root/testdata/sf0.001"
+    exact = top_tokens(sf, k=200)
+    exact_n = dict(zip(exact.column("token").to_pylist(),
+                       exact.column("n").to_pylist()))
+    # the synthetic corpus vocab is ~31 tokens, so capacity=8 forces
+    # real truncation in every block
+    sk = top_tokens_sketch(sf, k=10, capacity=8)
+    assert sk.num_rows == 10
+    bound = sk.column("err_bound")[0].as_py()
+    assert bound > 0
+    for tok, est in zip(sk.column("token").to_pylist(),
+                        sk.column("n_est").to_pylist()):
+        assert tok in exact_n
+        assert 0 <= exact_n[tok] - est <= bound, (tok, est, exact_n[tok])
+    # sanity: a generous capacity reproduces the exact top-k verbatim
+    sk_big = top_tokens_sketch(sf, k=20, capacity=100_000)
+    assert sk_big.column("err_bound")[0].as_py() == 0
+    assert sk_big.column("token").to_pylist() == \
+        exact.column("token").to_pylist()[:20]
+    assert sk_big.column("n_est").to_pylist() == \
+        exact.column("n").to_pylist()[:20]
