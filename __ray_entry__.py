@@ -235,6 +235,11 @@ def _q_lang_quantiles(sf_dir: str):
     return lang_length_quantiles(sf_dir)
 
 
+def _q_lang_quantiles_cont(sf_dir: str):
+    from nise_ray.ops.events import lang_length_quantiles_cont
+    return lang_length_quantiles_cont(sf_dir)
+
+
 def _q_lang_quantiles_sketch(sf_dir: str):
     """DDSketch-style log-binned quantile sketch (rows-only: the output
     is an alpha-relative-error ESTIMATE, not SQL-expressible; the exact
@@ -453,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_prior_counts": _q_range_join,
         "window_running_stats": _q_running_stats,
         "lang_length_quantiles": _q_lang_quantiles,
+        "lang_length_quantiles_cont": _q_lang_quantiles_cont,
         "lang_length_quantiles_sketch": _q_lang_quantiles_sketch,
         "windowed_events": _q_windowed_events,
         "sliding_windows": _q_sliding_windows,
@@ -612,6 +618,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    quantile_disc(n_chars, 0.5) AS p50_chars,
                    quantile_disc(n_chars, 0.9) AS p90_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_length_quantiles_cont": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
             FROM documents GROUP BY lang
         """,
         "token_stats": r"""

@@ -271,6 +271,51 @@ def lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
     return hash_group_apply(ds, ["lang"], agg, 0, sort=False)
 
 
+def lang_length_quantiles_cont(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language INTERPOLATED quantiles (percentile_cont / DuckDB
+    quantile_cont semantics — linear interpolation at h = q*(n-1)):
+    (lang, n_docs, p50_chars, p90_chars) as rounded doubles. Same
+    one-exchange shape as the discrete variant; the interpolation is a
+    closed-form vectorized gather over the per-group sorted segments."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "p50_chars": pa.array([], pa.float64()),
+                "p90_chars": pa.array([], pa.float64()),
+            })
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        starts, counts = segments(sc)
+
+        def q_cont(q: float) -> np.ndarray:
+            h = q * (counts - 1)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            hi = np.minimum(lo + 1, counts - 1)
+            v = sv[starts + lo] + (sv[starts + hi] - sv[starts + lo]) * frac
+            return np.round(v, 4)
+
+        langs = lang.dictionary.take(pa.array(sc[starts]))
+        return pa.table({
+            "lang": langs.cast(pa.string()),
+            "n_docs": pa.array(counts, pa.int64()),
+            "p50_chars": pa.array(q_cont(0.5), pa.float64()),
+            "p90_chars": pa.array(q_cont(0.9), pa.float64()),
+        })
+
+    return hash_group_apply(ds, ["lang"], agg, 0, sort=False)
+
+
 def lang_length_quantiles_sketch(sf_dir: str,
                                  alpha: float = 0.01) -> "ray.data.Dataset":
     """SKETCH path for per-group quantiles (the 100-TB configuration the

@@ -202,3 +202,21 @@ def test_top_tokens_sketch_error_bound(ray_session):
         exact.column("token").to_pylist()[:20]
     assert sk_big.column("n_est").to_pylist() == \
         exact.column("n").to_pylist()[:20]
+
+
+def test_lang_quantiles_cont_matches_duckdb(ray_session):
+    """percentile_cont interpolation vs DuckDB quantile_cont."""
+    import duckdb
+
+    from nise_ray.ops.events import lang_length_quantiles_cont
+    sf = "/root/testdata/sf0.001"
+    got = lang_length_quantiles_cont(sf).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert got.to_dict("list") == want.to_dict("list")
