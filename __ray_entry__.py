@@ -294,6 +294,11 @@ def _q_cube_doc_counts(sf_dir: str):
     return cube_doc_counts(sf_dir)
 
 
+def _q_lang_char_moments(sf_dir: str):
+    from nise_ray.ops.analytics import lang_char_moments
+    return lang_char_moments(sf_dir)
+
+
 def _q_user_value_quartiles(sf_dir: str):
     from nise_ray.ops.events import user_value_quartiles
     return user_value_quartiles(sf_dir)
@@ -467,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "rollup_doc_counts": _q_rollup_doc_counts,
         "cube_doc_counts": _q_cube_doc_counts,
+        "lang_char_moments": _q_lang_char_moments,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -757,6 +763,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY CUBE(documents.lang, documents.source)
             ORDER BY 1, 2
+        """,
+        "lang_char_moments": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   round(stddev_pop(n_chars), 4) AS sd_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "user_value_quartiles": """
             SELECT user_id, event_id, value,

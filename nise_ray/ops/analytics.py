@@ -245,3 +245,77 @@ def cube_doc_counts(sf_dir: str) -> pa.Table:
                              _coarsen(finest, "source"),
                              _grand_total(finest)]).sort_by(
         [("lang", "ascending"), ("source", "ascending")])
+
+
+def lang_char_moments(sf_dir: str) -> pa.Table:
+    """Distributed MOMENTS aggregate: per-language mean and population
+    stddev of document length via the classic mergeable moment sums
+    (n, Σx, Σx²) — the combiner shape every distributed variance /
+    z-score / normalization stage uses. Each block emits one
+    (lang, n, s1, s2) row per language it saw; one group-count-sized
+    exchange merges them and the driver finishes the algebra.
+    Cancellation caveat: Σx² - (Σx)²/n loses precision when sd/mean is
+    tiny at huge n — for 100-TB production use shift by a per-block
+    pivot (first value) or a Welford/Chan pairwise merge; at the tested
+    scales the direct sums match DuckDB's stddev_pop bit-exactly after
+    round(,4). Returns (lang, n_docs, mean_chars, sd_chars)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64())})
+        lang = b.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            if "n" in b.schema.names else np.ones(b.num_rows, np.int64)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False) \
+            if "s1" in b.schema.names else x
+        s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+            if "s2" in b.schema.names else x * x
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        first = order[starts]
+        return pa.table({
+            "lang": lang.take(pa.array(first)).cast(pa.string()),
+            "n": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+            "s1": pa.array(np.add.reduceat(s1[order], starts), pa.float64()),
+            "s2": pa.array(np.add.reduceat(s2[order], starts), pa.float64()),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        # partials re-enter the same combiner: s1/s2/n columns present
+        renamed = batch.append_column(
+            "n_chars", pa.array(np.zeros(batch.num_rows), pa.float64()))
+        return partial(renamed)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    t = collect_table(hash_group_apply(partials, ["lang"], merge, 0,
+                                       sort=False))
+    if t.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "mean_chars": pa.array([], pa.float64()),
+                         "sd_chars": pa.array([], pa.float64())})
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s1 = t.column("s1").to_numpy(zero_copy_only=False)
+    s2 = t.column("s2").to_numpy(zero_copy_only=False)
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    out = pa.table({
+        "lang": t.column("lang"),
+        "n_docs": t.column("n"),
+        "mean_chars": pa.array(np.round(mean, 4), pa.float64()),
+        "sd_chars": pa.array(np.round(np.sqrt(var), 4), pa.float64()),
+    })
+    return out.sort_by([("lang", "ascending")])

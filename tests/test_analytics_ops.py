@@ -191,3 +191,20 @@ def test_cube_doc_counts_matches_duckdb(ray_session):
         GROUP BY CUBE(lang, source) ORDER BY 1, 2
     """).fetchdf()
     assert got.to_dict("list") == want.to_dict("list")
+
+
+def test_lang_char_moments_matches_duckdb(ray_session):
+    """Mergeable moment sums (n, Σx, Σx²) vs DuckDB avg/stddev_pop."""
+    import duckdb
+
+    from nise_ray.ops.analytics import lang_char_moments
+    sf = "/root/testdata/sf0.001"
+    got = lang_char_moments(sf).to_pandas().reset_index(drop=True)
+    want = duckdb.connect().execute(f"""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS mean_chars,
+               round(stddev_pop(n_chars), 4) AS sd_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert got.to_dict("list") == want.to_dict("list")
