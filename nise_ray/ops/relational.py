@@ -137,6 +137,21 @@ def _broadcast_side(ds: "ray.data.Dataset", key_col: str, val_col: str,
     return ray.put((keys, vals))
 
 
+def _anchor_sentinel(ds: "ray.data.Dataset",
+                     row: "dict[str, tuple[pa.DataType, object]]"
+                     ) -> "ray.data.Dataset":
+    """Union ONE impossible-key row into a join side. A filtered parquet
+    read whose predicate prunes EVERY fragment yields a dataset with no
+    blocks at all, and the hash-join aggregator infers each side's
+    schema from blocks it actually receives — so a fully-empty side
+    fails with 'No match for key field reference' (a ZERO-row anchor
+    does not help: the shuffle forwards no block for it). The sentinel
+    uses a negative key no real row carries, so an inner join emits
+    nothing for it; cost is one row at any scale."""
+    t = pa.table({c: pa.array([v], typ) for c, (typ, v) in row.items()})
+    return ds.union(ray.data.from_arrow(t))
+
+
 def _merge_grouped_partials(partials: pa.Table, key_col: str,
                             sum_cols: dict[str, "pa.DataType"],
                             round_cols: dict[str, int] | None = None
@@ -487,8 +502,11 @@ def customers_without_orders(sf_dir: str,
 
     # the distinct key set is bounded by |customer| (metadata-only count)
     if cust.count() <= broadcast_max:
-        keys = np.unique(collect_table(distinct)
-                         .column("o_custkey").to_numpy(zero_copy_only=False))
+        dt = collect_table(distinct)
+        # no order clears min_price -> column-less empty collect
+        keys = np.unique(dt.column("o_custkey").to_numpy(
+            zero_copy_only=False)) if dt.num_rows else \
+            np.empty(0, dtype=np.int64)
         keys_ref = ray.put(keys)
 
         class AntiFilter:
@@ -580,6 +598,12 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
         pc.is_in(nation_t.column("n_regionkey"),
                  value_set=pa.array(rkeys, pa.int64())))
     nat_keys = in_region.column("n_nationkey").to_numpy(zero_copy_only=False)
+    if len(nat_keys) == 0:
+        # unknown region: the inner joins are vacuously empty, and a
+        # fully-empty map stage would feed the hash join a schema-less
+        # right side — short-circuit with the typed empty result
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     order = np.argsort(nat_keys)
     nat_ref = ray.put((nat_keys[order],
                        np.array(in_region.column("n_name").to_pylist(),
@@ -595,17 +619,28 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     # 4-CPU cluster — task pools yield CPUs to the join aggregators.
     def region_cust(b: pa.Table) -> pa.Table:
         """Keep only customers whose nation is in the region (25-row
-        broadcast membership test — never a shuffle)."""
+        broadcast membership test — never a shuffle). c_nationkey is
+        normalized to int64 (parquet stores int32) so the sentinel
+        union below is schema-uniform."""
         keys, _ = ray.get(nat_ref)
         nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            return b.slice(0, 0)
         pos = np.clip(np.searchsorted(keys, nk), 0, len(keys) - 1)
-        return b.filter(pa.array(keys[pos] == nk))
+        keep = keys[pos] == nk
+        return pa.table({
+            "c_custkey": b.column("c_custkey").filter(pa.array(keep)),
+            "c_nationkey": pa.array(nk[keep].astype(np.int64), pa.int64()),
+        })
 
     region_cust.__name__ = "RegionCust"
     cust_r = cust.map_batches(region_cust, batch_format="pyarrow",
                               zero_copy_batch=True)
+    # the customer sentinel pairs with the orders sentinel below so ONE
+    # row survives the first join even when the date window is empty —
+    # otherwise the second join's right side receives no block and the
+    # aggregator cannot infer its schema; the -1 orderkey then matches
+    # no lineitem, so the final output is unaffected
+    cust_r = _anchor_sentinel(cust_r, {"c_custkey": (pa.int64(), -1),
+                                       "c_nationkey": (pa.int64(), -1)})
 
     lo = np.datetime64(date_lo, "us").astype("datetime64[us]").item()
     hi = np.datetime64(date_hi, "us").astype("datetime64[us]").item()
@@ -613,6 +648,8 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
         filter=(pads.field("o_orderdate") >= lo)
                & (pads.field("o_orderdate") < hi))
+    orders = _anchor_sentinel(orders, {"o_orderkey": (pa.int64(), -1),
+                                       "o_custkey": (pa.int64(), -1)})
     _hash_shuffle_on(orders, cust_r)
     ordcust = orders.join(cust_r, join_type="inner",
                           num_partitions=_join_partitions(),
@@ -774,10 +811,14 @@ def order_priority_counts(sf_dir: str, date_lo: str = "1996-01-01",
         filter=(pads.field("o_orderdate") >= lo)
                & (pads.field("o_orderdate") < hi))
 
+
     # the distinct key set is bounded by |orders| (metadata-only count)
     if orders.count() <= broadcast_max:
-        keys = np.unique(collect_table(distinct)
-                         .column("l_orderkey").to_numpy(zero_copy_only=False))
+        dt = collect_table(distinct)
+        # a fully-empty EXISTS side collects as a column-less table
+        keys = np.unique(dt.column("l_orderkey").to_numpy(
+            zero_copy_only=False)) if dt.num_rows else \
+            np.empty(0, dtype=np.int64)
         keys_ref = ray.put(keys)
 
         class SemiFilter:
@@ -796,10 +837,16 @@ def order_priority_counts(sf_dir: str, date_lo: str = "1996-01-01",
                                      zero_copy_batch=True,
                                      concurrency=default_concurrency())
     else:
-        _hash_shuffle_on(orders, distinct)
-        matched = orders.join(distinct, join_type="inner",
-                              num_partitions=_join_partitions(),
-                              on=("o_orderkey",), right_on=("l_orderkey",))
+        # distinct sentinel -2 and orders sentinel -1 cannot match each
+        # other or any real key, so the inner join stays exact
+        orders_j = _anchor_sentinel(orders, {
+            "o_orderkey": (pa.int64(), -1),
+            "o_orderpriority": (pa.string(), "")})
+        dist_j = _anchor_sentinel(distinct, {"l_orderkey": (pa.int64(), -2)})
+        _hash_shuffle_on(orders_j, dist_j)
+        matched = orders_j.join(dist_j, join_type="inner",
+                                num_partitions=_join_partitions(),
+                                on=("o_orderkey",), right_on=("l_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -842,6 +889,7 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
         filter=(pads.field("l_shipdate") >= lo)
                & (pads.field("l_shipdate") < hi))
+
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_type"])
 
@@ -890,10 +938,13 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
 
         part_f = part.map_batches(promo_flag, batch_format="pyarrow",
                                   zero_copy_batch=True)
-        _hash_shuffle_on(li, part_f)
-        joined = li.join(part_f, join_type="inner",
-                         num_partitions=_join_partitions(),
-                         on=("l_partkey",), right_on=("p_partkey",))
+        li_j = _anchor_sentinel(li, {"l_partkey": (pa.int64(), -1),
+                                     "l_extendedprice": (pa.float64(), 0.0),
+                                     "l_discount": (pa.float64(), 0.0)})
+        _hash_shuffle_on(li_j, part_f)
+        joined = li_j.join(part_f, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("l_partkey",), right_on=("p_partkey",))
 
     partials = collect_table(joined.map_batches(
         partials_from("l_partkey", "is_promo"), batch_format="pyarrow",

@@ -196,3 +196,30 @@ def test_promo_revenue_share_matches_duckdb(ray_session, bmax):
     """).fetchdf()
     for col in ["promo_revenue", "total_revenue", "promo_share_pct"]:
         assert np.allclose(got[col], want[col]), col
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_degenerate_relational_inputs(ray_session, bmax):
+    """Empty-selection robustness on both join paths: an unknown region,
+    a returnflag no lineitem carries, and an out-of-range date window
+    must each yield a well-typed empty/zero result, not a crash."""
+    from nise_ray.ops.relational import (local_supplier_revenue,
+                                         order_priority_counts,
+                                         promo_revenue_share)
+    t = local_supplier_revenue(SF, region="NOWHERE", broadcast_max=bmax)
+    assert t.num_rows == 0
+    assert t.schema.names == ["n_name", "revenue"]
+
+    t = local_supplier_revenue(SF, date_lo="2030-01-01",
+                               date_hi="2030-02-01", broadcast_max=bmax)
+    assert t.num_rows == 0  # empty order window -> empty join chain
+
+    t = order_priority_counts(SF, flag="Z", broadcast_max=bmax)
+    assert t.num_rows == 0
+    assert t.schema.names == ["o_orderpriority", "n_orders"]
+
+    t = promo_revenue_share(SF, date_lo="2030-01-01", date_hi="2030-02-01",
+                            broadcast_max=bmax)
+    assert t.num_rows == 1
+    assert t.column("total_revenue")[0].as_py() == 0.0
+    assert t.column("promo_share_pct")[0].as_py() == 0.0
