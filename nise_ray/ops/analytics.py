@@ -264,39 +264,40 @@ def lang_char_moments(sf_dir: str) -> pa.Table:
     from nise_ray.ops.groupapply import hash_group_apply, segments
     from nise_ray.util import collect_table
 
-    def partial(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"lang": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "s1": pa.array([], pa.float64()),
-                             "s2": pa.array([], pa.float64())})
-        lang = b.column("lang").combine_chunks().dictionary_encode()
-        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        x = b.column("n_chars").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        n = b.column("n").to_numpy(zero_copy_only=False) \
-            if "n" in b.schema.names else np.ones(b.num_rows, np.int64)
-        s1 = b.column("s1").to_numpy(zero_copy_only=False) \
-            if "s1" in b.schema.names else x
-        s2 = b.column("s2").to_numpy(zero_copy_only=False) \
-            if "s2" in b.schema.names else x * x
+    _EMPTY_MOM = pa.table({"lang": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64()),
+                           "s1": pa.array([], pa.float64()),
+                           "s2": pa.array([], pa.float64())})
+
+    def _sum_by_lang(lang_arr: pa.ChunkedArray, n: np.ndarray,
+                     s1: np.ndarray, s2: np.ndarray) -> pa.Table:
+        enc = lang_arr.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         starts, _ = segments(codes[order])
-        first = order[starts]
         return pa.table({
-            "lang": lang.take(pa.array(first)).cast(pa.string()),
+            "lang": enc.take(pa.array(order[starts])).cast(pa.string()),
             "n": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
             "s1": pa.array(np.add.reduceat(s1[order], starts), pa.float64()),
             "s2": pa.array(np.add.reduceat(s2[order], starts), pa.float64()),
         })
 
-    def merge(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        # partials re-enter the same combiner: s1/s2/n columns present
-        renamed = batch.append_column(
-            "n_chars", pa.array(np.zeros(batch.num_rows), pa.float64()))
-        return partial(renamed)
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_MOM
+        x = b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return _sum_by_lang(b.column("lang"),
+                            np.ones(b.num_rows, np.int64), x, x * x)
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_MOM
+        return _sum_by_lang(
+            b.column("lang"),
+            b.column("n").to_numpy(zero_copy_only=False),
+            b.column("s1").to_numpy(zero_copy_only=False),
+            b.column("s2").to_numpy(zero_copy_only=False))
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)

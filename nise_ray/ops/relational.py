@@ -525,6 +525,10 @@ def customers_without_orders(sf_dir: str,
                                   zero_copy_batch=True,
                                   concurrency=default_concurrency())
     else:
+        # a min_price that prunes every fragment leaves distinct with ZERO
+        # blocks and the join aggregator cannot infer its schema; the -1
+        # sentinel matches no real c_custkey, so left_anti keeps all rows
+        distinct = _anchor_sentinel(distinct, {"o_custkey": (pa.int64(), -1)})
         _hash_shuffle_on(cust, distinct)
         lonely = cust.join(distinct, join_type="left_anti",
                            num_partitions=_join_partitions(),
@@ -812,8 +816,13 @@ def order_priority_counts(sf_dir: str, date_lo: str = "1996-01-01",
                & (pads.field("o_orderdate") < hi))
 
 
-    # the distinct key set is bounded by |orders| (metadata-only count)
-    if orders.count() <= broadcast_max:
+    # Gate on the UNFILTERED row count: parquet metadata answers it
+    # without a scan (a .count() on the filtered `orders` read would
+    # execute the whole filtered scan just to pick the path), and it is
+    # a valid upper bound on the distinct key set either way.
+    n_orders_meta = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).count()
+    if n_orders_meta <= broadcast_max:
         dt = collect_table(distinct)
         # a fully-empty EXISTS side collects as a column-less table
         keys = np.unique(dt.column("l_orderkey").to_numpy(
@@ -893,7 +902,7 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_type"])
 
-    def partials_from(keys_col: str, promo_col: str):
+    def partials_from(promo_col: str):
         def partial(b: pa.Table) -> pa.Table:
             price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
             disc = b.column("l_discount").to_numpy(zero_copy_only=False)
@@ -947,7 +956,7 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
                            on=("l_partkey",), right_on=("p_partkey",))
 
     partials = collect_table(joined.map_batches(
-        partials_from("l_partkey", "is_promo"), batch_format="pyarrow",
+        partials_from("is_promo"), batch_format="pyarrow",
         zero_copy_batch=True))
     promo = float(np.sum(partials.column("promo_rev").to_numpy(
         zero_copy_only=False))) if partials.num_rows else 0.0

@@ -85,7 +85,14 @@ def _row_unique_token_hashes(
 
 
 def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenation of [s, s+c) index ranges, vectorized."""
+    """Concatenation of [s, s+c) index ranges, vectorized. Zero counts
+    are dropped first: a 0 in `counts` makes consecutive reset positions
+    collide (the later fancy-index write silently overwrites the earlier
+    one, corrupting every range after it) and a trailing 0 writes one
+    past the end — e.g. an empty-text row surviving to the token-set
+    repack used to corrupt flat_sorted for all docs sorted after it."""
+    nz = counts > 0
+    starts, counts = starts[nz], counts[nz]
     total = int(counts.sum())
     if total == 0:
         return np.empty(0, dtype=np.int64)

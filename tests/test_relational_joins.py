@@ -223,3 +223,34 @@ def test_degenerate_relational_inputs(ray_session, bmax):
     assert t.num_rows == 1
     assert t.column("total_revenue")[0].as_py() == 0.0
     assert t.column("promo_share_pct")[0].as_py() == 0.0
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_customers_without_orders_empty_filter(ray_session, bmax):
+    """A min_price no order clears prunes EVERY orders fragment at the
+    read; both the broadcast NOT-IN path and the distributed left_anti
+    join (which needs the -1 anchor sentinel, or the join aggregator
+    cannot infer the empty side's schema) must return ALL customers."""
+    from nise_ray.ops.relational import customers_without_orders
+    got = customers_without_orders(SF, min_price=1e18, broadcast_max=bmax) \
+        .to_pandas().reset_index(drop=True)
+    want = _con().execute("""
+        SELECT c_nationkey, count(*) AS n_customers FROM customer
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """).fetchdf()
+    assert list(got["c_nationkey"]) == list(want["c_nationkey"])
+    assert list(got["n_customers"]) == list(want["n_customers"])
+
+
+def test_ranges_zero_counts():
+    """_ranges must stay correct when counts contain zeros: a 0 makes
+    consecutive reset positions collide (silent corruption of every
+    range after it) and a trailing 0 writes past the end."""
+    from nise_ray.ops.simjoin import _ranges
+    got = _ranges(np.array([5, 9, 20]), np.array([2, 0, 3]))
+    assert got.tolist() == [5, 6, 20, 21, 22]
+    got = _ranges(np.array([3, 7]), np.array([2, 0]))
+    assert got.tolist() == [3, 4]
+    assert _ranges(np.array([1, 2]), np.array([0, 0])).tolist() == []
+    got = _ranges(np.array([0, 4, 8]), np.array([1, 2, 1]))
+    assert got.tolist() == [0, 4, 5, 8]

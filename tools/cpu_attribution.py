@@ -146,11 +146,20 @@ def headline_breakdown(num_cpus: int, n_files: int = 1_000_000) -> dict:
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-    peak: dict[int, tuple[float, str]] = {}
+    # Per-SAMPLE delta attribution: each poll credits (cpu_now - cpu_last)
+    # to the role of the title observed AT THAT SAMPLE. Ray reuses workers
+    # across operators (the process retitles per task), so attributing a
+    # pid's whole cumulative CPU to any single title would systematically
+    # misbucket reused workers; deltas land where the CPU was spent, up to
+    # the 1 s sampling granularity. A pid's CPU before its first sample is
+    # credited to its first observed title (startup is negligible).
+    last: dict[int, float] = {}
+    roles: dict[str, float] = {}
     stop = threading.Event()
 
     def poll() -> None:
-        while not stop.is_set():
+        while True:
+            done = stop.is_set()   # take one final sample after exit
             info: dict[int, tuple[int, float, str]] = {}
             for d in os.listdir("/proc"):
                 if d.isdigit():
@@ -167,13 +176,14 @@ def headline_breakdown(num_cpus: int, n_files: int = 1_000_000) -> dict:
                     continue
                 seen.add(p)
                 _, cpu, title = info[p]
-                old = peak.get(p)
-                # keep the highest observed cumulative CPU and the most
-                # specific (longest) title seen for the pid
-                peak[p] = (max(cpu, old[0]) if old else cpu,
-                           title if (not old or len(title) >= len(old[1]))
-                           else old[1])
+                delta = cpu - last.get(p, 0.0)
+                last[p] = max(cpu, last.get(p, 0.0))
+                if delta > 0:
+                    role = _role(title, proc.pid, p)
+                    roles[role] = roles.get(role, 0.0) + delta
                 stack.extend(children.get(p, []))
+            if done:
+                return
             stop.wait(1.0)
 
     th = threading.Thread(target=poll, daemon=True)
@@ -181,12 +191,8 @@ def headline_breakdown(num_cpus: int, n_files: int = 1_000_000) -> dict:
     th.start()
     out_text, _ = proc.communicate()
     stop.set()
-    th.join(timeout=5)
+    th.join(timeout=10)
     wall = time.time() - t0
-    roles: dict[str, float] = {}
-    for pid, (cpu, title) in peak.items():
-        roles[_role(title, proc.pid, pid)] = roles.get(
-            _role(title, proc.pid, pid), 0.0) + cpu
     lines = [l for l in out_text.strip().splitlines() if l.startswith("{")]
     bench = json.loads(lines[-1]) if lines else {}
     return {
