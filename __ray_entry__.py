@@ -121,6 +121,18 @@ def _q_embedding_dups_exact(sf_dir: str):
     return embedding_dup_pairs_exact(sf_dir, threshold=0.3)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    from nise_ray.ops.ann import embedding_kmeans
+    return embedding_kmeans(sf_dir, n_centroids=16)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    from nise_ray.ops.ann import semantic_dedup
+    # 0.3 matches the LSH/exact variants so all three dedup-modality
+    # results are directly comparable on this near-orthogonal corpus
+    return semantic_dedup(sf_dir, threshold=0.3, n_centroids=4)
+
+
 def _q_event_type_user_counts(sf_dir: str):
     from nise_ray.ops.events import event_type_user_counts
     return event_type_user_counts(sf_dir)
@@ -452,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup_pairs": _q_semantic_dedup,
         # --- text analysis --------------------------------------------
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

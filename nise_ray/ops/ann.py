@@ -514,3 +514,76 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                              zero_copy_batch=True,
                              concurrency=default_concurrency())
     return _merge_topk(collect_table(partial), k, round_to)
+
+
+def _train_centroids(ds: "ray.data.Dataset", n_centroids: int, seed: int,
+                     sample_size: int) -> np.ndarray:
+    """Shared trainer: spherical k-means on a deterministic uniform
+    driver-side sample (splitmix64 thinning — see _uniform_sample),
+    centroids broadcast-ready. Sample-trained Lloyd is the standard
+    web-scale recipe (IVF/SemDeDup): the sample is statistics-sized, the
+    corpus is touched only by the single assignment pass."""
+    sample = _normalize(_embedding_matrix(_uniform_sample(ds, sample_size)))
+    return _kmeans_centroids(sample, n_centroids, seed)
+
+
+def _cluster_assigner(cent_ref, out_col: str = "cluster"):
+    """Actor-pool stage: nearest-centroid (cosine) assignment, one matmul
+    per batch against the broadcast centroid matrix."""
+
+    class AssignCluster:
+        def __init__(self) -> None:
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(b))
+            cells = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+            return b.append_column(out_col, pa.array(cells, pa.int64()))
+
+    return AssignCluster
+
+
+def embedding_kmeans(sf_dir: str, n_centroids: int = 32, seed: int = 42,
+                     sample_size: int = 4096) -> "ray.data.Dataset":
+    """Distributed k-means clustering of the embedding corpus: centroids
+    trained once on a uniform sample (driver-side Lloyd, deterministic),
+    then ONE stateless assignment pass over the corpus — (vec_id,
+    cluster). This is the partitioning primitive semantic dedup, IVF
+    search and curriculum bucketing all share; at 100 TB the corpus pass
+    is embarrassingly parallel and the only broadcast is the k x dim
+    centroid matrix."""
+    from nise_ray.ops.groupapply import default_concurrency
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent_ref = ray.put(_train_centroids(ds, n_centroids, seed, sample_size))
+    assigned = ds.map_batches(_cluster_assigner(cent_ref),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=default_concurrency())
+    return assigned.select_columns(["vec_id", "cluster"])
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.95,
+                   n_centroids: int = 32, seed: int = 42,
+                   sample_size: int = 4096) -> "ray.data.Dataset":
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then score cosine
+    similarity ONLY within each cluster — pairs (u < v, cosine >=
+    threshold). The cluster exchange replaces the all-pairs matrix with
+    k independent m_c^2 problems; within-cluster scoring reuses the
+    blocked slab kernel from embedding_dup_pairs (memory-bounded,
+    deterministic truncation on pathological clusters). Approximate by
+    design — a near-dup pair split across two clusters is missed; recall
+    vs the exact oracle is measured in tests, and raising n_centroids
+    trades recall for speed exactly as in the paper."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cent_ref = ray.put(_train_centroids(ds, n_centroids, seed, sample_size))
+    bucketed = ds.map_batches(_cluster_assigner(cent_ref, out_col="bucket"),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=default_concurrency())
+    # one cluster-keyed exchange (sort=True: the pair kernel segments on
+    # contiguous bucket runs); single table, so pairs are already
+    # distinct (unlike the multi-table LSH path)
+    return hash_group_apply(bucketed, ["bucket"],
+                            _dup_pair_batch_fn(threshold))

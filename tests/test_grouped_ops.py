@@ -106,3 +106,62 @@ def test_customers_without_orders_matches_duckdb(ray_session):
     """).fetchdf()
     assert len(got) > 0
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_embedding_kmeans_assignments(ray_session):
+    """Every vector assigned to exactly one cluster in [0, k); more than
+    one cluster used; deterministic for a fixed seed."""
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import embedding_kmeans
+    from nise_ray.util import collect_table
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    t = collect_table(embedding_kmeans(SF, n_centroids=8)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(t) == n
+    assert t["vec_id"].is_unique
+    assert t["cluster"].between(0, 7).all()
+    assert t["cluster"].nunique() > 1
+    again = collect_table(embedding_kmeans(SF, n_centroids=8)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert t.equals(again)
+
+
+def test_semantic_dedup_subset_and_recall(ray_session):
+    """SemDeDup pairs are exact within a cluster (precision 1.0 — every
+    reported pair is a true pair) and recall degrades gracefully with
+    cluster count: at k=4 on this corpus the measured recall is ~0.45
+    (pairs at cosine 0.3 are near-random, the hardest case for
+    cluster-locality); assert a conservative floor."""
+    from nise_ray.ops.ann import embedding_dup_pairs_exact, semantic_dedup
+    from nise_ray.util import collect_table
+    exact = embedding_dup_pairs_exact(SF, threshold=0.3)
+    es = set(zip(exact.column("u").to_pylist(), exact.column("v").to_pylist()))
+    sd = collect_table(semantic_dedup(SF, threshold=0.3, n_centroids=4))
+    ss = set(zip(sd.column("u").to_pylist(), sd.column("v").to_pylist()))
+    assert ss <= es
+    assert len(ss & es) >= 0.3 * len(es)
+
+
+def test_semantic_dedup_planted_duplicates(ray_session, tmp_path):
+    """Identical vectors ALWAYS land in the same k-means cluster (the
+    argmax assignment is a pure function of the vector), so planted
+    exact duplicates must be recovered with recall 1.0 at any k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import semantic_dedup
+    from nise_ray.util import collect_table
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs = np.vstack([base, base[:5]])  # vec_ids 60..64 duplicate 0..4
+    t = pa.table({
+        "vec_id": pa.array(np.arange(65), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(65, np.int32), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = collect_table(semantic_dedup(str(tmp_path), threshold=0.999,
+                                       n_centroids=8, sample_size=32))
+    pairs = set(zip(got.column("u").to_pylist(), got.column("v").to_pylist()))
+    assert {(i, 60 + i) for i in range(5)} <= pairs
