@@ -143,6 +143,16 @@ def _q_top_docs_per_lang(sf_dir: str):
     return top_docs_per_lang(sf_dir, n_per_group=3)
 
 
+def _q_small_quantity_revenue(sf_dir: str):
+    from nise_ray.ops.relational import small_quantity_revenue
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    from nise_ray.ops.relational import large_volume_customers
+    return large_volume_customers(sf_dir)
+
+
 def _q_customers_without_orders(sf_dir: str):
     from nise_ray.ops.relational import customers_without_orders
     return customers_without_orders(sf_dir)
@@ -504,6 +514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue_share": _q_promo_revenue_share,
         "event_interarrival": _q_event_interarrival,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "large_volume_customers": _q_large_volume_customers,
         "customers_without_orders": _q_customers_without_orders,
         "flagship_sha_audit": _q_flagship_sha_audit,
         "shingle_stats": _q_shingle_stats,
@@ -710,6 +722,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rank <= 3
             ORDER BY lang, rank
+        """,
+        # Q17-shaped correlated scalar subquery — two-pass threshold plan
+        "small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#4'
+              AND l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        # Q18-shaped HAVING + join-back, top-k by order value
+        "large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum(l_quantity) AS total_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 200
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
         "customers_without_orders": """
             SELECT c_nationkey, count(*) AS n_customers

@@ -968,3 +968,332 @@ def promo_revenue_share(sf_dir: str, date_lo: str = "1996-01-01",
         "total_revenue": pa.array([round(total, 2)], pa.float64()),
         "promo_share_pct": pa.array([share], pa.float64()),
     })
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
+                           factor: float = 0.2,
+                           broadcast_max: int = 5_000_000) -> pa.Table:
+    """Per-group SCALAR-SUBQUERY pattern (TPC-H Q17 shape): revenue from
+    lineitems of one brand's parts whose quantity falls below
+    `factor` x that part's average quantity. The correlated subquery
+    becomes two passes:
+
+      pass 1  per-part (n, sum_qty) combiner over the brand's lineitems
+              -> selected-parts-sized threshold map thr = factor * avg
+      pass 2  re-scan, keep l_quantity < thr[l_partkey], sum revenue
+
+    Under `broadcast_max` the brand's partkey set and the threshold map
+    travel by ray.put (each is |part|/n_brands-sized — statistics, not
+    corpus); above it both attaches run as distributed hash joins with
+    anchor sentinels (the 10^12-row configuration). Threshold floats are
+    reproducible: per-part quantity sums are exact integers in double,
+    so factor * (s/n) is bit-identical to SQL's 0.2 * avg()."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey"],
+                                  filter=pads.field("p_brand") == brand)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        starts, counts = segments(pk[order])
+        return pa.table({
+            "l_partkey": pa.array(pk[order][starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "s": pa.array(np.add.reduceat(q[order], starts), pa.float64()),
+        })
+
+    def qty_merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "thr": pa.array([], pa.float64())})
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        starts, _ = segments(pk[order])
+        ns = np.add.reduceat(n[order], starts).astype(np.float64)
+        ss = np.add.reduceat(s[order], starts)
+        return pa.table({
+            "l_partkey": pa.array(pk[order][starts], pa.int64()),
+            "thr": pa.array(factor * (ss / ns), pa.float64()),
+        })
+
+    # metadata-only gate: the selected set is bounded by |part|
+    n_part_meta = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                        columns=["p_partkey"]).count()
+    broadcast = n_part_meta <= broadcast_max
+
+    li1 = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_partkey", "l_quantity"])
+    li2 = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if broadcast:
+        pt = collect_table(parts)
+        keys = np.sort(pt.column("p_partkey").to_numpy(
+            zero_copy_only=False)) if pt.num_rows else \
+            np.empty(0, dtype=np.int64)
+        keys_ref = ray.put(keys)
+
+        def member_filter(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            if len(ks) == 0:
+                return b.slice(0, 0)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+            return b.filter(pa.array(ks[pos] == pk))
+
+        partials = collect_table(
+            li1.map_batches(member_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .map_batches(qty_partial, batch_format="pyarrow",
+                            zero_copy_batch=True))
+        thr_t = qty_merge(partials)
+        tk = thr_t.column("l_partkey").to_numpy(zero_copy_only=False)
+        tv = thr_t.column("thr").to_numpy(zero_copy_only=False)
+        thr_ref = ray.put((tk, tv))
+
+        def pass2(b: pa.Table) -> pa.Table:
+            ks, thr = ray.get(thr_ref)
+            if len(ks) == 0:
+                return pa.table({"rev": pa.array([0.0], pa.float64())})
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+            keep = (ks[pos] == pk) & (q < thr[pos])
+            return pa.table({"rev": pa.array([float(price[keep].sum())],
+                                             pa.float64())})
+
+        rev_parts = collect_table(li2.map_batches(
+            pass2, batch_format="pyarrow", zero_copy_batch=True))
+    else:
+        parts_j = _anchor_sentinel(parts, {"p_partkey": (pa.int64(), -1)})
+        _hash_shuffle_on(li1, parts_j)
+        joined1 = li1.join(parts_j, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("l_partkey",), right_on=("p_partkey",))
+        partials1 = joined1.map_batches(qty_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        thr_ds = hash_group_apply(partials1, ["l_partkey"], qty_merge, 0,
+                                  sort=False)
+        # rename so the join output keeps both the threshold and the
+        # lineitem's own l_partkey distinct
+        thr_ds = thr_ds.map_batches(
+            lambda b: b.rename_columns(["thr_partkey", "thr"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        thr_ds = _anchor_sentinel(thr_ds, {"thr_partkey": (pa.int64(), -1),
+                                           "thr": (pa.float64(), 0.0)})
+        _hash_shuffle_on(li2, thr_ds)
+        joined2 = li2.join(thr_ds, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("l_partkey",), right_on=("thr_partkey",))
+
+        def pass2_joined(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"rev": pa.array([0.0], pa.float64())})
+            q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+            thr = b.column("thr").to_numpy(zero_copy_only=False)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            keep = q < thr
+            return pa.table({"rev": pa.array([float(price[keep].sum())],
+                                             pa.float64())})
+
+        rev_parts = collect_table(joined2.map_batches(
+            pass2_joined, batch_format="pyarrow", zero_copy_batch=True))
+
+    total = float(np.sum(rev_parts.column("rev").to_numpy(
+        zero_copy_only=False))) if rev_parts.num_rows else 0.0
+    return pa.table({"avg_yearly": pa.array([round(total / 7.0, 2)],
+                                            pa.float64())})
+
+
+def large_volume_customers(sf_dir: str, min_qty: float = 200.0,
+                           k: int = 100,
+                           broadcast_max: int = 5_000_000) -> pa.Table:
+    """HAVING + join-back pattern (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds `min_qty`, joined back to orders and
+    customer for the top-k by order value. The HAVING filter runs where
+    it belongs — per-orderkey combiner partials, ONE hash exchange,
+    threshold applied inside the merge — so only the qualifying (tiny by
+    construction) order set flows into the join-back. Under
+    `broadcast_max` the hot set travels by ray.put and customer names
+    attach via a second result-sized broadcast; above it both attaches
+    are distributed hash joins with anchor sentinels. Returns (c_name,
+    c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty) sorted
+    by o_totalprice DESC, o_orderkey, limit k."""
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        starts, _ = segments(ok[order])
+        return pa.table({
+            "l_orderkey": pa.array(ok[order][starts], pa.int64()),
+            "s": pa.array(np.add.reduceat(q[order], starts), pa.float64()),
+        })
+
+    def qty_merge_having(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "total_qty": pa.array([], pa.float64())})
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        starts, _ = segments(ok[order])
+        keys = ok[order][starts]
+        sums = np.add.reduceat(s[order], starts)
+        keep = sums > min_qty           # HAVING, applied in the merge
+        return pa.table({
+            "l_orderkey": pa.array(keys[keep], pa.int64()),
+            "total_qty": pa.array(sums[keep], pa.float64()),
+        })
+
+    hot = hash_group_apply(li.map_batches(qty_partial,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                           ["l_orderkey"], qty_merge_having, 0, sort=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+
+    if orders.count() <= broadcast_max:
+        ht = collect_table(hot)
+        if ht.num_rows == 0:
+            keys = np.empty(0, dtype=np.int64)
+            qty = np.empty(0, dtype=np.float64)
+        else:
+            keys = ht.column("l_orderkey").to_numpy(zero_copy_only=False)
+            qty = ht.column("total_qty").to_numpy(zero_copy_only=False)
+            order = np.argsort(keys)
+            keys, qty = keys[order], qty[order]
+        hot_ref = ray.put((keys, qty))
+
+        def attach_qty(b: pa.Table) -> pa.Table:
+            ks, qv = ray.get(hot_ref)
+            if len(ks) == 0:
+                return b.slice(0, 0).append_column(
+                    "total_qty", pa.array([], pa.float64()))
+            ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+            hit = ks[pos] == ok
+            return b.filter(pa.array(hit)).append_column(
+                "total_qty", pa.array(qv[pos[hit]], pa.float64()))
+
+        matched = collect_table(orders.map_batches(
+            attach_qty, batch_format="pyarrow", zero_copy_batch=True))
+        # result-sized custkey set -> second broadcast for c_name
+        cks = np.unique(matched.column("o_custkey").to_numpy(
+            zero_copy_only=False)) if matched.num_rows else \
+            np.empty(0, dtype=np.int64)
+        cks_ref = ray.put(cks)
+
+        def name_filter(b: pa.Table) -> pa.Table:
+            ks = ray.get(cks_ref)
+            if len(ks) == 0:
+                return b.slice(0, 0)
+            ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+            return b.filter(pa.array(ks[pos] == ck))
+
+        names = collect_table(cust.map_batches(
+            name_filter, batch_format="pyarrow", zero_copy_batch=True))
+        if matched.num_rows == 0:
+            final = pa.table({
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "total_qty": pa.array([], pa.float64()),
+            })
+            return final
+        nk = names.column("c_custkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(nk)
+        nk = nk[order]
+        nv = names.column("c_name").take(pa.array(order))
+        mck = matched.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(nk, mck), 0, max(len(nk) - 1, 0))
+        if not (nk[pos] == mck).all():
+            raise AssertionError("o_custkey missing from customer table")
+        final = pa.table({
+            "c_name": nv.take(pa.array(pos)),
+            "c_custkey": pa.array(mck, pa.int64()),
+            "o_orderkey": matched.column("o_orderkey"),
+            "o_orderdate": matched.column("o_orderdate"),
+            "o_totalprice": matched.column("o_totalprice"),
+            "total_qty": matched.column("total_qty"),
+        })
+    else:
+        hot_j = _anchor_sentinel(hot, {"l_orderkey": (pa.int64(), -1),
+                                       "total_qty": (pa.float64(), 0.0)})
+        orders_j = _anchor_sentinel(orders, {
+            "o_orderkey": (pa.int64(), -2),
+            "o_custkey": (pa.int64(), -2),
+            "o_orderdate": (pa.timestamp("us"), 0),
+            "o_totalprice": (pa.float64(), 0.0)})
+        _hash_shuffle_on(orders_j, hot_j)
+        m1 = orders_j.join(hot_j, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("o_orderkey",), right_on=("l_orderkey",))
+        # m1 is hot-set-sized; sentinels died at join 1 (-1 vs -2), so
+        # anchor again for join 2's schema inference (paired sentinels
+        # that also die: no real c_custkey is negative)
+        m1_j = _anchor_sentinel(m1, {
+            "o_orderkey": (pa.int64(), -3),
+            "o_custkey": (pa.int64(), -3),
+            "o_orderdate": (pa.timestamp("us"), 0),
+            "o_totalprice": (pa.float64(), 0.0),
+            "total_qty": (pa.float64(), 0.0)})
+        cust_j = _anchor_sentinel(cust, {"c_custkey": (pa.int64(), -4),
+                                         "c_name": (pa.string(), "")})
+        _hash_shuffle_on(m1_j, cust_j)
+        m2 = m1_j.join(cust_j, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("o_custkey",), right_on=("c_custkey",))
+        mt = collect_table(m2)
+        if mt.num_rows == 0:
+            return pa.table({
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice": pa.array([], pa.float64()),
+                "total_qty": pa.array([], pa.float64()),
+            })
+        final = pa.table({
+            "c_name": mt.column("c_name"),
+            "c_custkey": mt.column("o_custkey"),
+            "o_orderkey": mt.column("o_orderkey"),
+            "o_orderdate": mt.column("o_orderdate"),
+            "o_totalprice": mt.column("o_totalprice"),
+            "total_qty": mt.column("total_qty"),
+        })
+
+    # result-sized driver sort + limit
+    price = final.column("o_totalprice").to_numpy(zero_copy_only=False)
+    okey = final.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((okey, -price))[:k]
+    return final.take(pa.array(order))

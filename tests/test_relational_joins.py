@@ -254,3 +254,52 @@ def test_ranges_zero_counts():
     assert _ranges(np.array([1, 2]), np.array([0, 0])).tolist() == []
     got = _ranges(np.array([0, 4, 8]), np.array([1, 2, 1]))
     assert got.tolist() == [0, 4, 5, 8]
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_small_quantity_revenue_matches_duckdb(ray_session, bmax):
+    """Q17-shaped per-group scalar subquery: threshold map broadcast vs
+    the two distributed-join passes — identical either way."""
+    from nise_ray.ops.relational import small_quantity_revenue
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    got = small_quantity_revenue(SF, broadcast_max=bmax)
+    want = con.execute("""
+        SELECT round(sum(l_extendedprice)/7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """).fetchone()[0]
+    assert got.column("avg_yearly")[0].as_py() == want
+    # nonexistent brand -> zero revenue, not a crash (empty filtered read)
+    t = small_quantity_revenue(SF, brand="Brand#99", broadcast_max=bmax)
+    assert t.column("avg_yearly")[0].as_py() == 0.0
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_large_volume_customers_matches_duckdb(ray_session, bmax):
+    """Q18-shaped HAVING + join-back: hot-set broadcast vs the chained
+    distributed joins — identical rows, order and all."""
+    from nise_ray.ops.relational import large_volume_customers
+    got = large_volume_customers(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum(l_quantity) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1,2,3,4,5 HAVING sum(l_quantity) > 200
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """).fetchdf()
+    assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+    assert list(got["c_name"]) == list(want["c_name"])
+    assert np.allclose(got["o_totalprice"], want["o_totalprice"])
+    assert np.allclose(got["total_qty"], want["total_qty"])
+    # an unreachable HAVING threshold -> typed empty result on both paths
+    t = large_volume_customers(SF, min_qty=1e9, broadcast_max=bmax)
+    assert t.num_rows == 0
+    assert t.schema.names == ["c_name", "c_custkey", "o_orderkey",
+                              "o_orderdate", "o_totalprice", "total_qty"]
