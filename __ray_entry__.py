@@ -121,6 +121,11 @@ def _q_embedding_dups_exact(sf_dir: str):
     return embedding_dup_pairs_exact(sf_dir, threshold=0.3)
 
 
+def _q_repetition_stats(sf_dir: str):
+    from nise_ray.ops.textstats import repetition_stats
+    return repetition_stats(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -480,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprints,
+        "repetition_stats": _q_repetition_stats,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
@@ -675,6 +681,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        # Gopher-style repetition signals (Rae et al. 2021 §A1.1);
+        # UNROUNDED integer-ratio doubles are bit-identical across
+        # engines, while round(,4) diverges on half-way ties
+        "repetition_stats": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(
+                                    text, '[A-Za-z0-9_]+')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS c
+                   FROM tok GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_uniq_tokens,
+                           1.0 - count(*) / CAST(sum(c) AS DOUBLE)
+                             AS dup_token_frac,
+                           max(c) / CAST(sum(c) AS DOUBLE)
+                             AS top_token_share
+                    FROM tf GROUP BY 1)
+            SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_uniq_tokens, 0) AS n_uniq_tokens,
+                   coalesce(a.dup_token_frac, 0.0) AS dup_token_frac,
+                   coalesce(a.top_token_share, 0.0) AS top_token_share
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang

@@ -133,6 +133,81 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
                           concurrency=default_concurrency())
 
 
+def _doc_token_counts(b: pa.Table):
+    """(row-local doc index, token code, count) + the batch vocab —
+    the shared vectorized tokenize-and-count kernel (Arrow regex split,
+    dictionary encode, one np.unique over row*|V|+code combos). Used by
+    top_doc_terms and repetition_stats."""
+    import pyarrow.compute as pc
+    lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
+                                   pattern=r"[^A-Za-z0-9_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                    np.diff(offs))
+    # split emits "" fragments at token-boundary edges; drop them
+    empty = np.flatnonzero(vocab == "")
+    if len(empty):
+        keep = codes != empty[0]
+        codes, row = codes[keep], row[keep]
+    if len(codes) == 0:
+        return (np.empty(0, np.int64),) * 3 + (vocab,)
+    combo = row * np.int64(len(vocab)) + codes
+    uniq, counts = np.unique(combo, return_counts=True)
+    return (uniq // len(vocab), uniq % len(vocab),
+            counts.astype(np.int64), vocab)
+
+
+def repetition_batch(b: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, arXiv:2112.11446 §A1.1 — repetitious documents are low
+    quality): n_tokens, n_uniq_tokens, dup_token_frac = 1 - uniq/total,
+    top_token_share = max token count / total. Fully vectorized: the
+    shared tokenize kernel plus one reduceat sweep; zero-token docs emit
+    0/0/0.0/0.0."""
+    from nise_ray.ops.groupapply import segments
+    n = b.num_rows
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_uniq = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    rows, _, counts, _ = _doc_token_counts(b)
+    if len(rows):
+        # rows are nondecreasing (np.unique on row-major combos)
+        starts, runs = segments(rows)
+        docs = rows[starts]
+        n_tok[docs] = np.add.reduceat(counts, starts)
+        n_uniq[docs] = runs
+        top[docs] = np.maximum.reduceat(counts, starts)
+    with np.errstate(invalid="ignore"):
+        tot = n_tok.astype(np.float64)
+        # UNROUNDED exact-integer-ratio doubles: bit-identical to the SQL
+        # oracle's 1 - u/t (rounding would diverge on half-way ties —
+        # numpy rounds half-even, DuckDB half-away; 19/32 hits one)
+        dup_frac = np.where(n_tok > 0, 1.0 - n_uniq / tot, 0.0)
+        top_share = np.where(n_tok > 0, top / tot, 0.0)
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        "dup_token_frac": pa.array(dup_frac, pa.float64()),
+        "top_token_share": pa.array(top_share, pa.float64()),
+    })
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document token-repetition quality stats — see
+    repetition_batch. Stateless single-pass map, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def top_doc_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Per-document TOP TERMS — the TF-IDF-shaped keyword extraction a
     training-data pipeline runs for topical tagging: for every document,
@@ -158,31 +233,6 @@ def top_doc_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def _doc_token_counts(b: pa.Table):
-        """(row-local doc index, token code, count) + the batch vocab."""
-        lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
-                                       pattern=r"[^A-Za-z0-9_]+")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = lists.flatten()
-        offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
-                        np.diff(offs))
-        # split emits "" fragments at token-boundary edges; drop them
-        empty = np.flatnonzero(vocab == "")
-        if len(empty):
-            keep = codes != empty[0]
-            codes, row = codes[keep], row[keep]
-        if len(codes) == 0:
-            return (np.empty(0, np.int64),) * 3 + (vocab,)
-        combo = row * np.int64(len(vocab)) + codes
-        uniq, counts = np.unique(combo, return_counts=True)
-        return (uniq // len(vocab), uniq % len(vocab),
-                counts.astype(np.int64), vocab)
 
     # ---- pass 1: global df per token string -----------------------------
     def df_partial(b: pa.Table) -> pa.Table:

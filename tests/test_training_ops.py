@@ -170,3 +170,53 @@ def test_index_build_and_query(ray_session, small_fixture, tmp_path):
     for qk, expect_match in keys.items():
         assert qk in by_q, f"query {qk} returned no matches"
         assert expect_match in by_q[qk], "exact clone not in top-k matches"
+
+
+def test_repetition_stats_match_duckdb(ray_session):
+    """Gopher-style repetition signals vs the SQL definition — exact,
+    including zero-token docs (coalesced to 0/0/0.0/0.0) and the
+    unrounded integer-ratio doubles."""
+    import duckdb
+
+    from nise_ray.ops.textstats import repetition_stats
+    from nise_ray.util import collect_table
+    got = collect_table(repetition_stats(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                              AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_uniq_tokens,
+                       1.0 - count(*) / CAST(sum(c) AS DOUBLE)
+                         AS dup_token_frac,
+                       max(c) / CAST(sum(c) AS DOUBLE) AS top_token_share
+                FROM tf GROUP BY 1)
+        SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_uniq_tokens, 0) AS n_uniq_tokens,
+               coalesce(a.dup_token_frac, 0.0) AS dup_token_frac,
+               coalesce(a.top_token_share, 0.0) AS top_token_share
+        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """).fetchdf()
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
+
+
+def test_repetition_batch_degenerate():
+    """Empty text, whitespace-only, and a pathological all-one-token doc."""
+    import pyarrow as pa
+
+    from nise_ray.ops.textstats import repetition_batch
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["", "   \t ", "spam spam spam spam"],
+                                   pa.string())})
+    t = repetition_batch(b)
+    assert t.column("n_tokens").to_pylist() == [0, 0, 4]
+    assert t.column("n_uniq_tokens").to_pylist() == [0, 0, 1]
+    assert t.column("dup_token_frac").to_pylist() == [0.0, 0.0, 0.75]
+    assert t.column("top_token_share").to_pylist() == [0.0, 0.0, 1.0]
