@@ -126,6 +126,11 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_bm25_scores(sf_dir: str):
+    from nise_ray.ops.textstats import bm25_scores
+    return bm25_scores(sf_dir, query="hash join merge")
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -486,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprints,
         "repetition_stats": _q_repetition_stats,
+        "bm25_scores": _q_bm25_scores,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
@@ -681,6 +687,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        # BM25 lexical retrieval (Lucene idf variant); rank-free contract
+        # (sorted by doc_id, not score) so FP score ties cannot reorder
+        "bm25_scores": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(
+                                    text, '[A-Za-z0-9_]+')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS c FROM tok
+                   WHERE token IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                              (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+                                / (SELECT count(*) FROM documents) AS avgdl),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum( ln((n - df + 0.5)/(df + 0.5) + 1.0)
+                              * c * (1.2 + 1.0)
+                              / (c + 1.2*(1.0 - 0.75 + 0.75*dl.dl/avgdl)) ),
+                         4) AS bm25
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+            CROSS JOIN consts
+            GROUP BY tf.doc_id
         """,
         # Gopher-style repetition signals (Rae et al. 2021 §A1.1);
         # UNROUNDED integer-ratio doubles are bit-identical across

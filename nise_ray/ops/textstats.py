@@ -464,3 +464,104 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
         "n_est": pa.array(ns[keep], pa.int64()),
         "err_bound": pa.array(np.full(len(keep), err_bound), pa.int64()),
     })
+
+
+def bm25_scores(sf_dir: str, query: str = "hash join merge",
+                k1: float = 1.2, b: float = 0.75,
+                round_to: int = 4) -> pa.Table:
+    """BM25 relevance scoring of every document against a query string
+    (Robertson/Lucene idf variant: ln((N - df + 0.5)/(df + 0.5) + 1)) —
+    the lexical-retrieval primitive of a training-data search stack.
+
+    Two passes, both single-scan combiner-shaped, nothing corpus-sized
+    leaves the tasks:
+      pass 1  per-batch scalar partials (total token count for avgdl) +
+              per-query-token document frequencies — the partial is ONE
+              row of |q|+2 numbers per batch, merged on the driver;
+      pass 2  query tokens + idf broadcast via ray.put; per-batch tf
+              over query tokens only + per-doc length from the shared
+              tokenize kernel, vectorized score, rows with any hit
+              emitted as (doc_id, bm25).
+
+    Returns docs with bm25 > 0 sorted by doc_id (rank-free contract:
+    sorting by score would make the output order FP-tie-sensitive)."""
+    from nise_ray.ops.groupapply import segments
+    q_tokens = np.asarray(sorted(set(_TOKEN_RE.findall(query))),
+                          dtype=object)
+    nq = len(q_tokens)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows, codes, counts, vocab = _doc_token_counts(batch)
+        df = np.zeros(nq, dtype=np.int64)
+        if len(rows):
+            hit = np.flatnonzero(np.isin(vocab, q_tokens))
+            for j, tok in enumerate(q_tokens):
+                c = np.flatnonzero(vocab[hit] == tok)
+                if len(c):
+                    df[j] = int((codes == hit[c[0]]).sum())
+        return pa.table({
+            "sum_len": pa.array([int(counts.sum()) if len(rows) else 0],
+                                pa.int64()),
+            **{f"df_{j}": pa.array([int(df[j])], pa.int64())
+               for j in range(nq)},
+        })
+
+    from nise_ray.util import collect_table
+    sp = collect_table(ds.map_batches(stats_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    total_len = int(np.sum(sp.column("sum_len").to_numpy(
+        zero_copy_only=False))) if sp.num_rows else 0
+    df = np.array([int(np.sum(sp.column(f"df_{j}").to_numpy(
+        zero_copy_only=False))) for j in range(nq)], dtype=np.float64) \
+        if sp.num_rows else np.zeros(nq)
+    avgdl = total_len / n_docs if n_docs else 1.0
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    ref = ray.put((q_tokens, idf, avgdl))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.q_tokens, self.idf, self.avgdl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "bm25": pa.array([], pa.float64())})
+            rows, codes, counts, vocab = _doc_token_counts(batch)
+            if not len(rows):
+                return empty
+            n = batch.num_rows
+            dl = np.zeros(n, dtype=np.float64)
+            starts, _ = segments(rows)
+            dl[rows[starts]] = np.add.reduceat(counts, starts)
+            # tf matrix over query tokens only: n x |q|
+            tf = np.zeros((n, len(self.q_tokens)), dtype=np.float64)
+            for j, tok in enumerate(self.q_tokens):
+                c = np.flatnonzero(vocab == tok)
+                if len(c):
+                    m = codes == c[0]
+                    tf[rows[m], j] = counts[m]
+            denom = tf + k1 * (1.0 - b + b * dl[:, None] / self.avgdl)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                score = np.where(tf > 0,
+                                 self.idf * tf * (k1 + 1.0) / denom,
+                                 0.0).sum(axis=1)
+            hit = score > 0
+            if not hit.any():
+                return empty
+            return pa.table({
+                "doc_id": batch.column("doc_id").filter(pa.array(hit)),
+                "bm25": pa.array(np.round(score[hit], round_to),
+                                 pa.float64()),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    out = collect_table(ds.map_batches(Scorer, batch_format="pyarrow",
+                                       zero_copy_batch=True,
+                                       concurrency=default_concurrency()))
+    if out.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bm25": pa.array([], pa.float64())})
+    order = np.argsort(out.column("doc_id").to_numpy(zero_copy_only=False))
+    return out.take(pa.array(order))

@@ -220,3 +220,41 @@ def test_repetition_batch_degenerate():
     assert t.column("n_uniq_tokens").to_pylist() == [0, 0, 1]
     assert t.column("dup_token_frac").to_pylist() == [0.0, 0.0, 0.75]
     assert t.column("top_token_share").to_pylist() == [0.0, 0.0, 1.0]
+
+
+def test_bm25_scores_match_duckdb(ray_session):
+    """BM25 (Lucene idf variant) vs the SQL formulation — bit-exact
+    after round(,4); empty-hit query yields a typed empty table."""
+    import duckdb
+
+    from nise_ray.ops.textstats import bm25_scores
+    got = bm25_scores(SF, query="hash join merge").to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(
+                                text, '[A-Za-z0-9_]+')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS c FROM tok
+               WHERE token IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT CAST(count(*) AS DOUBLE) FROM tok)
+                            / (SELECT count(*) FROM documents) AS avgdl),
+        df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+               round(sum( ln((n - df + 0.5)/(df + 0.5) + 1.0)
+                          * c * (1.2 + 1.0)
+                          / (c + 1.2*(1.0 - 0.75 + 0.75*dl.dl/avgdl)) ), 4)
+                 AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        CROSS JOIN consts
+        GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"] == want["bm25"]).all()
+    empty = bm25_scores(SF, query="zzznotoken")
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "bm25"]
