@@ -131,6 +131,11 @@ def _q_bm25_scores(sf_dir: str):
     return bm25_scores(sf_dir, query="hash join merge")
 
 
+def _q_chunk_documents(sf_dir: str):
+    from nise_ray.ops.analytics import chunk_documents
+    return chunk_documents(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -492,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "repetition_stats": _q_repetition_stats,
         "bm25_scores": _q_bm25_scores,
+        "chunk_documents": _q_chunk_documents,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
@@ -687,6 +693,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        # overlapping context-window chunking (flat-map explode);
+        # codepoint slicing == SQL substr character semantics
+        "chunk_documents": """
+            WITH n AS (SELECT doc_id, text,
+                              CAST(floor((length(text)-1)/384) AS BIGINT)
+                                AS last_i
+                       FROM documents WHERE length(text) > 0)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(1 + u.i*384 AS BIGINT), 512)
+                     AS chunk_text
+            FROM n, unnest(range(0, last_i + 1)) AS u(i)
         """,
         # BM25 lexical retrieval (Lucene idf variant); rank-free contract
         # (sorted by doc_id, not score) so FP score ties cannot reorder

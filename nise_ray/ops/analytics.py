@@ -320,3 +320,52 @@ def lang_char_moments(sf_dir: str) -> pa.Table:
         "sd_chars": pa.array(np.round(np.sqrt(var), 4), pa.float64()),
     })
     return out.sort_by([("lang", "ascending")])
+
+
+def chunk_documents(sf_dir: str, size: int = 512,
+                    stride: int = 384) -> "ray.data.Dataset":
+    """Context-window CHUNKING — the flat-map explode every pretraining
+    pipeline runs before tokenization: each document becomes overlapping
+    character windows [i*stride, i*stride + size), i = 0 ..
+    floor((len-1)/stride), emitted as (doc_id, chunk_idx, chunk_text);
+    empty documents emit no chunks. Stateless single pass, vectorized:
+    one Arrow utf8_slice_codeunits kernel per chunk index (the loop is
+    bounded by longest-doc/stride, each iteration is whole-batch), no
+    per-row Python. Codepoint slicing matches SQL substr character
+    semantics exactly, so the DuckDB oracle hashes bit-exact."""
+    import pyarrow.compute as pc
+
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunk_batch(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        text = b.column("text").combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        nchunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+        max_i = int(nchunks.max()) if len(nchunks) else 0
+        if max_i == 0:
+            return empty
+        doc_ids = b.column("doc_id")
+        parts = []
+        for i in range(max_i):
+            sel = pa.array(np.flatnonzero(nchunks > i))
+            sub = pc.utf8_slice_codeunits(text.take(sel),
+                                          start=i * stride,
+                                          stop=i * stride + size)
+            parts.append(pa.table({
+                "doc_id": doc_ids.take(sel),
+                "chunk_idx": pa.array(
+                    np.full(len(sel), i, dtype=np.int64), pa.int64()),
+                "chunk_text": sub,
+            }))
+        return pa.concat_tables(parts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(chunk_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -208,3 +208,56 @@ def test_lang_char_moments_matches_duckdb(ray_session):
         GROUP BY lang ORDER BY lang
     """).fetchdf()
     assert got.to_dict("list") == want.to_dict("list")
+
+
+def test_chunk_documents_matches_duckdb(ray_session):
+    """Overlapping context-window chunking vs the SQL substr/range
+    formulation — bit-exact including end-of-doc short chunks."""
+    import duckdb
+
+    from nise_ray.ops.analytics import chunk_documents
+    from nise_ray.util import collect_table
+    got = collect_table(chunk_documents(SF)).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH n AS (SELECT doc_id, text,
+                          CAST(floor((length(text)-1)/384) AS BIGINT)
+                            AS last_i
+                   FROM documents WHERE length(text) > 0)
+        SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+               substr(text, CAST(1 + u.i*384 AS BIGINT), 512) AS chunk_text
+        FROM n, unnest(range(0, last_i + 1)) AS u(i)
+        ORDER BY doc_id, chunk_idx
+    """).fetchdf()
+    assert got.equals(want)
+
+
+def test_chunk_documents_degenerate(ray_session, tmp_path):
+    """Empty text emits no chunks; a doc shorter than one stride emits
+    exactly one chunk; reconstruction: stride-prefixes of consecutive
+    chunks concatenate back to the original text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import chunk_documents
+    from nise_ray.util import collect_table
+    long_text = "x" * 1000 + "tail"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "short", long_text], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([0, 5, len(long_text)], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = collect_table(chunk_documents(str(tmp_path), size=512,
+                                        stride=384)).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert 1 not in set(got["doc_id"])
+    assert list(got[got["doc_id"] == 2]["chunk_text"]) == ["short"]
+    chunks = list(got[got["doc_id"] == 3]["chunk_text"])
+    rebuilt = "".join(c[:384] for c in chunks[:-1]) + chunks[-1]
+    assert rebuilt == long_text
