@@ -136,6 +136,11 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(sf_dir)
 
 
+def _q_pack_documents(sf_dir: str):
+    from nise_ray.ops.analytics import pack_documents
+    return pack_documents(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -498,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "bm25_scores": _q_bm25_scores,
         "chunk_documents": _q_chunk_documents,
+        "pack_documents": _q_pack_documents,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------

@@ -369,3 +369,69 @@ def chunk_documents(sf_dir: str, size: int = 512,
                                columns=["doc_id", "text"])
     return ds.map_batches(chunk_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def pack_documents(sf_dir: str, budget: int = 2048,
+                   bucket_docs: int = 1000) -> "ray.data.Dataset":
+    """SEQUENCE PACKING — greedy assignment of documents into fixed-size
+    character budgets (the pretraining batching op: concatenate docs
+    until the context window is full, then start a new pack).
+
+    Determinism across any cluster width: docs are first bucketed by
+    doc_id // bucket_docs (ONE hash exchange), then packed greedily in
+    doc_id order WITHIN each bucket — the result is a pure function of
+    the data, never of block boundaries. A doc larger than the budget
+    gets its own pack. pack_id = bucket * 2^32 + seq-within-bucket.
+
+    The per-group sweep is a loop over PACKS (not rows): each iteration
+    is one np.searchsorted on the running cumsum to find how many docs
+    fit, so cost is n_packs * O(log n_bucket) with buckets processed in
+    parallel. Returns (doc_id, pack_id, n_chars), streamed."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    if budget <= 0 or bucket_docs <= 0:
+        raise ValueError("budget and bucket_docs must be positive")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array(did // bucket_docs, pa.int64()))
+
+    def pack_group(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pack_id": pa.array([], pa.int64()),
+                          "n_chars": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        bucket = b.column("bucket").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        out_did, out_pid, out_nch = [], [], []
+        starts, counts = segments(bucket)
+        for s, c in zip(starts, counts):
+            order = np.argsort(did[s:s + c], kind="stable") + s
+            d, w = did[order], nch[order].astype(np.int64)
+            cs = np.cumsum(w)
+            pid = np.empty(len(d), dtype=np.int64)
+            idx, seq, base = 0, 0, np.int64(0)
+            while idx < len(d):
+                j = int(np.searchsorted(cs, base + budget, side="right"))
+                j = max(j, idx + 1)      # oversized doc -> own pack
+                pid[idx:j] = (bucket[s] << np.int64(32)) + seq
+                base = cs[j - 1]
+                idx, seq = j, seq + 1
+            out_did.append(d)
+            out_pid.append(pid)
+            out_nch.append(w)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_did), pa.int64()),
+            "pack_id": pa.array(np.concatenate(out_pid), pa.int64()),
+            "n_chars": pa.array(np.concatenate(out_nch), pa.int64()),
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_group_apply(bucketed, ["bucket"], pack_group, 0)

