@@ -141,6 +141,11 @@ def _q_pack_documents(sf_dir: str):
     return pack_documents(sf_dir)
 
 
+def _q_weighted_sample(sf_dir: str):
+    from nise_ray.ops.analytics import weighted_sample_docs
+    return weighted_sample_docs(sf_dir, k=50)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -504,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
+        "weighted_sample_docs": _q_weighted_sample,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
@@ -699,6 +705,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        # Efraimidis-Spirakis weighted sample: set selected by the same
+        # deterministic key both engines compute; the key itself is NOT
+        # emitted (numpy/DuckDB pow differ by 1 ulp on ~half of values;
+        # the selected set is stable — boundary gaps ~1e-5 >> ulp)
+        "weighted_sample_docs": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     pow((((doc_id * 2654435761) % 4294967296) + 1)
+                           / 4294967297.0,
+                         1.0 / greatest(n_chars, 1)) AS key
+              FROM documents ORDER BY key DESC, doc_id LIMIT 50)
         """,
         # overlapping context-window chunking (flat-map explode);
         # codepoint slicing == SQL substr character semantics

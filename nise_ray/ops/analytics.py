@@ -435,3 +435,44 @@ def pack_documents(sf_dir: str, budget: int = 2048,
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
     return hash_group_apply(bucketed, ["bucket"], pack_group, 0)
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 50) -> pa.Table:
+    """WEIGHTED SAMPLE WITHOUT REPLACEMENT — Efraimidis-Spirakis A-Res
+    (Inf. Proc. Letters 2006): each doc gets key u^(1/w) with w = its
+    n_chars weight and u a deterministic uniform from the same Knuth
+    multiplicative hash the stratified sampler uses; the global top-k
+    keys ARE the weighted sample. Distributed shape: per-batch local
+    top-k partial (combiner), driver merges k x n_blocks rows — nothing
+    corpus-sized moves, no shuffle, order-independent and reproducible.
+
+    Output is (doc_id, n_chars) of the selected set sorted by doc_id —
+    the KEY is not emitted: numpy and DuckDB pow() differ by 1 ulp on
+    ~half of values, which would fail the exact hash compare, while the
+    selected set itself is stable (boundary gaps are ~1e-5, ten orders
+    above ulp noise)."""
+    from nise_ray.util import collect_table
+
+    def key_of(did: np.ndarray, nch: np.ndarray) -> np.ndarray:
+        u = (_sample_key(did) + 1) / float(SAMPLE_MOD + 1)
+        return np.power(u, 1.0 / np.maximum(nch, 1))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        key = key_of(did, nch)
+        keep = min(k, len(did))
+        # top-k by (key DESC, doc_id ASC)
+        top = np.lexsort((did, -key))[:keep]
+        return pa.table({"doc_id": pa.array(did[top], pa.int64()),
+                         "n_chars": pa.array(nch[top], pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    part = collect_table(ds.map_batches(local_topk, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    # final merge: recompute keys on the k x n_blocks partial rows
+    return local_topk(part).sort_by([("doc_id", "ascending")])

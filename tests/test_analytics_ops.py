@@ -297,3 +297,27 @@ def test_pack_documents_invariants(ray_session):
                                          bucket_docs=100)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got.drop(columns=["bucket"]).equals(again)
+
+
+def test_weighted_sample_matches_duckdb(ray_session):
+    """A-Res weighted sample: the selected SET matches the SQL top-k by
+    the same deterministic key (key itself not compared — engines differ
+    by 1 ulp in pow), and heavier docs are overrepresented."""
+    from nise_ray.ops.analytics import weighted_sample_docs
+    got = weighted_sample_docs(SF, k=50).to_pandas()
+    con = _con(["documents"])
+    want = con.execute("""
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 pow((((doc_id * 2654435761) % 4294967296) + 1)
+                       / 4294967297.0,
+                     1.0 / greatest(n_chars, 1)) AS key
+          FROM documents ORDER BY key DESC, doc_id LIMIT 50)
+        ORDER BY doc_id
+    """).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_chars"]) == list(want["n_chars"])
+    # weighting property: the sample mean length exceeds the corpus mean
+    corpus_mean = con.execute(
+        "SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
