@@ -126,6 +126,11 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_bigram_repetition(sf_dir: str):
+    from nise_ray.ops.textstats import bigram_repetition_stats
+    return bigram_repetition_stats(sf_dir)
+
+
 def _q_bm25_scores(sf_dir: str):
     from nise_ray.ops.textstats import bm25_scores
     return bm25_scores(sf_dir, query="hash join merge")
@@ -506,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprints,
         "repetition_stats": _q_repetition_stats,
+        "bigram_repetition_stats": _q_bigram_repetition,
         "bm25_scores": _q_bm25_scores,
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
@@ -729,6 +735,32 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(1 + u.i*384 AS BIGINT), 512)
                      AS chunk_text
             FROM n, unnest(range(0, last_i + 1)) AS u(i)
+        """,
+        # Gopher dup-2-gram signals; bigrams via list_transform lambda
+        "bigram_repetition_stats": """
+            WITH grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(length(toks)-1, 0)),
+                       i -> toks[i] || chr(1) || toks[i+1])) AS g
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '[A-Za-z0-9_]+')
+                             AS toks
+                    FROM documents)),
+            gf AS (SELECT doc_id, g, count(*) AS c FROM grams
+                   GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                           CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+                           1.0 - count(*) / CAST(sum(c) AS DOUBLE)
+                             AS dup_bigram_frac,
+                           max(c) / CAST(sum(c) AS DOUBLE)
+                             AS top_bigram_share
+                    FROM gf GROUP BY 1)
+            SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+                   coalesce(a.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+                   coalesce(a.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+                   coalesce(a.top_bigram_share, 0.0) AS top_bigram_share
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # BM25 lexical retrieval (Lucene idf variant); rank-free contract
         # (sorted by doc_id, not score) so FP score ties cannot reorder

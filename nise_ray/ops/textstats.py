@@ -565,3 +565,78 @@ def bm25_scores(sf_dir: str, query: str = "hash join merge",
                          "bm25": pa.array([], pa.float64())})
     order = np.argsort(out.column("doc_id").to_numpy(zero_copy_only=False))
     return out.take(pa.array(order))
+
+
+def _doc_token_stream(b: pa.Table):
+    """POSITIONAL (row, token-code) stream + batch vocab — like
+    _doc_token_counts but order-preserving (no unique), for n-gram
+    construction."""
+    import pyarrow.compute as pc
+    lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
+                                   pattern=r"[^A-Za-z0-9_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    row = np.repeat(np.arange(b.num_rows, dtype=np.int64), np.diff(offs))
+    empty = np.flatnonzero(vocab == "")
+    if len(empty):
+        keep = codes != empty[0]
+        codes, row = codes[keep], row[keep]
+    return row, codes, vocab
+
+
+def bigram_repetition_batch(b: pa.Table) -> pa.Table:
+    """Gopher dup-2-gram signals per document: n_bigrams,
+    n_uniq_bigrams, dup_bigram_frac, top_bigram_share (unrounded
+    integer-ratio doubles — same cross-engine tie rationale as
+    repetition_batch). Bigrams built positionally from the ordered token
+    stream, one vectorized sweep: adjacent-position pairs within a row
+    become code1*|V| + code2 ids, then one np.unique per (row, bigram)."""
+    from nise_ray.ops.groupapply import segments
+    n = b.num_rows
+    n_bg = np.zeros(n, dtype=np.int64)
+    n_uniq = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    row, codes, vocab = _doc_token_stream(b)
+    if len(row) > 1:
+        adj = row[1:] == row[:-1]
+        if adj.any():
+            v = np.int64(len(vocab))
+            brow = row[:-1][adj]
+            bid = codes[:-1][adj] * v + codes[1:][adj]
+            combo_sorted = np.lexsort((bid, brow))
+            br, bi = brow[combo_sorted], bid[combo_sorted]
+            first = np.ones(len(br), dtype=bool)
+            first[1:] = (br[1:] != br[:-1]) | (bi[1:] != bi[:-1])
+            starts_u = np.flatnonzero(first)
+            cnts = np.diff(np.append(starts_u, len(br)))
+            urow = br[starts_u]
+            s2, runs = segments(urow)
+            docs = urow[s2]
+            n_bg[docs] = np.add.reduceat(cnts, s2)
+            n_uniq[docs] = runs
+            top[docs] = np.maximum.reduceat(cnts, s2)
+    with np.errstate(invalid="ignore"):
+        tot = n_bg.astype(np.float64)
+        dup_frac = np.where(n_bg > 0, 1.0 - n_uniq / tot, 0.0)
+        top_share = np.where(n_bg > 0, top / tot, 0.0)
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_bigrams": pa.array(n_bg, pa.int64()),
+        "n_uniq_bigrams": pa.array(n_uniq, pa.int64()),
+        "dup_bigram_frac": pa.array(dup_frac, pa.float64()),
+        "top_bigram_share": pa.array(top_share, pa.float64()),
+    })
+
+
+def bigram_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document dup-2-gram quality stats — see
+    bigram_repetition_batch. Stateless single-pass map, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(bigram_repetition_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

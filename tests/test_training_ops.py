@@ -258,3 +258,55 @@ def test_bm25_scores_match_duckdb(ray_session):
     empty = bm25_scores(SF, query="zzznotoken")
     assert empty.num_rows == 0
     assert empty.schema.names == ["doc_id", "bm25"]
+
+
+def test_bigram_repetition_match_duckdb(ray_session):
+    """Dup-2-gram Gopher signals vs the SQL list-comprehension bigram
+    construction — exact, including zero-bigram docs."""
+    import duckdb
+
+    from nise_ray.ops.textstats import bigram_repetition_stats
+    from nise_ray.util import collect_table
+    got = collect_table(bigram_repetition_stats(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(length(toks)-1, 0)),
+                   i -> toks[i] || chr(1) || toks[i+1])) AS g
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                FROM documents)),
+        gf AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       CAST(count(*) AS BIGINT) AS n_uniq_bigrams,
+                       1.0 - count(*) / CAST(sum(c) AS DOUBLE)
+                         AS dup_bigram_frac,
+                       max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_share
+                FROM gf GROUP BY 1)
+        SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+               coalesce(a.n_uniq_bigrams, 0) AS n_uniq_bigrams,
+               coalesce(a.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+               coalesce(a.top_bigram_share, 0.0) AS top_bigram_share
+        FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+    """).fetchdf()
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
+
+
+def test_bigram_repetition_degenerate():
+    """Single-token and empty docs emit zero bigrams; a doc of one
+    repeated token is all duplicate bigrams."""
+    import pyarrow as pa
+
+    from nise_ray.ops.textstats import bigram_repetition_batch
+    b = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["solo", "", "ha ha ha ha"], pa.string())})
+    t = bigram_repetition_batch(b)
+    assert t.column("n_bigrams").to_pylist() == [0, 0, 3]
+    assert t.column("n_uniq_bigrams").to_pylist() == [0, 0, 1]
+    assert t.column("top_bigram_share").to_pylist() == [0.0, 0.0, 1.0]
