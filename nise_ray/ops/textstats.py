@@ -44,17 +44,21 @@ def token_stats_batch(b: pa.Table) -> pa.Table:
 
 
 def quality_batch(b: pa.Table) -> pa.Table:
-    texts = b.column("text").to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_lines = np.empty(n, dtype=np.int64)
-    alpha_ratio = np.empty(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        n_chars[i] = len(t)
-        n_lines[i] = t.count("\n") + 1
-        n_alpha = len(_ALPHA_RE.findall(t))
+    """Arrow-kernel quality signals (round-4 rewrite of the per-row
+    Python loop): codepoint length, newline count, alpha ratio — all
+    whole-batch pyarrow.compute calls, no Python rows."""
+    import pyarrow.compute as pc
+    text = b.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_lines = pc.count_substring(text, "\n").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False) + 1
+    n_alpha = pc.count_substring_regex(text, "[A-Za-z]").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore"):
         # exact integer-ratio double (bit-identical to SQL n_alpha/len)
-        alpha_ratio[i] = n_alpha / n_chars[i] if n_chars[i] else 0.0
+        alpha_ratio = np.where(n_chars > 0,
+                               n_alpha / n_chars.astype(np.float64), 0.0)
     return pa.table({
         "doc_id": b.column("doc_id"),
         "n_chars_c": pa.array(n_chars, pa.int64()),
@@ -74,28 +78,37 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
 
 
 class LanguageId:
-    """Stopword/character-class language heuristic (actor-pool stage —
-    marker sets are built once per actor)."""
+    """Stopword language heuristic — round-4 rewrite: ONE compiled RE2
+    alternation per language evaluated batch-wide inside Arrow
+    (count_substring_regex), instead of the former per-row Python token
+    loop. Patterns are built once per actor (actor-pool stage); per
+    batch the work is |langs|+1 vectorized regex scans over the
+    lowercased 4000-codepoint prefix."""
 
     def __init__(self) -> None:
-        self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
-        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.lang_patterns = [
+            (lang, r"\b(?:" + "|".join(sorted(ws)) + r")\b")
+            for lang, ws in sorted(_LANG_MARKERS.items())]
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            words = [w.lower() for w in self.word_re.findall(t[:4000])]
-            if not words:
-                preds.append("unknown")
-                scores.append(0.0)
-                continue
-            counts = {lang: sum(w in ws for w in words)
-                      for lang, ws in self.markers.items()}
-            lang = max(sorted(counts), key=lambda k: counts[k])
-            total = counts[lang]
-            preds.append(lang if total > 0 else "unknown")
-            scores.append(round(total / len(words), 4))
+        import pyarrow.compute as pc
+        head = pc.utf8_lower(pc.utf8_slice_codeunits(
+            b.column("text").combine_chunks(), start=0, stop=4000))
+        n_words = pc.count_substring_regex(head, r"[a-zA-Z']+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        counts = np.stack([
+            pc.count_substring_regex(head, pat).cast(pa.int64())
+              .to_numpy(zero_copy_only=False)
+            for _, pat in self.lang_patterns])          # |langs| x n
+        best = np.argmax(counts, axis=0)   # first max = sorted-lang order
+        top = counts[best, np.arange(counts.shape[1])]
+        langs = np.asarray([lang for lang, _ in self.lang_patterns],
+                           dtype=object)
+        preds = np.where((top > 0) & (n_words > 0), langs[best], "unknown")
+        with np.errstate(invalid="ignore"):
+            scores = np.where(n_words > 0,
+                              np.round(top / np.maximum(n_words, 1), 4),
+                              0.0)
         return pa.table({
             "doc_id": b.column("doc_id"),
             "lang_pred": pa.array(preds, pa.string()),
