@@ -331,7 +331,6 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     token instances), one hash exchange on the token, then a per-block
     pre-top-k and a driver merge. Ties broken by token text for
     cross-engine determinism."""
-    import collections
 
     from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.util import collect_table
@@ -339,15 +338,15 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
                                columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        counts: collections.Counter = collections.Counter()
-        for t in b.column("text").to_pylist():
-            counts.update(_TOKEN_RE.findall(t))
-        if not counts:
+        # round-4: vectorized token counting (shared Arrow split kernel +
+        # one np.unique) — replaces the per-row Counter loop
+        _, codes, vocab = _doc_token_stream(b)
+        if len(codes) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        toks, ns = zip(*counts.items())
-        return pa.table({"token": pa.array(list(toks), pa.string()),
-                         "n": pa.array(list(ns), pa.int64())})
+        uc, ns = np.unique(codes, return_counts=True)
+        return pa.table({"token": pa.array(vocab[uc], pa.string()),
+                         "n": pa.array(ns.astype(np.int64), pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -408,7 +407,6 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
     by more than the bound. Rows-only (the truncation choice is not
     SQL-expressible); the exact oracled path remains the default.
     Returns (token, n_est, err_bound)."""
-    import collections
 
     from nise_ray.ops.groupapply import hash_group_apply, segments
     from nise_ray.util import collect_table
@@ -416,14 +414,15 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
                                columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        counts: collections.Counter = collections.Counter()
-        for t in b.column("text").to_pylist():
-            counts.update(_TOKEN_RE.findall(t))
-        if not counts:
+        # round-4: vectorized token counting (shared Arrow split kernel +
+        # one np.unique) — replaces the per-row Counter loop
+        _, codes, vocab = _doc_token_stream(b)
+        if len(codes) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        toks = np.asarray(list(counts.keys()), dtype=object)
-        ns = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        uc, ns = np.unique(codes, return_counts=True)
+        toks = vocab[uc]
+        ns = ns.astype(np.int64)
         trunc = 0
         if len(ns) > capacity:
             keep = np.lexsort((toks, -ns))
