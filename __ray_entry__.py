@@ -483,6 +483,18 @@ def _q_multimodal_features(sf_dir: str):
         batch_size=32, concurrency=(1, 4), batch_format="pyarrow")
 
 
+def _q_multimodal_real_audio(sf_dir: str):
+    # REAL decode: PCM-16 WAV payloads parsed with the pure-numpy codec
+    # (no PIL/ffmpeg needed) -> per-clip duration/rms/peak/zcr features
+    import ray
+    from nise_ray.ops.multimodal import (AudioFeatureExtractor,
+                                         make_real_media_table)
+    media = ray.data.from_arrow(make_real_media_table(n=96, seed=42))
+    auds = media.filter(lambda r: r["kind"] == "audio")
+    return auds.map_batches(AudioFeatureExtractor, batch_size=16,
+                            concurrency=(1, 4), batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -559,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_query": _q_index_query,
         # --- multimodal plumbing (deterministic stub decode) ----------
         "multimodal_features": _q_multimodal_features,
+        "multimodal_real_audio": _q_multimodal_real_audio,
     }
 
 

@@ -115,3 +115,171 @@ class FrameSampler:
             "frame_idx": pa.array(idxs, pa.int32()),
             "frame_payload": pa.array(frames, pa.binary()),
         })
+
+
+# --------------------------------------------------------------------------
+# REAL codecs for formats that need no external libraries (round 4):
+# uncompressed 24-bit BMP and PCM-16 WAV are fully specified byte layouts,
+# parseable with struct + numpy alone. This turns the image/audio stages
+# into REAL decode paths in this environment; compressed formats (PNG/JPEG/
+# MP4) still require PIL/ffmpeg and stay behind NotImplementedError.
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = _struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size,
+                        2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (H, W, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = _struct.unpack_from("<I", payload, 10)[0]
+    _, w, h = _struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    comp = _struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    ah = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, count=row_size * ah,
+                        offset=off).reshape(ah, row_size)
+    img = arr[:, :w * 3].reshape(ah, w, 3)[:, :, ::-1]   # BGR -> RGB
+    return img[::-1] if h > 0 else img                   # bottom-up flip
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a PCM-16 WAV."""
+    data = samples.astype("<i2").tobytes()
+    hdr = _struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data),
+                       b"WAVE", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                       b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM-16 mono WAV to (sample_rate, int16 samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], \
+            _struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt, ch, rate = _struct.unpack_from("<HHI", payload, pos + 8)
+            bits = _struct.unpack_from("<H", payload, pos + 22)[0]
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError("only PCM-16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(payload, "<i2", count=size // 2,
+                                    offset=pos + 8)
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def make_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
+    """Media rows with REAL decodable payloads: uncompressed BMP images
+    and PCM-16 WAV audio (video stays a fake payload — no container
+    format is parseable without ffmpeg)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, mime = encode_bmp(img), "image/bmp"
+            dur = -1
+        elif kind == "audio":
+            rate = 16000
+            ms = int(rng.integers(50, 500))
+            t = rng.integers(-2 ** 14, 2 ** 14, rate * ms // 1000,
+                             dtype=np.int16)
+            payload, mime = encode_wav(t, rate), "audio/wav"
+            w = h = -1
+            dur = ms
+        else:
+            payload = rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()
+            mime, w, h, dur = "video/mp4", 64, 64, int(rng.integers(100, 9000))
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(mime)
+        rows["width"].append(w if kind == "image" else
+                             (w if kind == "video" else -1))
+        rows["height"].append(h if kind == "image" else
+                              (h if kind == "video" else -1))
+        rows["duration_ms"].append(dur)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def bmp_feature(img: np.ndarray, dim: int = 64) -> np.ndarray:
+    """8x8 block-mean grayscale grid (64-d), scaled to [-1, 1] — a real,
+    deterministic image feature from the decoded pixels."""
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    side = int(np.sqrt(dim))
+    ri = np.minimum((np.arange(h) * side) // max(h, 1), side - 1)
+    ci = np.minimum((np.arange(w) * side) // max(w, 1), side - 1)
+    grid = np.zeros((side, side))
+    cnt = np.zeros((side, side))
+    np.add.at(grid, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), g)
+    np.add.at(cnt, (ri[:, None].repeat(w, 1), ci[None, :].repeat(h, 0)), 1.0)
+    grid = grid / np.maximum(cnt, 1.0)
+    return ((grid.ravel() - 128.0) / 128.0).astype(np.float32)
+
+
+class RealImageFeatureExtractor(ImageFeatureExtractor):
+    """ImageFeatureExtractor with a REAL decode path for image/bmp
+    payloads (pure-numpy BMP parser + block-mean grid feature); any
+    other mime still raises NotImplementedError, documenting the PIL
+    boundary honestly."""
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return bmp_feature(decode_bmp(payload), self.DIM)
+        raise NotImplementedError(
+            "only uncompressed BMP decodes without PIL in this env")
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: REAL PCM-16 WAV decode + classic audio features
+    per payload — (duration_ms, rms, peak, zero-crossing rate). The
+    per-payload loop is the honest shape for binary decode; all math on
+    the decoded samples is numpy."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, durs, rms, peak, zcr = [], [], [], [], []
+        for mid, payload in zip(b.column("media_id").to_pylist(),
+                                b.column("payload").to_pylist()):
+            rate, s = decode_wav(payload)
+            x = s.astype(np.float64) / 32768.0
+            ids.append(mid)
+            durs.append(int(round(1000.0 * len(s) / rate)))
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) !=
+                                     np.signbit(x[:-1]))) if len(x) > 1
+                       else 0.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int32()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+        })

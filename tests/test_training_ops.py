@@ -310,3 +310,56 @@ def test_bigram_repetition_degenerate():
     assert t.column("n_bigrams").to_pylist() == [0, 0, 3]
     assert t.column("n_uniq_bigrams").to_pylist() == [0, 0, 1]
     assert t.column("top_bigram_share").to_pylist() == [0.0, 0.0, 1.0]
+
+
+def test_multimodal_real_codecs(ray_session):
+    """REAL decode paths: BMP images round-trip through the Ray stage
+    with pixel-true block-mean features, WAV audio decodes to exact
+    sample-derived stats; compressed mimes still refuse honestly."""
+    import ray
+
+    from nise_ray.ops.multimodal import (
+        AudioFeatureExtractor,
+        RealImageFeatureExtractor,
+        bmp_feature,
+        decode_bmp,
+        make_real_media_table,
+    )
+    media = make_real_media_table(n=24, seed=3)
+    ds = ray.data.from_arrow(media)
+
+    imgs = ds.filter(lambda r: r["kind"] == "image")
+    feats = imgs.map_batches(RealImageFeatureExtractor,
+                             fn_constructor_kwargs={"fake": False},
+                             batch_size=8, concurrency=(1, 2),
+                             batch_format="pyarrow")
+    t = pa.concat_tables([ray.get(r) for r in feats.to_arrow_refs()]) \
+        .sort_by("media_id")
+    assert t.num_rows == imgs.count()
+    # feature equals the feature of the locally-decoded payload
+    pay = {m: p for m, p in zip(media.column("media_id").to_pylist(),
+                                media.column("payload").to_pylist())}
+    for i in range(min(3, t.num_rows)):
+        mid = t.column("media_id")[i].as_py()
+        want = bmp_feature(decode_bmp(pay[mid]))
+        got = np.asarray(t.column("feature")[i].as_py(), dtype=np.float32)
+        assert np.array_equal(got, want)
+
+    auds = ds.filter(lambda r: r["kind"] == "audio")
+    at = pa.concat_tables([ray.get(r) for r in auds.map_batches(
+        AudioFeatureExtractor, batch_size=8, concurrency=(1, 2),
+        batch_format="pyarrow").to_arrow_refs()]).sort_by("media_id")
+    assert at.num_rows == auds.count()
+    durs = {m: d for m, d in zip(media.column("media_id").to_pylist(),
+                                 media.column("duration_ms").to_pylist())}
+    for i in range(at.num_rows):
+        mid = at.column("media_id")[i].as_py()
+        assert at.column("duration_ms")[i].as_py() == durs[mid]
+        assert 0.0 < at.column("rms")[i].as_py() <= 1.0
+        assert 0.0 < at.column("zcr")[i].as_py() < 1.0
+
+    # compressed formats refuse with the documented boundary
+    ex = RealImageFeatureExtractor(fake=False)
+    vids = media.filter(pa.compute.equal(media.column("kind"), "video"))
+    with pytest.raises(NotImplementedError):
+        ex(vids.slice(0, 1))
