@@ -19,7 +19,19 @@ SAMPLE_MULT = 2_654_435_761
 SAMPLE_MOD = 1 << 32
 
 
+# doc_id * SAMPLE_MULT must not exceed int64, or numpy wraps silently
+# (two's complement) while the SQL oracle ERRORS on overflow — the
+# cross-engine key agreement would break without any signal. Fail loudly
+# instead; a 2^63-scale id space needs a different (uint64/splitmix) key.
+_SAMPLE_ID_MAX = (2 ** 63 - 1) // SAMPLE_MULT
+
+
 def _sample_key(doc_id: np.ndarray) -> np.ndarray:
+    if len(doc_id) and int(doc_id.max()) > _SAMPLE_ID_MAX:
+        raise ValueError(
+            f"doc_id > {_SAMPLE_ID_MAX} overflows the int64 Knuth-hash "
+            "sample key (numpy would wrap where SQL errors); use a "
+            "64-bit-safe key for ids at this scale")
     return (doc_id * np.int64(SAMPLE_MULT)) % np.int64(SAMPLE_MOD)
 
 
@@ -411,6 +423,12 @@ def pack_documents(sf_dir: str, budget: int = 2048,
         nch = b.column("n_chars").to_numpy(zero_copy_only=False)
         out_did, out_pid, out_nch = [], [], []
         starts, counts = segments(bucket)
+        # pack_id = bucket << 32 | seq: a bucket >= 2^31 would wrap the
+        # int64 pack_id negative and collide with buckets 2^31 apart
+        if int(bucket.max()) >= 2 ** 31:
+            raise ValueError(
+                "doc_id // bucket_docs >= 2^31 overflows the packed "
+                "int64 pack_id; raise bucket_docs for this id range")
         for s, c in zip(starts, counts):
             order = np.argsort(did[s:s + c], kind="stable") + s
             d, w = did[order], nch[order].astype(np.int64)

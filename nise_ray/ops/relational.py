@@ -137,6 +137,19 @@ def _broadcast_side(ds: "ray.data.Dataset", key_col: str, val_col: str,
     return ray.put((keys, vals))
 
 
+def _sorted_lookup(sorted_keys: np.ndarray, vals: np.ndarray
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+    """(positions, membership mask) of `vals` in a SORTED key array —
+    the one broadcast-lookup idiom (searchsorted + clip + equality)
+    shared by every broadcast-join stage; empty key set -> all-miss."""
+    if len(sorted_keys) == 0:
+        return (np.zeros(len(vals), dtype=np.int64),
+                np.zeros(len(vals), dtype=bool))
+    pos = np.clip(np.searchsorted(sorted_keys, vals), 0,
+                  len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == vals
+
+
 def _anchor_sentinel(ds: "ray.data.Dataset",
                      row: "dict[str, tuple[pa.DataType, object]]"
                      ) -> "ray.data.Dataset":
@@ -990,8 +1003,7 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
     so factor * (s/n) is bit-identical to SQL's 0.2 * avg()."""
     import pyarrow.dataset as pads
 
-    from nise_ray.ops.groupapply import (default_concurrency,
-                                         hash_group_apply, segments)
+    from nise_ray.ops.groupapply import hash_group_apply, segments
 
     parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                   columns=["p_partkey"],
@@ -1048,11 +1060,9 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
 
         def member_filter(b: pa.Table) -> pa.Table:
             ks = ray.get(keys_ref)
-            if len(ks) == 0:
-                return b.slice(0, 0)
             pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
-            return b.filter(pa.array(ks[pos] == pk))
+            _, hit = _sorted_lookup(ks, pk)
+            return b.filter(pa.array(hit))
 
         partials = collect_table(
             li1.map_batches(member_filter, batch_format="pyarrow",
@@ -1071,8 +1081,8 @@ def small_quantity_revenue(sf_dir: str, brand: str = "Brand#4",
             pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
             q = b.column("l_quantity").to_numpy(zero_copy_only=False)
             price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
-            keep = (ks[pos] == pk) & (q < thr[pos])
+            pos, hit = _sorted_lookup(ks, pk)
+            keep = hit & (q < thr[pos])
             return pa.table({"rev": pa.array([float(price[keep].sum())],
                                              pa.float64())})
 
@@ -1133,8 +1143,7 @@ def large_volume_customers(sf_dir: str, min_qty: float = 200.0,
     are distributed hash joins with anchor sentinels. Returns (c_name,
     c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty) sorted
     by o_totalprice DESC, o_orderkey, limit k."""
-    from nise_ray.ops.groupapply import (default_concurrency,
-                                         hash_group_apply, segments)
+    from nise_ray.ops.groupapply import hash_group_apply, segments
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_quantity"])
@@ -1193,14 +1202,13 @@ def large_volume_customers(sf_dir: str, min_qty: float = 200.0,
 
         def attach_qty(b: pa.Table) -> pa.Table:
             ks, qv = ray.get(hot_ref)
-            if len(ks) == 0:
-                return b.slice(0, 0).append_column(
-                    "total_qty", pa.array([], pa.float64()))
             ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
-            hit = ks[pos] == ok
-            return b.filter(pa.array(hit)).append_column(
-                "total_qty", pa.array(qv[pos[hit]], pa.float64()))
+            pos, hit = _sorted_lookup(ks, ok)
+            out = b.filter(pa.array(hit))
+            return out.append_column(
+                "total_qty",
+                pa.array(qv[pos[hit]] if len(ks) else
+                         np.empty(0, np.float64), pa.float64()))
 
         matched = collect_table(orders.map_batches(
             attach_qty, batch_format="pyarrow", zero_copy_batch=True))
@@ -1212,11 +1220,9 @@ def large_volume_customers(sf_dir: str, min_qty: float = 200.0,
 
         def name_filter(b: pa.Table) -> pa.Table:
             ks = ray.get(cks_ref)
-            if len(ks) == 0:
-                return b.slice(0, 0)
             ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
-            return b.filter(pa.array(ks[pos] == ck))
+            _, hit = _sorted_lookup(ks, ck)
+            return b.filter(pa.array(hit))
 
         names = collect_table(cust.map_batches(
             name_filter, batch_format="pyarrow", zero_copy_batch=True))
@@ -1230,12 +1236,17 @@ def large_volume_customers(sf_dir: str, min_qty: float = 200.0,
                 "total_qty": pa.array([], pa.float64()),
             })
             return final
+        if names.num_rows == 0:
+            # matched orders exist but no custkey resolved — corrupt or
+            # truncated dimension table; fail with the data-integrity
+            # error, not an IndexError on the empty key array
+            raise AssertionError("o_custkey missing from customer table")
         nk = names.column("c_custkey").to_numpy(zero_copy_only=False)
         order = np.argsort(nk)
         nk = nk[order]
         nv = names.column("c_name").take(pa.array(order))
         mck = matched.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(nk, mck), 0, max(len(nk) - 1, 0))
+        pos = np.clip(np.searchsorted(nk, mck), 0, len(nk) - 1)
         if not (nk[pos] == mck).all():
             raise AssertionError("o_custkey missing from customer table")
         final = pa.table({

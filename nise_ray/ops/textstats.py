@@ -78,32 +78,48 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
 
 
 class LanguageId:
-    """Stopword language heuristic — round-4 rewrite: ONE compiled RE2
-    alternation per language evaluated batch-wide inside Arrow
-    (count_substring_regex), instead of the former per-row Python token
-    loop. Patterns are built once per actor (actor-pool stage); per
-    batch the work is |langs|+1 vectorized regex scans over the
-    lowercased 4000-codepoint prefix."""
+    """Stopword language heuristic — round-4 rewrite: the batch is
+    tokenized ONCE with the Arrow split kernel ([a-zA-Z']+ tokens on the
+    lowercased 4000-codepoint prefix), the batch-local vocabulary is
+    tested against each marker set (|V|-sized np.isin, not corpus-sized),
+    and per-row counts come from one bincount per language. EXACT-token
+    matching — identical semantics to the original per-row Python loop
+    ("it's" is one token and matches nothing; \\b-style regex counting
+    would differ around digits/underscores/apostrophes) with zero Python
+    rows. Marker sets are built once per actor (actor-pool stage)."""
 
     def __init__(self) -> None:
-        self.lang_patterns = [
-            (lang, r"\b(?:" + "|".join(sorted(ws)) + r")\b")
-            for lang, ws in sorted(_LANG_MARKERS.items())]
+        self.markers = [(lang, np.asarray(sorted(ws), dtype=object))
+                        for lang, ws in sorted(_LANG_MARKERS.items())]
 
     def __call__(self, b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         head = pc.utf8_lower(pc.utf8_slice_codeunits(
             b.column("text").combine_chunks(), start=0, stop=4000))
-        n_words = pc.count_substring_regex(head, r"[a-zA-Z']+") \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        counts = np.stack([
-            pc.count_substring_regex(head, pat).cast(pa.int64())
-              .to_numpy(zero_copy_only=False)
-            for _, pat in self.lang_patterns])          # |langs| x n
+        lists = pc.split_pattern_regex(head, pattern=r"[^a-zA-Z']+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(offs))
+        empty = np.flatnonzero(vocab == "")
+        if len(empty):
+            keep = codes != empty[0]
+            codes, row = codes[keep], row[keep]
+        n = b.num_rows
+        n_words = np.bincount(row, minlength=n)
+        counts = np.zeros((len(self.markers), n), dtype=np.int64)
+        for j, (_, ws) in enumerate(self.markers):
+            hit = np.isin(vocab, ws)[codes]       # exact-token membership
+            if hit.any():
+                counts[j] = np.bincount(row[hit], minlength=n)
         best = np.argmax(counts, axis=0)   # first max = sorted-lang order
-        top = counts[best, np.arange(counts.shape[1])]
-        langs = np.asarray([lang for lang, _ in self.lang_patterns],
-                           dtype=object)
+        top = counts[best, np.arange(n)]
+        langs = np.asarray([lang for lang, _ in self.markers], dtype=object)
         preds = np.where((top > 0) & (n_words > 0), langs[best], "unknown")
         with np.errstate(invalid="ignore"):
             scores = np.where(n_words > 0,
@@ -147,27 +163,12 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
 
 
 def _doc_token_counts(b: pa.Table):
-    """(row-local doc index, token code, count) + the batch vocab —
-    the shared vectorized tokenize-and-count kernel (Arrow regex split,
-    dictionary encode, one np.unique over row*|V|+code combos). Used by
-    top_doc_terms and repetition_stats."""
-    import pyarrow.compute as pc
-    lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
-                                   pattern=r"[^A-Za-z0-9_]+")
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    flat = lists.flatten()
-    offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
-    enc = flat.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
-                    np.diff(offs))
-    # split emits "" fragments at token-boundary edges; drop them
-    empty = np.flatnonzero(vocab == "")
-    if len(empty):
-        keep = codes != empty[0]
-        codes, row = codes[keep], row[keep]
+    """(row-local doc index, token code, count) + the batch vocab — the
+    uniqued variant of _doc_token_stream (one np.unique over
+    row*|V|+code combos). Used by top_doc_terms, repetition_stats and
+    bm25; composes on the shared stream kernel so token semantics live
+    in exactly one place."""
+    row, codes, vocab = _doc_token_stream(b)
     if len(codes) == 0:
         return (np.empty(0, np.int64),) * 3 + (vocab,)
     combo = row * np.int64(len(vocab)) + codes
@@ -340,7 +341,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     def partial(b: pa.Table) -> pa.Table:
         # round-4: vectorized token counting (shared Arrow split kernel +
         # one np.unique) — replaces the per-row Counter loop
-        _, codes, vocab = _doc_token_stream(b)
+        _, codes, vocab = _doc_token_stream(b, need_row=False)
         if len(codes) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
@@ -416,7 +417,7 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
     def partial(b: pa.Table) -> pa.Table:
         # round-4: vectorized token counting (shared Arrow split kernel +
         # one np.unique) — replaces the per-row Counter loop
-        _, codes, vocab = _doc_token_stream(b)
+        _, codes, vocab = _doc_token_stream(b, need_row=False)
         if len(codes) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
@@ -579,25 +580,34 @@ def bm25_scores(sf_dir: str, query: str = "hash join merge",
     return out.take(pa.array(order))
 
 
-def _doc_token_stream(b: pa.Table):
-    """POSITIONAL (row, token-code) stream + batch vocab — like
-    _doc_token_counts but order-preserving (no unique), for n-gram
-    construction."""
+def _doc_token_stream(b: pa.Table, need_row: bool = True):
+    """POSITIONAL (row, token-code) stream + batch vocab — the single
+    tokenize kernel every text op composes on (order-preserving; see
+    _doc_token_counts for the uniqued variant). need_row=False skips the
+    per-token row-index materialization for counts-only consumers
+    (top_tokens) — one fewer token-count-sized array on the hottest
+    scan."""
     import pyarrow.compute as pc
     lists = pc.split_pattern_regex(b.column("text").combine_chunks(),
                                    pattern=r"[^A-Za-z0-9_]+")
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = lists.flatten()
-    offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
     enc = flat.dictionary_encode()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-    row = np.repeat(np.arange(b.num_rows, dtype=np.int64), np.diff(offs))
+    if need_row:
+        offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(offs))
+    else:
+        row = None
     empty = np.flatnonzero(vocab == "")
     if len(empty):
         keep = codes != empty[0]
-        codes, row = codes[keep], row[keep]
+        codes = codes[keep]
+        if need_row:
+            row = row[keep]
     return row, codes, vocab
 
 
