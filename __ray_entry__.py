@@ -163,6 +163,11 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(sf_dir, threshold=0.3, n_centroids=4)
 
 
+def _q_semantic_dedup_keep(sf_dir: str):
+    from nise_ray.ops.ann import semantic_dedup_keep
+    return semantic_dedup_keep(sf_dir, threshold=0.3, n_centroids=4)
+
+
 def _q_event_type_user_counts(sf_dir: str):
     from nise_ray.ops.events import event_type_user_counts
     return event_type_user_counts(sf_dir)
@@ -518,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup_pairs": _q_semantic_dedup,
+        "semantic_dedup_keep": _q_semantic_dedup_keep,
         # --- text analysis --------------------------------------------
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,

@@ -415,15 +415,22 @@ def _uniform_sample(ds: "ray.data.Dataset", n: int) -> pa.Table:
     total = ds.count()  # parquet metadata, no scan
     if total <= n:
         return collect_table(ds)
-    frac = min(1.0, 1.5 * n / total)
-    thresh = U64(int(frac * float(2**64 - 1)))
+    frac = 1.5 * n / total
+    if frac >= 1.0:
+        # headroom covers the whole corpus (n < total < 1.5n): collect
+        # and trim below — int(1.0 * 2^64) would overflow the uint64
+        # threshold
+        t = collect_table(ds)
+    else:
+        thresh = U64(int(frac * float(2**64 - 1)))
 
-    def keep_fn(b: pa.Table) -> pa.Table:
-        vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(U64)
-        return b.filter(pa.array(splitmix64(vids) < thresh))
+        def keep_fn(b: pa.Table) -> pa.Table:
+            vids = b.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(U64)
+            return b.filter(pa.array(splitmix64(vids) < thresh))
 
-    t = collect_table(ds.map_batches(keep_fn, batch_format="pyarrow",
-                                     zero_copy_batch=True))
+        t = collect_table(ds.map_batches(keep_fn, batch_format="pyarrow",
+                                         zero_copy_batch=True))
     if t.num_rows <= n:
         return t
     h = splitmix64(t.column("vec_id").to_numpy(zero_copy_only=False).astype(U64))
@@ -587,3 +594,59 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.95,
     # distinct (unlike the multi-table LSH path)
     return hash_group_apply(bucketed, ["bucket"],
                             _dup_pair_batch_fn(threshold))
+
+
+def semantic_dedup_keep(sf_dir: str, threshold: float = 0.95,
+                        n_centroids: int = 32, seed: int = 42,
+                        sample_size: int = 4096) -> pa.Table:
+    """SemDeDup's end artifact: the KEEP LIST. Near-dup pairs from
+    semantic_dedup are resolved to connected components (transitive
+    closure — A~B, B~C dedups all three together even when A~C is
+    missed), each group keeps its min vec_id as representative, every
+    other member is dropped. Returns (vec_id, rep_id, kept) for the
+    whole corpus, kept-count = n - sum(group_size - 1).
+
+    Scale shape: the pair set is near-dup-sized (not corpus-sized); the
+    CC here uses the vectorized driver path — past the flagship's
+    driver_cc_max_edges gate the same pairs feed
+    ops.components.distributed_components instead. The final kept flag
+    attaches with one broadcast of the (dup-member -> rep) map into a
+    stateless corpus map — no shuffle."""
+    from nise_ray.ops.components import driver_components
+    from nise_ray.ops.groupapply import default_concurrency
+    pairs = semantic_dedup(sf_dir, threshold=threshold,
+                           n_centroids=n_centroids, seed=seed,
+                           sample_size=sample_size)
+    labels = driver_components(pairs)   # (doc_key, cluster_id), edge nodes
+    mem = labels.column("doc_key").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rep = labels.column("cluster_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(mem)
+    mem, rep = mem[order], rep[order]
+    ref = ray.put((mem, rep))
+
+    class KeepFlag:
+        def __init__(self) -> None:
+            self.mem, self.rep = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            hi = max(len(self.mem) - 1, 0)
+            pos = np.clip(np.searchsorted(self.mem, vid), 0, hi)
+            in_grp = (self.mem[pos] == vid) if len(self.mem) else \
+                np.zeros(len(vid), dtype=bool)
+            rep_id = np.where(in_grp, self.rep[pos] if len(self.mem)
+                              else 0, vid)
+            return pa.table({
+                "vec_id": pa.array(vid, pa.int64()),
+                "rep_id": pa.array(rep_id, pa.int64()),
+                "kept": pa.array(rep_id == vid, pa.bool_()),
+            })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"])
+    out = collect_table(ds.map_batches(KeepFlag, batch_format="pyarrow",
+                                       zero_copy_batch=True,
+                                       concurrency=default_concurrency()))
+    return out.sort_by([("vec_id", "ascending")])

@@ -165,3 +165,41 @@ def test_semantic_dedup_planted_duplicates(ray_session, tmp_path):
                                        n_centroids=8, sample_size=32))
     pairs = set(zip(got.column("u").to_pylist(), got.column("v").to_pylist()))
     assert {(i, 60 + i) for i in range(5)} <= pairs
+
+
+def test_semantic_dedup_keep_list(ray_session, tmp_path):
+    """SemDeDup keep-list: each planted duplicate group keeps exactly
+    its min vec_id; non-duplicates all stay; transitive closure groups
+    A~B~C together."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import semantic_dedup_keep
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # ids 40..44 duplicate 0..4; id 45 duplicates 0 again (chain 0-40-45)
+    vecs = np.vstack([base, base[:5], base[:1]])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(46), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(46, np.int32), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = semantic_dedup_keep(str(tmp_path), threshold=0.999,
+                              n_centroids=8, sample_size=32).to_pandas()
+    assert len(got) == 46
+    by_id = got.set_index("vec_id")
+    # group {0, 40, 45}: keep 0, drop 40 and 45, rep 0 for all three
+    assert bool(by_id.loc[0, "kept"]) and by_id.loc[0, "rep_id"] == 0
+    for dup in (40, 45):
+        assert not bool(by_id.loc[dup, "kept"])
+        assert by_id.loc[dup, "rep_id"] == 0
+    # groups {i, 40+i} for i in 1..4: keep i, drop 40+i
+    for i in range(1, 5):
+        assert bool(by_id.loc[i, "kept"])
+        assert not bool(by_id.loc[40 + i, "kept"])
+        assert by_id.loc[40 + i, "rep_id"] == i
+    # everything else untouched
+    singles = got[(got["vec_id"] >= 5) & (got["vec_id"] < 40)]
+    assert singles["kept"].all()
+    assert (singles["rep_id"] == singles["vec_id"]).all()
