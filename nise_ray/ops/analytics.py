@@ -383,6 +383,28 @@ def chunk_documents(sf_dir: str, size: int = 512,
                           zero_copy_batch=True)
 
 
+def _greedy_pack_seq(did: np.ndarray, nch: np.ndarray,
+                     budget: int) -> "tuple[np.ndarray, ...]":
+    """Single-bucket greedy pack sweep (doc_id order): returns
+    (sorted doc_ids, pack seq per doc, sorted weights). A pack always
+    takes >= 1 doc; it closes when ADDING the next doc would exceed the
+    budget, so an oversized doc gets a singleton pack. Pure function —
+    the per-group kernel pack_documents applies per bucket, and the
+    property tests drive directly (no Ray needed)."""
+    order = np.argsort(did, kind="stable")
+    d, w = did[order], nch[order].astype(np.int64)
+    cs = np.cumsum(w)
+    seq_arr = np.empty(len(d), dtype=np.int64)
+    idx, seq, base = 0, 0, np.int64(0)
+    while idx < len(d):
+        j = int(np.searchsorted(cs, base + budget, side="right"))
+        j = max(j, idx + 1)          # oversized doc -> own pack
+        seq_arr[idx:j] = seq
+        base = cs[j - 1]
+        idx, seq = j, seq + 1
+    return d, seq_arr, w
+
+
 def pack_documents(sf_dir: str, budget: int = 2048,
                    bucket_docs: int = 1000) -> "ray.data.Dataset":
     """SEQUENCE PACKING — greedy assignment of documents into fixed-size
@@ -430,19 +452,10 @@ def pack_documents(sf_dir: str, budget: int = 2048,
                 "doc_id // bucket_docs >= 2^31 overflows the packed "
                 "int64 pack_id; raise bucket_docs for this id range")
         for s, c in zip(starts, counts):
-            order = np.argsort(did[s:s + c], kind="stable") + s
-            d, w = did[order], nch[order].astype(np.int64)
-            cs = np.cumsum(w)
-            pid = np.empty(len(d), dtype=np.int64)
-            idx, seq, base = 0, 0, np.int64(0)
-            while idx < len(d):
-                j = int(np.searchsorted(cs, base + budget, side="right"))
-                j = max(j, idx + 1)      # oversized doc -> own pack
-                pid[idx:j] = (bucket[s] << np.int64(32)) + seq
-                base = cs[j - 1]
-                idx, seq = j, seq + 1
+            d, seq_arr, w = _greedy_pack_seq(did[s:s + c], nch[s:s + c],
+                                             budget)
             out_did.append(d)
-            out_pid.append(pid)
+            out_pid.append((bucket[s] << np.int64(32)) + seq_arr)
             out_nch.append(w)
         return pa.table({
             "doc_id": pa.array(np.concatenate(out_did), pa.int64()),
