@@ -151,6 +151,11 @@ def _q_weighted_sample(sf_dir: str):
     return weighted_sample_docs(sf_dir, k=50)
 
 
+def _q_length_histogram(sf_dir: str):
+    from nise_ray.ops.analytics import length_histogram
+    return length_histogram(sf_dir)
+
+
 def _q_embedding_kmeans(sf_dir: str):
     from nise_ray.ops.ann import embedding_kmeans
     return embedding_kmeans(sf_dir, n_centroids=16)
@@ -534,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "weighted_sample_docs": _q_weighted_sample,
+        "length_histogram": _q_length_histogram,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
         # --- events / relational ops ----------------------------------
@@ -730,6 +736,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, sha256(text) AS fingerprint FROM documents
+        """,
+        # equi-width histogram (fixed buckets keep it one-pass)
+        "length_histogram": """
+            SELECT lang, (n_chars // 100) * 100 AS bucket_lo,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         # Efraimidis-Spirakis weighted sample: set selected by the same
         # deterministic key both engines compute; the key itself is NOT

@@ -507,3 +507,60 @@ def weighted_sample_docs(sf_dir: str, k: int = 50) -> pa.Table:
                                         zero_copy_batch=True))
     # final merge: recompute keys on the k x n_blocks partial rows
     return local_topk(part).sort_by([("doc_id", "ascending")])
+
+
+def length_histogram(sf_dir: str, bucket_width: int = 100) -> pa.Table:
+    """Equi-width HISTOGRAM of document length per language —
+    (lang, bucket_lo, n_docs) with bucket_lo = (n_chars // width) *
+    width. Fixed-width buckets keep it one-pass combiner-shaped (a
+    min/max-scaled histogram would need a second pass): every block
+    reduces to its own (lang, bucket) counts, one group-count-sized
+    exchange merges. SQL-oracled exactly (integer floor division both
+    engines)."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    _EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                       "bucket_lo": pa.array([], pa.int64()),
+                       "n_docs": pa.array([], pa.int64())})
+
+    def _sum_counts(lang_arr, blo: np.ndarray, n: np.ndarray) -> pa.Table:
+        enc = lang_arr.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wide = codes * np.int64(2 ** 40) + blo   # bucket_lo < 2^40 chars
+        order = np.lexsort((blo, codes))
+        starts, _ = segments(wide[order])
+        sel = order[starts]
+        return pa.table({
+            "lang": enc.take(pa.array(sel)).cast(pa.string()),
+            "bucket_lo": pa.array(blo[sel], pa.int64()),
+            "n_docs": pa.array(np.add.reduceat(n[order], starts),
+                               pa.int64()),
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        blo = (nch // bucket_width) * bucket_width
+        return _sum_counts(b.column("lang"), blo.astype(np.int64),
+                           np.ones(b.num_rows, np.int64))
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        return _sum_counts(
+            b.column("lang"),
+            b.column("bucket_lo").to_numpy(zero_copy_only=False),
+            b.column("n_docs").to_numpy(zero_copy_only=False))
+
+    t = collect_table(hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang"], merge, 0, sort=False))
+    return t.sort_by([("lang", "ascending"), ("bucket_lo", "ascending")])

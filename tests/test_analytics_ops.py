@@ -321,3 +321,19 @@ def test_weighted_sample_matches_duckdb(ray_session):
     corpus_mean = con.execute(
         "SELECT avg(n_chars) FROM documents").fetchone()[0]
     assert got["n_chars"].mean() > corpus_mean
+
+
+def test_length_histogram_matches_duckdb(ray_session):
+    from nise_ray.ops.analytics import length_histogram
+    got = length_histogram(SF).to_pandas()
+    want = _con(["documents"]).execute("""
+        SELECT lang, (n_chars // 100) * 100 AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    assert got.values.tolist() == want.values.tolist()
+    # histogram totals must equal corpus size
+    n = _con(["documents"]).execute(
+        "SELECT count(*) FROM documents").fetchone()[0]
+    assert got["n_docs"].sum() == n
