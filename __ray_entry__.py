@@ -121,6 +121,24 @@ def _q_embedding_dups_exact(sf_dir: str):
     return embedding_dup_pairs_exact(sf_dir, threshold=0.3)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    from nise_ray.ops.ann import embedding_clusters
+    # 0.35 sits in the phase-transition band of the synthetic embeddings
+    # (sf0.01: 272 pairs -> 236 clusters, biggest 59) so the component
+    # structure is non-trivial — multiple large-star/small-star rounds
+    return embedding_clusters(sf_dir, threshold=0.35)
+
+
+def _q_unigram_logprob(sf_dir: str):
+    from nise_ray.ops.textstats import unigram_logprob
+    return unigram_logprob(sf_dir)
+
+
+def _q_funnel_counts(sf_dir: str):
+    from nise_ray.ops.events import funnel_counts
+    return funnel_counts(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -526,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": _q_embedding_norms,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
+        "embedding_clusters": _q_embedding_clusters,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
@@ -539,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "weighted_sample_docs": _q_weighted_sample,
+        "unigram_logprob": _q_unigram_logprob,
         "length_histogram": _q_length_histogram,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
@@ -574,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue_share": _q_promo_revenue_share,
         "event_interarrival": _q_event_interarrival,
+        "funnel_counts": _q_funnel_counts,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "customers_without_orders": _q_customers_without_orders,
@@ -870,6 +891,75 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])),
                         4) >= 0.3
             ORDER BY 1, 2
+        """,
+        # connected components as a recursive min-label CTE: reach holds
+        # every (node, label-of-a-reachable-node) pair — UNION dedup
+        # terminates it — and min(label) per node is the component's min
+        # id, exactly the engine's large-star/small-star fixed point.
+        # This is the external oracle for the clustering core itself.
+        "embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+            ),
+            edges AS (
+                SELECT u AS a, v AS b FROM pairs
+                UNION ALL SELECT v AS a, u AS b FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+            )
+            SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id, u.t AS token
+                FROM documents,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS u(t)
+                WHERE u.t <> ''
+            ),
+            freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM freq),
+            per_doc AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(sum(ln(f.c / tot.s)) / count(*), 4) AS lp
+                FROM tok t JOIN freq f USING (token), tot
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.lp, 0.0) AS logprob_mean
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # stepwise funnel: step k's completion time = min event time of
+        # that type strictly after the user's step-(k-1) completion
+        "funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'view' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s2.t
+                   GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s3 ON e.user_id = s3.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s3.t
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+            UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
         """,
         "event_type_user_counts": """
             SELECT event_type,

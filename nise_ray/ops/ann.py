@@ -354,25 +354,26 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.98,
                             sort=False)
 
 
-def embedding_dup_pairs_exact(sf_dir: str, threshold: float = 0.5,
-                              round_to: int = 4,
-                              broadcast_max: int = 1_000_000) -> pa.Table:
-    """EXACT embedding-cosine pairs (u < v, round(cosine, 4) >= threshold)
-    — the SQL-oracled correctness baseline for `embedding_dup_pairs`.
+def _exact_pair_ds(sf_dir: str, threshold: float, round_to: int,
+                   broadcast_max: int) -> "ray.data.Dataset":
+    """Streaming Dataset of exact embedding-cosine pairs (u < v,
+    round(cosine, round_to) >= threshold) — the shared candidate
+    generator behind `embedding_dup_pairs_exact` (collected + sorted
+    oracle baseline) and `embedding_clusters` (fed straight into the
+    distributed components exchange without a driver materialization).
 
     Shape: the normalized corpus matrix is built once on the driver and
     broadcast via ray.put; every batch does ONE numpy matmul against it
     (batch x N sims, never an N x N matrix) and emits only its qualifying
     upper-triangle pairs. Work is inherently O(N^2/batches) — exact
     all-pairs does not scale past ~1M vectors, which is why the gate
-    refuses beyond `broadcast_max` and points at the SRP-LSH / IVF paths;
-    this op exists to *measure* those paths' recall, not to replace them."""
+    refuses beyond `broadcast_max` and points at the SRP-LSH / IVF paths."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     n_vecs = ds.count()  # parquet metadata count — no read
     if n_vecs > broadcast_max:
         raise ValueError(
-            f"embedding_dup_pairs_exact: {n_vecs} vectors > broadcast_max="
+            f"exact embedding pairs: {n_vecs} vectors > broadcast_max="
             f"{broadcast_max}; exact all-pairs is O(N^2) — use "
             "embedding_dup_pairs (SRP-LSH) at this scale")
     full = collect_table(ds)
@@ -399,10 +400,68 @@ def embedding_dup_pairs_exact(sf_dir: str, threshold: float = 0.5,
             })
 
     from nise_ray.ops.groupapply import default_concurrency
-    out = collect_table(ds.map_batches(ExactScorer, batch_format="pyarrow",
-                                       zero_copy_batch=True,
-                                       concurrency=default_concurrency()))
+    return ds.map_batches(ExactScorer, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=default_concurrency())
+
+
+def embedding_dup_pairs_exact(sf_dir: str, threshold: float = 0.5,
+                              round_to: int = 4,
+                              broadcast_max: int = 1_000_000) -> pa.Table:
+    """EXACT embedding-cosine pairs (u < v, round(cosine, 4) >= threshold)
+    — the SQL-oracled correctness baseline for `embedding_dup_pairs`.
+    This op exists to *measure* the LSH/IVF paths' recall, not to replace
+    them; see _exact_pair_ds for the shape and the O(N^2) scale gate."""
+    out = collect_table(_exact_pair_ds(sf_dir, threshold, round_to,
+                                       broadcast_max))
     return out.sort_by([("u", "ascending"), ("v", "ascending")])
+
+
+def embedding_clusters(sf_dir: str, threshold: float = 0.35,
+                       round_to: int = 4,
+                       broadcast_max: int = 1_000_000) -> pa.Table:
+    """EMBEDDING-DUPLICATE CLUSTERING: connected components over the
+    exact cosine-duplicate pair graph — every vector labeled with the
+    min vec_id of its component (singletons label themselves). This is
+    the first externally-oracled run of the engine's core union-find
+    replacement: the DuckDB oracle computes the same components with a
+    recursive min-label CTE, so the alternating large-star/small-star
+    exchange (ops/components.py, Kiveris et al. SoCC'14) is verified
+    against an independent engine, not just internal parity tests.
+
+    Scale shape: pair generation is the gated exact path here (the
+    oracle needs a deterministic edge set); at corpus scale the same
+    components code consumes the SRP-LSH pair Dataset instead — the CC
+    exchange itself never materializes more than the edge set per round
+    and the label attach is broadcast-gated with a distributed
+    left-outer-join fallback (attach_labels)."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.ops.components import attach_labels, distributed_components
+
+    cfg = DedupConfig()
+    pairs = _exact_pair_ds(sf_dir, threshold, round_to,
+                           broadcast_max).select_columns(["u", "v"])
+    labels = distributed_components(pairs, cfg)
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id"])
+
+    def as_doc_key(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_key": b.column("vec_id").cast(pa.uint64())})
+
+    keyed = vecs.map_batches(as_doc_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    labeled = attach_labels(keyed, labels, cfg)
+
+    def to_int64(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": b.column("doc_key").cast(pa.int64()),
+            "cluster_id": b.column("cluster_id").cast(pa.int64()),
+        })
+
+    out = collect_table(labeled.map_batches(to_int64,
+                                            batch_format="pyarrow"))
+    return out.sort_by("vec_id")
 
 
 def _uniform_sample(ds: "ray.data.Dataset", n: int) -> pa.Table:

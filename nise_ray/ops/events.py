@@ -833,3 +833,69 @@ def user_value_quartiles(sf_dir: str, n_tiles: int = 4) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(ds, ["user_id"], tiles, 0, sort=False)
+
+
+def funnel_counts(sf_dir: str,
+                  steps: "tuple[str, ...]" = ("signup", "view", "click",
+                                              "purchase")) -> pa.Table:
+    """FUNNEL ANALYSIS (stepwise event-sequence matching): how many users
+    complete each prefix of an ordered event-type funnel, with classic
+    strict-ordering semantics — step k counts a user iff an event of
+    type steps[k] exists STRICTLY AFTER the timestamp at which the user
+    completed step k-1 (step k's timestamp = the MIN such event time, so
+    the match is the earliest possible completion and deterministic).
+    Returns (step, event_type, n_users), one row per funnel step.
+
+    Scale shape: one hash exchange on user_id (complete user histories
+    per block), then a fully vectorized per-block sweep — per step a
+    masked minimum.reduceat over the user segments, no per-user Python.
+    Each block emits |steps| partial counts; the driver sums a
+    blocks x |steps| table. The only corpus-sized move is the one
+    user_id exchange every other per-user operator already pays."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    i64max = np.iinfo(np.int64).max
+
+    def block_funnel(batch: pa.Table) -> pa.Table:
+        out_sch = pa.schema([("step", pa.int64()), ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return out_sch.empty_table()
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        et = batch.column("event_type").combine_chunks().take(
+            pa.array(order)).to_numpy(zero_copy_only=False)
+        starts, counts = segments(uid)
+        # prev[i] = ts at which row i's user completed the previous step
+        prev = np.full(len(uid), -1, dtype=np.int64)  # step 0: no bound
+        ns = np.zeros(len(steps), dtype=np.int64)
+        for k, etype in enumerate(steps):
+            mask = (et == etype) & (ts > prev)
+            cur = np.minimum.reduceat(np.where(mask, ts, i64max), starts)
+            reached = cur != i64max
+            ns[k] = int(reached.sum())
+            if not reached.any():
+                break  # downstream steps are empty too
+            prev = np.repeat(cur, counts)
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    parts = collect_table(hash_group_apply(ds, ["user_id"], block_funnel,
+                                           0, sort=False))
+    totals = np.zeros(len(steps), dtype=np.int64)
+    if parts.num_rows:
+        st = parts.column("step").to_numpy(zero_copy_only=False)
+        nv = parts.column("n").to_numpy(zero_copy_only=False)
+        np.add.at(totals, st - 1, nv)
+    return pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(totals, pa.int64()),
+    })

@@ -655,6 +655,100 @@ def bigram_repetition_batch(b: pa.Table) -> pa.Table:
     })
 
 
+def unigram_logprob(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
+    """CCNet-style unigram language-model scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 — perplexity filtering is the standard quality gate
+    of a web-scale training-data pipeline; here the LM is the corpus's
+    own unigram distribution): per document, the mean token log
+    probability  sum(tf_t * ln(count_t / total)) / n_tokens  under the
+    global unigram frequencies. Low (very negative) scores = documents
+    full of corpus-rare tokens; near-zero scores = documents of only
+    common tokens.
+
+    Two passes, both combiner-shaped (same bounds as top_doc_terms):
+      1. global token counts — per-batch (token, n) partials via the
+         shared tokenize kernel, one vocabulary-sized hash exchange,
+         broadcast once via ray.put (vocab-bounded, never corpus-bounded);
+      2. one stateless map: per-(doc, token) tf from _doc_token_counts,
+         vectorized searchsorted lookup into the broadcast (token -> ln
+         prob) table, one reduceat per doc. Zero-token docs emit
+         n_tokens=0, logprob_mean=0.0.
+
+    The final mean is rounded (the per-doc sum order differs between the
+    engine's reduceat and the SQL oracle's aggregate, so low bits carry
+    FP noise; round(round_to) heals it — the values themselves are FP-
+    noisy so half-way round ties are not a cross-engine hazard here)."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        _, codes, vocab = _doc_token_stream(b, need_row=False)
+        if len(codes) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uc, ns = np.unique(codes, return_counts=True)
+        return pa.table({"token": pa.array(vocab[uc], pa.string()),
+                         "n": pa.array(ns.astype(np.int64), pa.int64())})
+
+    def count_merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        from nise_ray.ops.groupapply import segments
+        tok = batch.column("token").combine_chunks().dictionary_encode()
+        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        return pa.table({
+            "token": tok.dictionary.take(
+                pa.array(codes[order][starts])).cast(pa.string()),
+            "n": pa.array(np.add.reduceat(ns[order], starts), pa.int64()),
+        })
+
+    freq_t = collect_table(hash_group_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], count_merge, 0, sort=False))
+    toks = np.asarray(freq_t.column("token").to_pylist(), dtype=object)
+    cnts = freq_t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(cnts.sum())
+    order = np.argsort(toks)
+    # ln(count/total) precomputed once — workers only ever gather from it
+    lm_ref = ray.put((toks[order],
+                      np.log(cnts[order] / total) if total else cnts[order]))
+
+    class Score:
+        def __init__(self) -> None:
+            self.toks, self.lnp = ray.get(lm_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from nise_ray.ops.groupapply import segments
+            n = b.num_rows
+            n_tok = np.zeros(n, dtype=np.int64)
+            mean_lp = np.zeros(n, dtype=np.float64)
+            rows, codes, tf, vocab = _doc_token_counts(b)
+            if len(rows):
+                vpos = np.searchsorted(self.toks, vocab)
+                lnp = self.lnp[vpos][codes]  # every batch token is global
+                starts, _ = segments(rows)
+                docs = rows[starts]
+                n_tok[docs] = np.add.reduceat(tf, starts)
+                sums = np.add.reduceat(tf.astype(np.float64) * lnp, starts)
+                mean_lp[docs] = np.round(sums / n_tok[docs], round_to)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "logprob_mean": pa.array(mean_lp, pa.float64()),
+            })
+
+    return ds.map_batches(Score, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=default_concurrency())
+
+
 def bigram_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-document dup-2-gram quality stats — see
     bigram_repetition_batch. Stateless single-pass map, no shuffle."""

@@ -363,3 +363,100 @@ def test_multimodal_real_codecs(ray_session):
     vids = media.filter(pa.compute.equal(media.column("kind"), "video"))
     with pytest.raises(NotImplementedError):
         ex(vids.slice(0, 1))
+
+
+def test_embedding_clusters_match_python_union_find(ray_session):
+    """embedding_clusters (large-star/small-star over the exact cosine
+    pair graph) must equal a pure-Python union-find over the same
+    pairs — the clustering-core parity check behind the DuckDB
+    recursive-CTE oracle."""
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import (_embedding_matrix, _normalize,
+                                  embedding_clusters)
+    got = embedding_clusters(SF, threshold=0.35)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    m = _normalize(_embedding_matrix(t))
+    sims = np.round(m @ m.T, 4)
+    ii, jj = np.nonzero(sims >= 0.35)
+    parent = {int(v): int(v) for v in vids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for a, b in zip(vids[ii], vids[jj]):
+        if a < b:
+            n_pairs += 1
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    assert n_pairs > 0, "fixture produced no pairs — threshold too high"
+    expect = {v: find(v) for v in parent}
+    got_map = dict(zip(got.column("vec_id").to_pylist(),
+                       got.column("cluster_id").to_pylist()))
+    assert got_map == expect
+    assert len(set(expect.values())) < len(expect)  # non-trivial merge
+
+
+def test_unigram_logprob_matches_python(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.textstats import unigram_logprob
+    got = unigram_logprob(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet")
+    tok_re = re.compile(r"[A-Za-z0-9_]+")
+    docs = {i: tok_re.findall(txt) for i, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+    freq = Counter()
+    for toks in docs.values():
+        freq.update(toks)
+    total = sum(freq.values())
+    assert len(got) == len(docs)
+    for i, toks in docs.items():
+        assert got.loc[i, "n_tokens"] == len(toks)
+        if not toks:
+            assert got.loc[i, "logprob_mean"] == 0.0
+            continue
+        lp = sum(c * math.log(freq[w] / total)
+                 for w, c in Counter(toks).items()) / len(toks)
+        assert abs(got.loc[i, "logprob_mean"] - round(lp, 4)) < 1e-9
+        assert got.loc[i, "logprob_mean"] < 0.0
+
+
+def test_funnel_counts_matches_python(ray_session):
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.events import funnel_counts
+    steps = ("signup", "view", "click", "purchase")
+    got = funnel_counts(SF, steps=steps)
+    t = pq.read_table(f"{SF}/events.parquet")
+    uid = t.column("user_id").to_pylist()
+    ts = t.column("ts").cast(pa.int64()).to_pylist()
+    et = t.column("event_type").to_pylist()
+    by_user = {}
+    for u, s, e in zip(uid, ts, et):
+        by_user.setdefault(u, []).append((s, e))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev = -1
+        for k, step in enumerate(steps):
+            times = [s for s, e in evs if e == step and s > prev]
+            if not times:
+                break
+            prev = min(times)
+            counts[k] += 1
+    assert got.column("n_users").to_pylist() == counts
+    assert got.column("step").to_pylist() == [1, 2, 3, 4]
+    # funnel counts are non-increasing by construction
+    ns = got.column("n_users").to_pylist()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert counts[0] > 0
