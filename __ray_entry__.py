@@ -139,6 +139,16 @@ def _q_funnel_counts(sf_dir: str):
     return funnel_counts(sf_dir)
 
 
+def _q_user_event_paths(sf_dir: str):
+    from nise_ray.ops.events import user_event_paths
+    return user_event_paths(sf_dir)
+
+
+def _q_user_top_event(sf_dir: str):
+    from nise_ray.ops.events import user_top_event
+    return user_top_event(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -595,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,
         "event_interarrival": _q_event_interarrival,
         "funnel_counts": _q_funnel_counts,
+        "user_event_paths": _q_user_event_paths,
+        "user_top_event": _q_user_top_event,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "customers_without_orders": _q_customers_without_orders,
@@ -960,6 +972,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
             UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
             UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        """,
+        "user_event_paths": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, '->' ORDER BY ts, event_id)
+                       AS path
+            FROM events GROUP BY user_id
+        """,
+        "user_top_event": """
+            SELECT user_id, event_type AS top_event, CAST(n AS BIGINT) AS n
+            FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
         "event_type_user_counts": """
             SELECT event_type,

@@ -899,3 +899,114 @@ def funnel_counts(sf_dir: str,
         "event_type": pa.array(list(steps), pa.string()),
         "n_users": pa.array(totals, pa.int64()),
     })
+
+
+def user_event_paths(sf_dir: str, sep: str = "->") -> "ray.data.Dataset":
+    """ORDERED STRING AGGREGATION (SQL string_agg ... ORDER BY): per
+    user, the full event-type path in (ts, event_id) order, e.g.
+    'view->click->purchase', plus the event count — the sequence-mining
+    preprocessing step (each user's history becomes one trajectory
+    string). One hash exchange on user_id, then a fully vectorized
+    per-block sweep: lexsort, ListArray re-slicing by user segment, and
+    ONE pyarrow binary_join kernel call per block — no per-user Python
+    string building."""
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def paths(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = batch.column("event_type").combine_chunks().take(
+            pa.array(order))
+        starts, counts = segments(uid)
+        # block-local offsets: len << 2^31, int32 is safe for ListArray
+        offsets = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), et)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "path": joined.cast(pa.string()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], paths, 0, sort=False)
+
+
+def user_top_event(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPED MODE (per-group most-frequent value with a deterministic
+    tie-break): each user's modal event_type, ties resolved to the
+    lexicographically smallest type — the categorical-majority profile
+    column a feature pipeline derives per entity. Combiner-shaped:
+    every block pre-aggregates (user, type) counts (type-vocabulary x
+    users rows, not event rows), the user_id exchange merges partials,
+    and one lexsort picks each user's winner. Returns
+    (user_id, top_event, n)."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        enc = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.int64(len(enc.dictionary))
+        combo = uid * nt + codes
+        uniq, cnt = np.unique(combo, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uniq // nt, pa.int64()),
+            "event_type": enc.dictionary.take(
+                pa.array(uniq % nt)).cast(pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    pre = ds.map_batches(pre_agg, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pick_mode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "top_event": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        nv = batch.column("n").to_numpy(zero_copy_only=False)
+        # merge partials: sum n per (user, type)
+        order = np.lexsort((et, uid))
+        uid, et, nv = uid[order], et[order], nv[order]
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        starts_u = np.flatnonzero(first)
+        sums = np.add.reduceat(nv, starts_u)
+        guid, get = uid[starts_u], et[starts_u]
+        # winner per user: max count, then smallest type (rows are
+        # already type-sorted within user, so a stable sort on -n keeps
+        # the lexicographic tie-break)
+        w = np.lexsort((get, -sums, guid))
+        gu, ge, gs = guid[w], get[w], sums[w]
+        s2, _ = segments(gu)
+        return pa.table({
+            "user_id": pa.array(gu[s2], pa.int64()),
+            "top_event": pa.array(ge[s2], pa.string()),
+            "n": pa.array(gs[s2], pa.int64()),
+        })
+
+    return hash_group_apply(pre, ["user_id"], pick_mode, 0, sort=False)

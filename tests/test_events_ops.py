@@ -220,3 +220,45 @@ def test_lang_quantiles_cont_matches_duckdb(ray_session):
         GROUP BY lang ORDER BY lang
     """).fetchdf()
     assert got.to_dict("list") == want.to_dict("list")
+
+
+def test_user_event_paths_match_python(ray_session):
+    import pyarrow as pa
+
+    from nise_ray.ops.events import user_event_paths
+    t = collect_table(user_event_paths(SF)).sort_by("user_id")
+    raw = pq.read_table(f"{SF}/events.parquet",
+                        columns=["user_id", "ts", "event_id", "event_type"])
+    rows = sorted(zip(raw.column("user_id").to_pylist(),
+                      raw.column("ts").cast(pa.int64()).to_pylist(),
+                      raw.column("event_id").to_pylist(),
+                      raw.column("event_type").to_pylist()))
+    expect = {}
+    for u, _, _, e in rows:
+        expect.setdefault(u, []).append(e)
+    assert t.column("user_id").to_pylist() == sorted(expect)
+    for uid, n, path in zip(t.column("user_id").to_pylist(),
+                            t.column("n_events").to_pylist(),
+                            t.column("path").to_pylist()):
+        assert n == len(expect[uid])
+        assert path == "->".join(expect[uid])
+
+
+def test_user_top_event_match_python(ray_session):
+    from collections import Counter
+
+    from nise_ray.ops.events import user_top_event
+    t = collect_table(user_top_event(SF)).sort_by("user_id")
+    raw = pq.read_table(f"{SF}/events.parquet",
+                        columns=["user_id", "event_type"])
+    per_user = {}
+    for u, e in zip(raw.column("user_id").to_pylist(),
+                    raw.column("event_type").to_pylist()):
+        per_user.setdefault(u, Counter())[e] += 1
+    assert t.column("user_id").to_pylist() == sorted(per_user)
+    for uid, top, n in zip(t.column("user_id").to_pylist(),
+                           t.column("top_event").to_pylist(),
+                           t.column("n").to_pylist()):
+        c = per_user[uid]
+        best = min((e for e in c if c[e] == max(c.values()))), max(c.values())
+        assert (top, n) == (best[0], best[1])
