@@ -149,6 +149,16 @@ def _q_user_top_event(sf_dir: str):
     return user_top_event(sf_dir)
 
 
+def _q_token_entropy(sf_dir: str):
+    from nise_ray.ops.textstats import token_entropy
+    return token_entropy(sf_dir)
+
+
+def _q_value_time_correlation(sf_dir: str):
+    from nise_ray.ops.analytics import value_time_correlation
+    return value_time_correlation(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -569,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "weighted_sample_docs": _q_weighted_sample,
         "unigram_logprob": _q_unigram_logprob,
+        "token_entropy": _q_token_entropy,
         "length_histogram": _q_length_histogram,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
@@ -607,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "user_event_paths": _q_user_event_paths,
         "user_top_event": _q_user_top_event,
+        "value_time_correlation": _q_value_time_correlation,
         "small_quantity_revenue": _q_small_quantity_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "customers_without_orders": _q_customers_without_orders,
@@ -972,6 +984,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
             UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
             UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        """,
+        "token_entropy": """
+            WITH tok AS (
+                SELECT doc_id, u.t AS token
+                FROM documents,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS u(t)
+                WHERE u.t <> ''
+            ),
+            doc AS (SELECT doc_id, token, count(*) AS c
+                    FROM tok GROUP BY doc_id, token),
+            per AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4)
+                           AS entropy
+                FROM doc GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        "value_time_correlation": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(corr(value,
+                              (epoch_us(ts) % 86400000000) / 1000000.0),
+                         4) AS corr_value_tod
+            FROM events GROUP BY event_type
         """,
         "user_event_paths": """
             SELECT user_id,

@@ -564,3 +564,75 @@ def length_histogram(sf_dir: str, bucket_width: int = 100) -> pa.Table:
                        zero_copy_batch=True),
         ["lang"], merge, 0, sort=False))
     return t.sort_by([("lang", "ascending"), ("bucket_lo", "ascending")])
+
+
+def value_time_correlation(sf_dir: str) -> pa.Table:
+    """Grouped PEARSON CORRELATION via mergeable cross-moment sums — per
+    event_type, corr(value, second-of-day): the drift/seasonality probe
+    an event pipeline runs per segment. Combiner shape: each block emits
+    one (type, n, Σx, Σy, Σxy, Σx², Σy²) row per type it saw, one
+    group-count-sized exchange merges them, the driver finishes the
+    closed form r = (nΣxy − ΣxΣy) / sqrt((nΣx²−Σx²)(nΣy²−Σy²)).
+    Same cancellation caveat as lang_char_moments (x is bounded in
+    [0, 86400) so the direct sums are well-conditioned here; shift by a
+    per-block pivot for unbounded x at 100 TB). Returns
+    (event_type, n_events, corr_value_tod) rounded to 4."""
+    import ray as _ray
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = _ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_type", "ts", "value"])
+    DAY_US = 86_400_000_000
+    COLS = ("n", "sx", "sy", "sxy", "sxx", "syy")
+    _EMPTY = pa.table({"event_type": pa.array([], pa.string()),
+                       **{c: pa.array([], pa.float64()) for c in COLS}})
+
+    def _sum_by_type(et: pa.ChunkedArray, vals: "dict[str, np.ndarray]"):
+        enc = et.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        return pa.table({
+            "event_type": enc.take(pa.array(order[starts])).cast(pa.string()),
+            **{c: pa.array(np.add.reduceat(vals[c][order], starts),
+                           pa.float64()) for c in COLS},
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts % DAY_US).astype(np.float64) / 1e6
+        y = b.column("value").to_numpy(zero_copy_only=False)
+        return _sum_by_type(b.column("event_type"), {
+            "n": np.ones(b.num_rows, np.float64), "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y})
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        return _sum_by_type(b.column("event_type"), {
+            c: b.column(c).to_numpy(zero_copy_only=False) for c in COLS})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    t = collect_table(hash_group_apply(partials, ["event_type"], merge, 0,
+                                       sort=False))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "corr_value_tod": pa.array([], pa.float64())})
+    v = {c: t.column(c).to_numpy(zero_copy_only=False) for c in COLS}
+    num = v["n"] * v["sxy"] - v["sx"] * v["sy"]
+    den = np.sqrt(np.maximum(v["n"] * v["sxx"] - v["sx"] ** 2, 0.0)
+                  * np.maximum(v["n"] * v["syy"] - v["sy"] ** 2, 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.where(den > 0, num / den, np.nan)
+    out = pa.table({
+        "event_type": t.column("event_type"),
+        "n_events": pa.array(v["n"].astype(np.int64), pa.int64()),
+        "corr_value_tod": pa.array(np.round(r, 4), pa.float64()),
+    })
+    return out.sort_by([("event_type", "ascending")])

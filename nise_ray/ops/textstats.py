@@ -756,3 +756,39 @@ def bigram_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
     return ds.map_batches(bigram_repetition_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def token_entropy(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the diversity counterpart of the repetition signals (a doc of one
+    repeated token scores 0; uniform-over-V scores ln V). Computed as
+    H = ln(n) - (sum c*ln c)/n over the per-(doc, token) counts, one
+    stateless vectorized pass (shared tokenize kernel + one reduceat),
+    no shuffle. Zero-token docs emit (0, 0.0). Rounded for the same
+    cross-engine sum-order reason as unigram_logprob."""
+    from nise_ray.ops.groupapply import segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        n_tok = np.zeros(n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.float64)
+        rows, _, tf, _ = _doc_token_counts(b)
+        if len(rows):
+            starts, _ = segments(rows)
+            docs = rows[starts]
+            n_tok[docs] = np.add.reduceat(tf, starts)
+            tff = tf.astype(np.float64)
+            clnc = np.add.reduceat(tff * np.log(tff), starts)
+            nt = n_tok[docs].astype(np.float64)
+            h[docs] = np.round(np.log(nt) - clnc / nt, round_to)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "entropy": pa.array(h, pa.float64()),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -460,3 +460,49 @@ def test_funnel_counts_matches_python(ray_session):
     ns = got.column("n_users").to_pylist()
     assert all(a >= b for a, b in zip(ns, ns[1:]))
     assert counts[0] > 0
+
+
+def test_token_entropy_matches_python(ray_session):
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.textstats import token_entropy
+    got = token_entropy(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet")
+    tok_re = re.compile(r"[A-Za-z0-9_]+")
+    for i, txt in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        toks = tok_re.findall(txt)
+        assert got.loc[i, "n_tokens"] == len(toks)
+        if not toks:
+            assert got.loc[i, "entropy"] == 0.0
+            continue
+        n = len(toks)
+        h = math.log(n) - sum(c * math.log(c)
+                              for c in Counter(toks).values()) / n
+        assert abs(got.loc[i, "entropy"] - round(h, 4)) < 1e-9
+        assert got.loc[i, "entropy"] >= 0.0
+
+
+def test_value_time_correlation_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import value_time_correlation
+    got = value_time_correlation(SF)
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "ts", "value"])
+    et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    x = (ts % 86_400_000_000).astype(np.float64) / 1e6
+    y = t.column("value").to_numpy(zero_copy_only=False)
+    for typ, n, r in zip(got.column("event_type").to_pylist(),
+                         got.column("n_events").to_pylist(),
+                         got.column("corr_value_tod").to_pylist()):
+        m = et == typ
+        assert n == int(m.sum())
+        expect = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(r - expect) < 2e-4  # engine rounds to 4
+        assert -1.0 <= r <= 1.0
