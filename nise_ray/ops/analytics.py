@@ -585,7 +585,9 @@ def value_time_correlation(sf_dir: str) -> pa.Table:
     ds = _ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                 columns=["event_type", "ts", "value"])
     DAY_US = 86_400_000_000
-    COLS = ("n", "sx", "sy", "sxy", "sxx", "syy")
+    # ne = count(*) rows; n..syy accumulate only NULL-free (x, y) pairs,
+    # matching SQL corr()'s NULL-pair skipping while n_events stays count(*)
+    COLS = ("ne", "n", "sx", "sy", "sxy", "sxx", "syy")
     _EMPTY = pa.table({"event_type": pa.array([], pa.string()),
                        **{c: pa.array([], pa.float64()) for c in COLS}})
 
@@ -604,11 +606,19 @@ def value_time_correlation(sf_dir: str) -> pa.Table:
         if b.num_rows == 0:
             return _EMPTY
         ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        x = (ts % DAY_US).astype(np.float64) / 1e6
-        y = b.column("value").to_numpy(zero_copy_only=False)
+        # np.fmod = sign-of-dividend remainder, matching SQL's % on
+        # BIGINT for pre-epoch (negative) timestamps; numpy's % is
+        # floored and would silently diverge from the oracle there
+        x = np.fmod(ts, DAY_US).astype(np.float64) / 1e6
+        y = b.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        valid = ~np.isnan(y)  # corr() skips NULL pairs; count(*) doesn't
+        xv = np.where(valid, x, 0.0)
+        yv = np.where(valid, y, 0.0)
         return _sum_by_type(b.column("event_type"), {
-            "n": np.ones(b.num_rows, np.float64), "sx": x, "sy": y,
-            "sxy": x * y, "sxx": x * x, "syy": y * y})
+            "ne": np.ones(b.num_rows, np.float64),
+            "n": valid.astype(np.float64), "sx": xv, "sy": yv,
+            "sxy": xv * yv, "sxx": xv * xv, "syy": yv * yv})
 
     def merge(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -632,7 +642,7 @@ def value_time_correlation(sf_dir: str) -> pa.Table:
         r = np.where(den > 0, num / den, np.nan)
     out = pa.table({
         "event_type": t.column("event_type"),
-        "n_events": pa.array(v["n"].astype(np.int64), pa.int64()),
+        "n_events": pa.array(v["ne"].astype(np.int64), pa.int64()),
         "corr_value_tod": pa.array(np.round(r, 4), pa.float64()),
     })
     return out.sort_by([("event_type", "ascending")])

@@ -460,7 +460,8 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.35,
         })
 
     out = collect_table(labeled.map_batches(to_int64,
-                                            batch_format="pyarrow"))
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True))
     return out.sort_by("vec_id")
 
 

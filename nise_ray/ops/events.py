@@ -871,11 +871,13 @@ def funnel_counts(sf_dir: str,
         et = batch.column("event_type").combine_chunks().take(
             pa.array(order)).to_numpy(zero_copy_only=False)
         starts, counts = segments(uid)
-        # prev[i] = ts at which row i's user completed the previous step
-        prev = np.full(len(uid), -1, dtype=np.int64)  # step 0: no bound
+        # prev[i] = ts at which row i's user completed the previous step;
+        # step 1 has NO lower bound (matching the oracle's unbounded
+        # min(ts)) — a sentinel like -1 would wrongly drop pre-epoch ts
+        prev = np.zeros(len(uid), dtype=np.int64)
         ns = np.zeros(len(steps), dtype=np.int64)
         for k, etype in enumerate(steps):
-            mask = (et == etype) & (ts > prev)
+            mask = (et == etype) if k == 0 else (et == etype) & (ts > prev)
             cur = np.minimum.reduceat(np.where(mask, ts, i64max), starts)
             reached = cur != i64max
             ns[k] = int(reached.sum())
@@ -968,13 +970,19 @@ def user_top_event(sf_dir: str) -> "ray.data.Dataset":
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         enc = batch.column("event_type").combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        nt = np.int64(len(enc.dictionary))
-        combo = uid * nt + codes
-        uniq, cnt = np.unique(combo, return_counts=True)
+        # lexsort + run detection, NOT a uid*n_types+code packed key —
+        # packing overflows int64 silently for snowflake-scale user ids
+        # (the repo rule: any packed integer key needs an overflow guard)
+        order = np.lexsort((codes, uid))
+        su, sc = uid[order], codes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (sc[1:] != sc[:-1])
+        starts_p = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts_p, len(order)))
         return pa.table({
-            "user_id": pa.array(uniq // nt, pa.int64()),
+            "user_id": pa.array(su[starts_p], pa.int64()),
             "event_type": enc.dictionary.take(
-                pa.array(uniq % nt)).cast(pa.string()),
+                pa.array(sc[starts_p])).cast(pa.string()),
             "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 

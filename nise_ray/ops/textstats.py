@@ -162,6 +162,22 @@ def language_id(sf_dir: str) -> "ray.data.Dataset":
                           concurrency=default_concurrency())
 
 
+def _grouped_token_sums(batch: pa.Table, val_col: str = "n"):
+    """Per-partition merge kernel shared by every token-keyed combiner
+    (top_tokens, top_tokens_sketch, top_doc_terms df pass,
+    unigram_logprob): dictionary-encode the token, one stable argsort +
+    reduceat over codes. Returns (tokens pa.Array, sums np.ndarray) —
+    callers add their own trimming (top-k, sentinel handling)."""
+    from nise_ray.ops.groupapply import segments
+    tok = batch.column("token").combine_chunks().dictionary_encode()
+    codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = batch.column(val_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    starts, _ = segments(codes[order])
+    toks = tok.dictionary.take(pa.array(codes[order][starts]))
+    return toks, np.add.reduceat(vals[order], starts)
+
+
 def _doc_token_counts(b: pa.Table):
     """(row-local doc index, token code, count) + the batch vocab — the
     uniqued variant of _doc_token_stream (one np.unique over
@@ -261,16 +277,9 @@ def top_doc_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     def df_merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        enc = batch.column("token").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dfv = batch.column("df").to_numpy(zero_copy_only=False)
-        order = np.argsort(codes, kind="stable")
-        starts, _ = segments(codes[order])
-        return pa.table({
-            "token": enc.dictionary.take(
-                pa.array(codes[order][starts])).cast(pa.string()),
-            "df": pa.array(np.add.reduceat(dfv[order], starts), pa.int64()),
-        })
+        toks, sums = _grouped_token_sums(batch, "df")
+        return pa.table({"token": toks.cast(pa.string()),
+                         "df": pa.array(sums, pa.int64())})
 
     df_t = collect_table(hash_group_apply(
         ds.map_batches(df_partial, batch_format="pyarrow",
@@ -353,20 +362,12 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
                               zero_copy_batch=True)
 
     def merge(batch: pa.Table) -> pa.Table:
-        # Arrow-native per-partition merge: dictionary-encode the token,
-        # one argsort + reduceat over codes (same segments kernel as every
-        # other aggregate — no pandas conversion), then a local pre-top-k
-        # so only k rows per partition reach the driver.
+        # Arrow-native per-partition merge (shared _grouped_token_sums
+        # kernel — no pandas conversion), then a local pre-top-k so only
+        # k rows per partition reach the driver.
         if batch.num_rows == 0:
             return batch
-        from nise_ray.ops.groupapply import segments
-        tok = batch.column("token").combine_chunks().dictionary_encode()
-        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = batch.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(codes, kind="stable")
-        starts, _ = segments(codes[order])
-        sums = np.add.reduceat(ns[order], starts)
-        toks = tok.dictionary.take(pa.array(codes[order][starts]))
+        toks, sums = _grouped_token_sums(batch, "n")
         if len(sums) > k:
             toks_np = toks.to_numpy(zero_copy_only=False)
             keep = np.lexsort((toks_np, -sums))[:k]
@@ -409,7 +410,7 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
     SQL-expressible); the exact oracled path remains the default.
     Returns (token, n_est, err_bound)."""
 
-    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.util import collect_table
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
@@ -441,13 +442,7 @@ def top_tokens_sketch(sf_dir: str, k: int = 50,
     def merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        tok = batch.column("token").combine_chunks().dictionary_encode()
-        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = batch.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(codes, kind="stable")
-        starts, _ = segments(codes[order])
-        sums = np.add.reduceat(ns[order], starts)
-        toks = tok.dictionary.take(pa.array(codes[order][starts]))
+        toks, sums = _grouped_token_sums(batch, "n")
         toks_np = toks.to_numpy(zero_copy_only=False)
         # pre-top-k per partition, but the sentinel's summed bound must
         # always survive to the driver
@@ -696,17 +691,9 @@ def unigram_logprob(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
     def count_merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        from nise_ray.ops.groupapply import segments
-        tok = batch.column("token").combine_chunks().dictionary_encode()
-        codes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        ns = batch.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(codes, kind="stable")
-        starts, _ = segments(codes[order])
-        return pa.table({
-            "token": tok.dictionary.take(
-                pa.array(codes[order][starts])).cast(pa.string()),
-            "n": pa.array(np.add.reduceat(ns[order], starts), pa.int64()),
-        })
+        toks, sums = _grouped_token_sums(batch, "n")
+        return pa.table({"token": toks.cast(pa.string()),
+                         "n": pa.array(sums, pa.int64())})
 
     freq_t = collect_table(hash_group_apply(
         ds.map_batches(count_partial, batch_format="pyarrow",
