@@ -159,6 +159,11 @@ def _q_value_time_correlation(sf_dir: str):
     return value_time_correlation(sf_dir)
 
 
+def _q_prepare_training_docs(sf_dir: str):
+    from nise_ray.ops.analytics import prepare_training_docs
+    return prepare_training_docs(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -580,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample,
         "unigram_logprob": _q_unigram_logprob,
         "token_entropy": _q_token_entropy,
+        "prepare_training_docs": _q_prepare_training_docs,
         "length_histogram": _q_length_histogram,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
@@ -984,6 +990,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
             UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
             UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        """,
+        # composed prep pipeline: quality gate -> exact dedup keep-min ->
+        # chunk explode, verified end-to-end as one SQL query
+        "prepare_training_docs": """
+            WITH q AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(text) >= 100
+                  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      * 100 >= 50 * length(text)
+            ),
+            keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+            kept AS (SELECT q.doc_id, q.text
+                     FROM q JOIN keep USING (doc_id)),
+            n AS (SELECT doc_id, text,
+                         CAST(floor((length(text)-1)/384) AS BIGINT)
+                           AS last_i
+                  FROM kept WHERE length(text) > 0)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(1 + u.i*384 AS BIGINT), 512)
+                     AS chunk_text
+            FROM n, unnest(range(0, last_i + 1)) AS u(i)
         """,
         "token_entropy": """
             WITH tok AS (

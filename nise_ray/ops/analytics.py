@@ -334,17 +334,9 @@ def lang_char_moments(sf_dir: str) -> pa.Table:
     return out.sort_by([("lang", "ascending")])
 
 
-def chunk_documents(sf_dir: str, size: int = 512,
-                    stride: int = 384) -> "ray.data.Dataset":
-    """Context-window CHUNKING — the flat-map explode every pretraining
-    pipeline runs before tokenization: each document becomes overlapping
-    character windows [i*stride, i*stride + size), i = 0 ..
-    floor((len-1)/stride), emitted as (doc_id, chunk_idx, chunk_text);
-    empty documents emit no chunks. Stateless single pass, vectorized:
-    one Arrow utf8_slice_codeunits kernel per chunk index (the loop is
-    bounded by longest-doc/stride, each iteration is whole-batch), no
-    per-row Python. Codepoint slicing matches SQL substr character
-    semantics exactly, so the DuckDB oracle hashes bit-exact."""
+def _make_chunk_batch(size: int, stride: int):
+    """Whole-batch chunk-explode kernel shared by chunk_documents and
+    prepare_training_docs — see chunk_documents for the contract."""
     import pyarrow.compute as pc
 
     if size <= 0 or stride <= 0:
@@ -377,10 +369,24 @@ def chunk_documents(sf_dir: str, size: int = 512,
             }))
         return pa.concat_tables(parts)
 
+    return chunk_batch
+
+
+def chunk_documents(sf_dir: str, size: int = 512,
+                    stride: int = 384) -> "ray.data.Dataset":
+    """Context-window CHUNKING — the flat-map explode every pretraining
+    pipeline runs before tokenization: each document becomes overlapping
+    character windows [i*stride, i*stride + size), i = 0 ..
+    floor((len-1)/stride), emitted as (doc_id, chunk_idx, chunk_text);
+    empty documents emit no chunks. Stateless single pass, vectorized:
+    one Arrow utf8_slice_codeunits kernel per chunk index (the loop is
+    bounded by longest-doc/stride, each iteration is whole-batch), no
+    per-row Python. Codepoint slicing matches SQL substr character
+    semantics exactly, so the DuckDB oracle hashes bit-exact."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(chunk_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(_make_chunk_batch(size, stride),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _greedy_pack_seq(did: np.ndarray, nch: np.ndarray,
@@ -646,3 +652,94 @@ def value_time_correlation(sf_dir: str) -> pa.Table:
         "corr_value_tod": pa.array(np.round(r, 4), pa.float64()),
     })
     return out.sort_by([("event_type", "ascending")])
+
+
+def prepare_training_docs(sf_dir: str, min_chars: int = 100,
+                          min_alpha_pct: int = 50, size: int = 512,
+                          stride: int = 384,
+                          broadcast_max: int = 50_000_000
+                          ) -> "ray.data.Dataset":
+    """COMPOSED training-corpus prep pipeline — the end-to-end flow a
+    pretraining data team actually runs, as ONE streaming Dataset plan:
+
+        quality filter  ->  exact dedup (keep min doc_id)  ->  chunking
+
+    1. quality gate: codepoint length >= min_chars AND alpha chars make
+       up >= min_alpha_pct% — both tested as INTEGER inequalities
+       (n_alpha*100 >= pct*n_chars) so the oracle comparison has no FP
+       boundary;
+    2. exact dedup over the SURVIVORS: sha256 prefix exchange (ids +
+       digests only — the text column never rides the shuffle), min
+       doc_id per digest group becomes the keep-list, applied back to
+       the filtered stream via a broadcast-gated id filter (distributed
+       semi-join past `broadcast_max`);
+    3. chunk explode (shared `_make_chunk_batch` kernel) over the kept
+       docs -> (doc_id, chunk_idx, chunk_text).
+
+    Every stage is the already-oracled primitive (quality_scores,
+    exact_dedup_docs, chunk_documents); this op verifies their
+    COMPOSITION end-to-end against one DuckDB query."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from nise_ray.ops.dedupx import _exact_group_batch, _sha_prep_batch
+    from nise_ray.ops.groupapply import hash_group_apply
+    from nise_ray.util import collect_table
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = pc.count_substring_regex(text, "[A-Za-z]") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (n_chars >= min_chars) & \
+               (n_alpha * 100 >= min_alpha_pct * n_chars)
+        return b.take(pa.array(np.flatnonzero(keep)))
+
+    def filtered() -> "_ray.data.Dataset":
+        ds = _ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id", "text"])
+        return ds.map_batches(quality_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # keep-list: min doc_id per distinct surviving text (ids only)
+    prepped = filtered().map_batches(_sha_prep_batch,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    groups = hash_group_apply(prepped, ["d0"],
+                              _exact_group_batch).materialize()
+    n_keep = groups.count()
+    if n_keep <= broadcast_max:
+        keep_t = collect_table(groups)
+        keep_ids = np.sort(keep_t.column("rep_doc_id").to_numpy(
+            zero_copy_only=False)) if keep_t.num_rows else \
+            np.empty(0, np.int64)
+        keep_ref = ray.put(keep_ids)
+
+        def keep_filter(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            keep_ids = ray.get(keep_ref)
+            if len(keep_ids) == 0:
+                return b.slice(0, 0)
+            pos = np.clip(np.searchsorted(keep_ids, ids), 0,
+                          len(keep_ids) - 1)
+            return b.take(pa.array(np.flatnonzero(keep_ids[pos] == ids)))
+
+        kept = filtered().map_batches(keep_filter, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        # distributed semi-join on doc_id (keep-list is corpus-scale:
+        # one distinct text per group survives)
+        from nise_ray.ops.relational import (_hash_shuffle_on,
+                                             _join_partitions)
+        keys = groups.map_batches(
+            lambda b: pa.table({"doc_id": b.column("rep_doc_id")}),
+            batch_format="pyarrow")
+        docs = filtered()
+        _hash_shuffle_on(docs, keys)
+        kept = docs.join(keys, join_type="inner", on=("doc_id",),
+                         num_partitions=_join_partitions())
+
+    return kept.map_batches(_make_chunk_batch(size, stride),
+                            batch_format="pyarrow", zero_copy_batch=True)

@@ -337,3 +337,50 @@ def test_length_histogram_matches_duckdb(ray_session):
     n = _con(["documents"]).execute(
         "SELECT count(*) FROM documents").fetchone()[0]
     assert got["n_docs"].sum() == n
+
+
+def test_prepare_training_docs_matches_python(ray_session):
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import prepare_training_docs
+    from nise_ray.util import collect_table
+
+    SF = "/root/testdata/sf0.001"
+    got = collect_table(prepare_training_docs(SF)).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    t = pq.read_table(f"{SF}/documents.parquet")
+    alpha = re.compile(r"[A-Za-z]")
+    seen_texts = {}
+    expect = []
+    rows = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    for did, txt in rows:
+        n = len(txt)
+        if n < 100 or len(alpha.findall(txt)) * 100 < 50 * n:
+            continue
+        if txt in seen_texts:  # exact dedup keeps the min doc_id
+            continue
+        seen_texts[txt] = did
+        for i in range((n - 1) // 384 + 1):
+            expect.append((did, i, txt[i * 384:i * 384 + 512]))
+    assert list(zip(got.column("doc_id").to_pylist(),
+                    got.column("chunk_idx").to_pylist(),
+                    got.column("chunk_text").to_pylist())) == expect
+    assert len(expect) > 0
+
+
+def test_prepare_training_docs_join_fallback_parity(ray_session):
+    """broadcast vs distributed-semi-join keep paths produce the
+    identical chunk set (broadcast_max=0 forces the join)."""
+    from nise_ray.ops.analytics import prepare_training_docs
+    from nise_ray.util import collect_table
+
+    SF = "/root/testdata/sf0.001"
+    key = [("doc_id", "ascending"), ("chunk_idx", "ascending")]
+    a = collect_table(prepare_training_docs(SF)).sort_by(key)
+    b = collect_table(prepare_training_docs(SF, broadcast_max=0)) \
+        .select(["doc_id", "chunk_idx", "chunk_text"]).sort_by(key)
+    assert a.equals(b)
