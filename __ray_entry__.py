@@ -164,6 +164,11 @@ def _q_prepare_training_docs(sf_dir: str):
     return prepare_training_docs(sf_dir)
 
 
+def _q_substring_pairs_sa(sf_dir: str):
+    from nise_ray.ops.suffixarray import substring_pairs_sa_exact
+    return substring_pairs_sa_exact(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -557,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard,
         "substring_pairs_docs": _q_substring_pairs,
         "substring_containment_docs": _q_substring_containment,
+        "substring_pairs_sa": _q_substring_pairs_sa,
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "source_overlap_pairs": _q_source_overlap,
         "decontaminate_docs": _q_decontaminate,
@@ -990,6 +996,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
             UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
             UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        """,
+        # suffix-array substring pairs: a pair shares a >=100-char run
+        # iff it shares some exact 100-gram — the gram equi-join is the
+        # SQL-expressible equivalent of the SA adjacent-LCP runs
+        "substring_pairs_sa": """
+            WITH g AS (
+                SELECT doc_id,
+                       substr(text, CAST(u.i AS BIGINT), 100) AS gram
+                FROM documents,
+                     unnest(range(1, greatest(length(text) - 99, 0) + 1))
+                       AS u(i)
+            )
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM g a JOIN g b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
         """,
         # composed prep pipeline: quality gate -> exact dedup keep-min ->
         # chunk explode, verified end-to-end as one SQL query

@@ -69,3 +69,69 @@ def test_substring_spans_cover_planted_block(ray_session):
             f"{name}: span [{start},{end}) does not cover block "
             f"[{b0},{b0 + len(block_n)})")
     assert t.column("n_shared_fps")[0].as_py() >= 2
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    from nise_ray.ops.suffixarray import suffix_array
+    rng = np.random.Generator(np.random.PCG64(11))
+    for trial in range(5):
+        n = int(rng.integers(2, 200))
+        codes = rng.integers(97, 100, n)  # small alphabet -> many repeats
+        codes = np.append(codes, 0x110000).astype(np.int64)
+        sa = suffix_array(codes)
+        ref = sorted(range(len(codes)), key=lambda i: list(codes[i:]))
+        assert list(sa) == ref
+
+
+def test_sa_block_pairs_planted_and_negative():
+    from nise_ray.ops.suffixarray import sa_block_pairs
+    block = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+    t1 = "aaa " * 30 + block + " bbb" * 10
+    t2 = "ccc " * 50 + block + " ddd" * 5
+    t3 = "unrelated text " * 20
+    t4 = "eee " * 40 + block + " fff" * 7
+    out = sa_block_pairs([t1, t2, t3, t4], np.array([10, 20, 30, 40]), 100)
+    d = out.to_pydict()
+    pairs = set(zip(d["u"], d["v"]))
+    # all three sharers pair up (run-based all-pairs, not just adjacent)
+    assert {(10, 20), (10, 40), (20, 40)} <= pairs
+    assert not any(30 in p for p in pairs)
+    texts = {10: t1, 20: t2, 40: t4}
+    for u, v, us, vs in zip(d["u"], d["v"], d["u_start"], d["v_start"]):
+        assert texts[u][us:us + 100] == texts[v][vs:vs + 100]
+    # 99 shared chars is below the guarantee
+    o2 = sa_block_pairs(["pad " * 30 + "z" * 99, "z" * 99 + " tail" * 30],
+                        np.array([1, 2]), 100)
+    assert o2.num_rows == 0
+
+
+def test_substring_pairs_sa_matches_gram_bruteforce(ray_session):
+    from nise_ray.ops.suffixarray import substring_pairs_sa_exact
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    got = substring_pairs_sa_exact(SF)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    grams = {}
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        for i in range(len(txt) - 99):
+            grams.setdefault(txt[i:i + 100], set()).add(did)
+    expect = set()
+    for docs in grams.values():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                expect.add((ds[i], ds[j]))
+    assert set(zip(got.column("u").to_pylist(),
+                   got.column("v").to_pylist())) == expect
+    assert len(expect) > 0, "fixture has no substring pairs"
+
+
+def test_substring_pairs_sa_scale_gate(ray_session):
+    import pytest
+
+    from nise_ray.ops.suffixarray import substring_pairs_sa_exact
+    with pytest.raises(ValueError, match="max_docs"):
+        substring_pairs_sa_exact("/root/testdata/sf0.001", max_docs=10)
