@@ -482,6 +482,36 @@ def _q_event_interarrival(sf_dir: str):
     return event_interarrival(sf_dir)
 
 
+def _q_volume_shipping(sf_dir: str):
+    from nise_ray.ops.relational2 import volume_shipping
+    return volume_shipping(sf_dir)
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    from nise_ray.ops.relational2 import customer_order_distribution
+    return customer_order_distribution(sf_dir)
+
+
+def _q_disjunctive_filter_revenue(sf_dir: str):
+    from nise_ray.ops.relational2 import disjunctive_filter_revenue
+    return disjunctive_filter_revenue(sf_dir)
+
+
+def _q_value_rank_windows(sf_dir: str):
+    from nise_ray.ops.events import value_rank_windows
+    return value_rank_windows(sf_dir)
+
+
+def _q_monthly_revenue(sf_dir: str):
+    from nise_ray.ops.relational2 import monthly_revenue
+    return monthly_revenue(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from nise_ray.ops.events import event_transitions
+    return event_transitions(sf_dir)
+
+
 def _q_promo_revenue_share(sf_dir: str):
     from nise_ray.ops.relational import promo_revenue_share
     return promo_revenue_share(sf_dir)
@@ -626,7 +656,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": _q_local_supplier_revenue,
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue_share": _q_promo_revenue_share,
+        "volume_shipping": _q_volume_shipping,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "disjunctive_filter_revenue": _q_disjunctive_filter_revenue,
         "event_interarrival": _q_event_interarrival,
+        "value_rank_windows": _q_value_rank_windows,
+        "monthly_revenue": _q_monthly_revenue,
+        "event_transitions": _q_event_transitions,
         "funnel_counts": _q_funnel_counts,
         "user_event_paths": _q_user_event_paths,
         "user_top_event": _q_user_top_event,
@@ -1336,6 +1372,75 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              WHERE s_suppkey = l_suppkey
+                AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey) cc
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "disjunctive_filter_revenue": """
+            SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)),
+                                  2), 0.0) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "value_rank_windows": """
+            SELECT user_id, event_id, value,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        """,
+        "monthly_revenue": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "event_interarrival": """
             SELECT user_id, event_id, ts,

@@ -1018,3 +1018,138 @@ def user_top_event(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(pre, ["user_id"], pick_mode, 0, sort=False)
+
+
+def value_rank_windows(sf_dir: str) -> "ray.data.Dataset":
+    """RANK-FAMILY window functions in one pass: rank(), dense_rank(),
+    percent_rank() and cume_dist() per user over value — the tie-aware
+    quartet (row_number/NTILE/LAG live in the sibling ops). Ties share
+    rank and cume_dist exactly as ANSI SQL defines them, which is what
+    separates this kernel from user_value_quartiles' tie-broken order.
+
+    One hash exchange on user_id, then a single vectorized sweep per
+    block: lexsort by (user, value, event_id), value-run boundaries via
+    one shifted compare, rank = run-start position within the user
+    segment, cume_dist = run-end position, dense rank = run ordinal
+    minus the segment's first run ordinal. percent_rank/cume_dist are
+    ratios of exact small integers, so they reproduce bit-identically
+    across engines (no rounding needed). Output is events-sized and
+    streams: (user_id, event_id, value, rnk, dense_rnk, pct_rank,
+    cume_dist)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "value"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "rnk": pa.array([], pa.int64()),
+                "dense_rnk": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+                "cume_dist": pa.array([], pa.float64()),
+            })
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, val, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        n = len(uid)
+        seg_starts, seg_counts = segments(uid)
+        segstart = np.repeat(seg_starts, seg_counts)
+        m = np.repeat(seg_counts, seg_counts)        # user partition size
+        pos = np.arange(n, dtype=np.int64) - segstart  # 0-based in user
+        # value runs never span users: a uid change forces a new run
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (uid[1:] != uid[:-1]) | (val[1:] != val[:-1])
+        runidx = np.cumsum(newrun) - 1               # global run ordinal
+        run_starts = np.flatnonzero(newrun)
+        run_first_pos = pos[run_starts]              # run start, user-rel
+        run_last_pos = pos[np.append(run_starts[1:], n) - 1]
+        rnk = run_first_pos[runidx] + 1
+        cnt_le = run_last_pos[runidx] + 1
+        dense = runidx - np.repeat(runidx[seg_starts], seg_counts) + 1
+        pct = np.where(m > 1, (rnk - 1) / np.maximum(m - 1, 1), 0.0)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "value": pa.array(val, pa.float64()),
+            "rnk": pa.array(rnk, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume_dist": pa.array(cnt_le / m, pa.float64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], ranks, 0, sort=False)
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """First-order MARKOV TRANSITION COUNTS over per-user event
+    sequences: for every consecutive event pair (ordered by ts,
+    event_id within a user), count (prev_type -> next_type) across the
+    corpus — the transition matrix a sequence model or anomaly detector
+    estimates before training. Returns (prev_type, next_type, n).
+
+    Scale shape: the one user_id exchange every per-user operator pays,
+    then a vectorized per-block sweep (lexsort + shifted compare, the
+    same kernel family as event_interarrival's LAG) that emits at most
+    |type-vocab|^2 partial rows per block; the driver merges a tiny
+    (pairs x blocks) table. No per-row Python anywhere."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = pa.table({"pair": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = batch.column("event_type").combine_chunks() \
+            .take(pa.array(order)).dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = et.dictionary
+        V = len(vocab)
+        if len(uid) < 2 or V == 0:
+            return empty
+        # row i pairs with its predecessor unless it starts a new user
+        same_user = uid[1:] == uid[:-1]
+        prev = codes[:-1][same_user]
+        nxt = codes[1:][same_user]
+        if len(prev) == 0:
+            return empty
+        key = prev * V + nxt
+        u, c = np.unique(key, return_counts=True)
+        # join prev/next type strings with \x01 (never in a type name)
+        # so the driver merge reuses the single-string-key kernel
+        pv = vocab.take(pa.array(u // V)).cast(pa.string())
+        nv = vocab.take(pa.array(u % V)).cast(pa.string())
+        pair = pc.binary_join_element_wise(pv, nv, "\x01")
+        return pa.table({"pair": pair, "n": pa.array(c, pa.int64())})
+
+    partials = collect_table(hash_group_apply(ds, ["user_id"],
+                                              pair_partial, 0, sort=False))
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.relational import _merge_grouped_partials
+    merged = _merge_grouped_partials(partials, "pair", {"n": pa.int64()})
+    split = pc.split_pattern(merged.column("pair"), "\x01")
+    prev_t = pc.list_element(split, 0)
+    next_t = pc.list_element(split, 1)
+    out = pa.table({"prev_type": prev_t.combine_chunks(),
+                    "next_type": next_t.combine_chunks(),
+                    "n": merged.column("n")})
+    return out.sort_by([("prev_type", "ascending"),
+                        ("next_type", "ascending")])

@@ -1,0 +1,513 @@
+"""Second batch of relational showcase ops (round 4): nation-pair
+conditional join (TPC-H Q7 shape), left-outer two-level aggregation
+(Q13 shape), and a disjunctive-predicate dimension join (Q19 shape).
+
+Same scale contracts as ops/relational.py: dimension sides broadcast
+under an explicit gate with a distributed hash-join fallback, fact
+scans push predicates into the parquet read, aggregates are per-block
+combiners whose partials are group-count-sized, and empty filtered
+sides get anchor sentinels so the hash-join aggregator can always
+infer a schema (see relational._anchor_sentinel)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.util import collect_table
+from nise_ray.ops.relational import (_anchor_sentinel, _hash_shuffle_on,
+                                     _join_partitions, _sorted_lookup)
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                    nation_b: str = "NATION_7",
+                    date_lo: str = "1996-01-01", date_hi: str = "1998-01-01",
+                    broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q7-shaped NATION-PAIR conditional join: lineitem revenue
+    shipped between two specific nations (either direction), split by
+    (supplier nation, customer nation, ship year). The disjunctive
+    nation-pair predicate ((a,b) OR (b,a)) cannot be pushed into either
+    single-table scan — it only resolves after both sides' nation keys
+    meet, which is what makes this join shape distinct from the Q5
+    chain (local_supplier_revenue, same-nation equality).
+
+    Plan: nation resolves on the driver (2 keys); customer is filtered
+    to the two nations by a broadcast membership map (no exchange);
+    orders ⋈ customer is the first distributed exchange; lineitem has
+    the ship-date window pushed into the read and the supplier nation
+    attached via the scale-gated broadcast (distributed hash join above
+    the gate); the second exchange joins on orderkey, the pair
+    predicate filters vectorized, and revenue partial-aggregates per
+    (supp_nation, cust_nation, year) inside each block — at most
+    2 x n_years rows per block reach the driver merge. Returns
+    (supp_nation, cust_nation, l_year, revenue) sorted."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import segments
+
+    nation_t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    names = np.array(nation_t.column("n_name").to_pylist(), dtype=object)
+    keys = nation_t.column("n_nationkey").to_numpy(zero_copy_only=False)
+    ka = keys[names == nation_a]
+    kb = keys[names == nation_b]
+    if len(ka) != 1 or len(kb) != 1 or nation_a == nation_b:
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64())})
+    ka, kb = int(ka[0]), int(kb[0])
+
+    # customer -> (c_custkey, c_nationkey) restricted to the two nations;
+    # 2-key broadcast membership, never a shuffle
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def pair_cust(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = (nk == ka) | (nk == kb)
+        return pa.table({
+            "c_custkey": b.column("c_custkey").filter(pa.array(keep)),
+            "c_nationkey": pa.array(nk[keep].astype(np.int64), pa.int64()),
+        })
+
+    pair_cust.__name__ = "PairNationCust"
+    cust_f = cust.map_batches(pair_cust, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # paired sentinels keep every join side schema-inferable even when a
+    # filter empties it; the fabricated (-1,-1) row dies on the nation-
+    # pair predicate (sentinel nationkeys are -1, never in {ka, kb})
+    cust_f = _anchor_sentinel(cust_f, {"c_custkey": (pa.int64(), -1),
+                                       "c_nationkey": (pa.int64(), -1)})
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    orders = _anchor_sentinel(orders, {"o_orderkey": (pa.int64(), -1),
+                                       "o_custkey": (pa.int64(), -1)})
+    _hash_shuffle_on(orders, cust_f)
+    ordcust = orders.join(cust_f, join_type="inner",
+                          num_partitions=_join_partitions(),
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+    lo = np.datetime64(date_lo, "us").astype("datetime64[us]").item()
+    hi = np.datetime64(date_hi, "us").astype("datetime64[us]").item()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi))
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"])
+
+    def li_project(b: pa.Table, snat: np.ndarray,
+                   keep: np.ndarray) -> pa.Table:
+        """Common tail of both supplier-attach paths: keep the two
+        nations' suppliers, derive ship year + revenue."""
+        ts = b.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        year = (ts.astype("datetime64[us]").astype("datetime64[Y]")
+                .astype(np.int64) + 1970)
+        price = b.column("l_extendedprice") \
+            .to_numpy(zero_copy_only=False)[keep]
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").filter(pa.array(keep)),
+            "s_nationkey": pa.array(snat[keep], pa.int64()),
+            "l_year": pa.array(year, pa.int64()),
+            "rev": pa.array(price * (1.0 - disc), pa.float64()),
+        })
+
+    if supp.count() <= broadcast_max:
+        st = collect_table(supp)
+        sk = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+        sn = st.column("s_nationkey").to_numpy(zero_copy_only=False)
+        so = np.argsort(sk)
+        supp_ref = ray.put((sk[so], sn[so].astype(np.int64)))
+
+        def attach_supp(b: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos, hit = _sorted_lookup(sk, lsk)
+            if len(sk) and not hit.all():
+                raise AssertionError("l_suppkey missing from supplier table")
+            snat = sn[pos] if len(sk) else np.full(len(lsk), -1, np.int64)
+            keep = (snat == ka) | (snat == kb)
+            return li_project(b, snat, keep)
+
+        attach_supp.__name__ = "AttachPairSupplier"
+        li_s = li.map_batches(attach_supp, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    else:
+        # supplier above the gate: distributed hash join on suppkey
+        _hash_shuffle_on(li, supp)
+        li_j = li.join(supp, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def pair_filter(b: pa.Table) -> pa.Table:
+            snat = b.column("s_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = (snat == ka) | (snat == kb)
+            return li_project(b, snat, keep)
+
+        pair_filter.__name__ = "PairSupplierFilter"
+        li_s = li_j.map_batches(pair_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    li_s = _anchor_sentinel(li_s, {"l_orderkey": (pa.int64(), -1),
+                                   "s_nationkey": (pa.int64(), -1),
+                                   "l_year": (pa.int64(), 0),
+                                   "rev": (pa.float64(), 0.0)})
+    _hash_shuffle_on(li_s, ordcust)
+    joined = li_s.join(ordcust, join_type="inner",
+                       num_partitions=_join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        snat = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cnat = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = ((snat == ka) & (cnat == kb)) | ((snat == kb) & (cnat == ka))
+        if not keep.any():
+            return empty
+        year = b.column("l_year").to_numpy(zero_copy_only=False)[keep]
+        rev = b.column("rev").to_numpy(zero_copy_only=False)[keep]
+        # composite key: direction bit (supp==ka) + year; years fit well
+        # under 2**32 so the packing cannot collide
+        k = (snat[keep] == ka).astype(np.int64) * (1 << 32) + year
+        order = np.argsort(k, kind="stable")
+        starts, _ = segments(k[order])
+        return pa.table({
+            "k": pa.array(k[order][starts], pa.int64()),
+            "revenue": pa.array(np.add.reduceat(rev[order], starts),
+                                pa.float64()),
+        })
+
+    pair_partial.__name__ = "NationPairPartial"
+    partials = collect_table(joined.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64())})
+    k = partials.column("k").to_numpy(zero_copy_only=False)
+    r = partials.column("revenue").to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    starts, _ = segments(k[order])
+    ku = k[order][starts]
+    rev = np.round(np.add.reduceat(r[order], starts), 2)
+    s_is_a = (ku >> 32).astype(bool)
+    years = ku & ((1 << 32) - 1)
+    supp_n = np.where(s_is_a, nation_a, nation_b)
+    cust_n = np.where(s_is_a, nation_b, nation_a)
+    out = pa.table({
+        "supp_nation": pa.array(supp_n, pa.string()),
+        "cust_nation": pa.array(cust_n, pa.string()),
+        "l_year": pa.array(years, pa.int64()),
+        "revenue": pa.array(rev, pa.float64()),
+    })
+    return out.sort_by([("supp_nation", "ascending"),
+                        ("cust_nation", "ascending"),
+                        ("l_year", "ascending")])
+
+
+def customer_order_distribution(sf_dir: str,
+                                broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q13-shaped LEFT OUTER two-level aggregation: how many
+    customers placed exactly k orders, INCLUDING k = 0 — the classic
+    distribution query whose zero bucket forces outer-join semantics.
+
+    Scale shape: orders shrink to per-custkey counts with a per-block
+    combiner + ONE custkey-bounded hash exchange (never orders-sized
+    rows past the combiner); the left-outer join never materializes —
+    counts for custkeys absent from customer are dropped by a
+    broadcast-gated membership filter (distributed inner join on the
+    already-distinct keys above the gate), and the zero bucket is
+    |customer| (parquet metadata count) minus the number of matched
+    custkeys. The final histogram is max-orders-per-customer-sized.
+    Returns (c_count, custdist) sorted by custdist DESC, c_count DESC."""
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    def count_merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        starts, _ = segments(ck[order])
+        return pa.table({
+            "o_custkey": pa.array(ck[order][starts], pa.int64()),
+            "n": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+        })
+
+    per_cust = hash_group_apply(orders.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], count_merge, 0, sort=False)
+
+    cust_meta = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey"])
+    n_customers = cust_meta.count()  # parquet metadata, no scan
+
+    if n_customers <= broadcast_max:
+        ckeys = np.sort(collect_table(cust_meta).column("c_custkey")
+                        .to_numpy(zero_copy_only=False))
+        ck_ref = ray.put(ckeys)
+
+        class InCustomer:
+            def __init__(self) -> None:
+                self.keys = ray.get(ck_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+                _, hit = _sorted_lookup(self.keys, ck)
+                return b.filter(pa.array(hit))
+
+        matched = per_cust.map_batches(InCustomer, batch_format="pyarrow",
+                                       zero_copy_batch=True,
+                                       concurrency=default_concurrency())
+    else:
+        per_cust = _anchor_sentinel(per_cust, {"o_custkey": (pa.int64(), -2),
+                                               "n": (pa.int64(), 0)})
+        cust_j = _anchor_sentinel(cust_meta, {"c_custkey": (pa.int64(), -1)})
+        _hash_shuffle_on(per_cust, cust_j)
+        matched = per_cust.join(cust_j, join_type="inner",
+                                num_partitions=_join_partitions(),
+                                on=("o_custkey",), right_on=("c_custkey",))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_count": pa.array([], pa.int64()),
+                             "custdist": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(u, pa.int64()),
+                         "custdist": pa.array(c, pa.int64()),
+                         "n_matched": pa.array(c, pa.int64())})
+
+    partials = collect_table(matched.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows:
+        cc = partials.column("c_count").to_numpy(zero_copy_only=False)
+        cd = partials.column("custdist").to_numpy(zero_copy_only=False)
+        order = np.argsort(cc, kind="stable")
+        from nise_ray.ops.groupapply import segments as _segs
+        starts, _ = _segs(cc[order])
+        counts = cc[order][starts]
+        dist = np.add.reduceat(cd[order], starts)
+        n_matched = int(dist.sum())
+    else:
+        counts = np.empty(0, dtype=np.int64)
+        dist = np.empty(0, dtype=np.int64)
+        n_matched = 0
+    n_zero = n_customers - n_matched
+    if n_zero > 0:
+        counts = np.append(counts, 0)
+        dist = np.append(dist, n_zero)
+    order = np.lexsort((-counts, -dist))
+    return pa.table({
+        "c_count": pa.array(counts[order], pa.int64()),
+        "custdist": pa.array(dist[order], pa.int64()),
+    })
+
+
+_Q19_CLAUSES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — OR of conjunctions
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#15", 1, 15, 20.0, 30.0),
+)
+
+
+def disjunctive_filter_revenue(
+        sf_dir: str,
+        clauses: "tuple[tuple[str, int, int, float, float], ...]"
+        = _Q19_CLAUSES,
+        broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q19-shaped DISJUNCTIVE residual predicate join: revenue
+    from lineitems whose part satisfies any of several
+    (brand, size-range, quantity-range) conjunctions. The predicate
+    spans both tables (quantity is a fact column, brand/size are
+    dimension columns), so it cannot be pushed into either scan — it
+    evaluates vectorized AFTER the join attach, which is the shape
+    that distinguishes it from the pushed-down-window joins.
+
+    part broadcasts under the gate as three sorted parallel arrays
+    (partkey, clause-brand index, size) — the brand strings are mapped
+    to clause indices ONCE on the driver so the per-batch predicate is
+    pure integer/float compare, no string ops in the hot loop; above
+    the gate it is a distributed hash join on partkey followed by the
+    same vectorized predicate. Returns one row
+    (revenue, n_lineitems)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_brand", "p_size"])
+    brand_idx = {c[0]: i for i, c in enumerate(clauses)}
+    size_lo = np.array([c[1] for c in clauses], dtype=np.int64)
+    size_hi = np.array([c[2] for c in clauses], dtype=np.int64)
+    qty_lo = np.array([c[3] for c in clauses], dtype=np.float64)
+    qty_hi = np.array([c[4] for c in clauses], dtype=np.float64)
+
+    def eval_pred(bidx: np.ndarray, size: np.ndarray,
+                  qty: np.ndarray) -> np.ndarray:
+        """Vectorized OR-of-conjunctions: bidx = clause index of the
+        row's brand (-1 = no clause names it, row cannot match)."""
+        hit = bidx >= 0
+        ci = np.where(hit, bidx, 0)
+        return (hit & (size >= size_lo[ci]) & (size <= size_hi[ci])
+                & (qty >= qty_lo[ci]) & (qty <= qty_hi[ci]))
+
+    def rev_partial(keep: np.ndarray, price: np.ndarray,
+                    disc: np.ndarray) -> pa.Table:
+        rev = (price * (1.0 - disc))[keep]
+        return pa.table({
+            "revenue": pa.array([float(rev.sum())], pa.float64()),
+            "n_lineitems": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    if part.count() <= broadcast_max:
+        pt = collect_table(part)
+        pk = pt.column("p_partkey").to_numpy(zero_copy_only=False)
+        brands = pt.column("p_brand").to_pylist()
+        bidx = np.array([brand_idx.get(x, -1) for x in brands],
+                        dtype=np.int64)
+        psize = pt.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(pk)
+        ref = ray.put((pk[order], bidx[order], psize[order]))
+
+        def attach_eval(b: pa.Table) -> pa.Table:
+            keys, bi, sz = ray.get(ref)
+            lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos, hit = _sorted_lookup(keys, lpk)
+            if len(keys) and not hit.all():
+                raise AssertionError("l_partkey missing from part table")
+            qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+            keep = eval_pred(bi[pos], sz[pos], qty) if len(keys) else \
+                np.zeros(len(lpk), dtype=bool)
+            return rev_partial(
+                keep, b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+                b.column("l_discount").to_numpy(zero_copy_only=False))
+
+        attach_eval.__name__ = "DisjunctivePredicate"
+        partials = collect_table(li.map_batches(
+            attach_eval, batch_format="pyarrow", zero_copy_batch=True))
+    else:
+        def part_project(b: pa.Table) -> pa.Table:
+            brands = b.column("p_brand").to_pylist()
+            return pa.table({
+                "p_partkey": b.column("p_partkey"),
+                "bidx": pa.array([brand_idx.get(x, -1) for x in brands],
+                                 pa.int64()),
+                "p_size": b.column("p_size").cast(pa.int64()),
+            })
+
+        part_f = part.map_batches(part_project, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        _hash_shuffle_on(li, part_f)
+        joined = li.join(part_f, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_partkey",), right_on=("p_partkey",))
+
+        def eval_joined(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"revenue": pa.array([0.0], pa.float64()),
+                                 "n_lineitems": pa.array([0], pa.int64())})
+            keep = eval_pred(
+                b.column("bidx").to_numpy(zero_copy_only=False),
+                b.column("p_size").to_numpy(zero_copy_only=False),
+                b.column("l_quantity").to_numpy(zero_copy_only=False))
+            return rev_partial(
+                keep, b.column("l_extendedprice").to_numpy(zero_copy_only=False),
+                b.column("l_discount").to_numpy(zero_copy_only=False))
+
+        eval_joined.__name__ = "DisjunctivePredicate"
+        partials = collect_table(joined.map_batches(
+            eval_joined, batch_format="pyarrow", zero_copy_batch=True))
+
+    rev = float(np.sum(partials.column("revenue")
+                       .to_numpy(zero_copy_only=False))) \
+        if partials.num_rows else 0.0
+    n = int(np.sum(partials.column("n_lineitems")
+                   .to_numpy(zero_copy_only=False))) \
+        if partials.num_rows else 0
+    return pa.table({
+        "revenue": pa.array([round(rev, 2)], pa.float64()),
+        "n_lineitems": pa.array([n], pa.int64()),
+    })
+
+
+def monthly_revenue(sf_dir: str) -> pa.Table:
+    """Time-bucketed trend aggregate: orders rolled up to calendar
+    months — (month, n_orders, revenue). The date_trunc group key is
+    derived vectorized (int64 microseconds -> datetime64[M]) inside a
+    per-block combiner; partials are months-count-sized (tens of rows
+    per block at any corpus size), so the whole query is ONE streaming
+    pass with a driver merge — no exchange at all, the cheapest shape
+    a calendar-trend query can have."""
+    from nise_ray.ops.groupapply import segments
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        ts = b.column("o_orderdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        month = ts.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype("datetime64[us]").astype(np.int64)
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.argsort(month, kind="stable")
+        starts, counts = segments(month[order])
+        return pa.table({
+            "m": pa.array(month[order][starts], pa.int64()),
+            "n_orders": pa.array(counts, pa.int64()),
+            "revenue": pa.array(np.add.reduceat(price[order], starts),
+                                pa.float64()),
+        })
+
+    partials = collect_table(orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"month": pa.array([], pa.timestamp("us")),
+                         "n_orders": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64())})
+    from nise_ray.ops.groupapply import segments as _segs
+    m = partials.column("m").to_numpy(zero_copy_only=False)
+    order = np.argsort(m, kind="stable")
+    starts, _ = _segs(m[order])
+    n = np.add.reduceat(partials.column("n_orders")
+                        .to_numpy(zero_copy_only=False)[order], starts)
+    rev = np.add.reduceat(partials.column("revenue")
+                          .to_numpy(zero_copy_only=False)[order], starts)
+    return pa.table({
+        "month": pa.array(m[order][starts], pa.int64())
+            .cast(pa.timestamp("us")),
+        "n_orders": pa.array(n, pa.int64()),
+        "revenue": pa.array(np.round(rev, 2), pa.float64()),
+    })

@@ -1,0 +1,200 @@
+"""Round-4 second relational batch vs DuckDB at sf0.001: nation-pair
+conditional join (Q7 shape), left-outer two-level custdist (Q13 shape),
+disjunctive-predicate dimension join (Q19 shape), and the rank-family
+window quartet."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+PATHS = [pytest.param(0, id="distributed"),
+         pytest.param(5_000_000, id="broadcast")]
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation",
+              "part", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_volume_shipping_matches_duckdb(ray_session, bmax):
+    from nise_ray.ops.relational2 import volume_shipping
+    got = volume_shipping(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                  OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01') s
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).fetchdf()
+    assert list(got["supp_nation"]) == list(want["supp_nation"])
+    assert list(got["cust_nation"]) == list(want["cust_nation"])
+    assert list(got["l_year"]) == list(want["l_year"])
+    assert np.allclose(got["revenue"], want["revenue"])
+
+
+def test_volume_shipping_unknown_nation(ray_session):
+    from nise_ray.ops.relational2 import volume_shipping
+    got = volume_shipping(SF, nation_a="NO_SUCH", nation_b="NATION_7")
+    assert got.num_rows == 0
+    got = volume_shipping(SF, nation_a="NATION_7", nation_b="NATION_7")
+    assert got.num_rows == 0
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_customer_order_distribution_matches_duckdb(ray_session, bmax):
+    from nise_ray.ops.relational2 import customer_order_distribution
+    got = customer_order_distribution(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) cc
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """).fetchdf()
+    assert list(got["c_count"]) == list(want["c_count"])
+    assert list(got["custdist"]) == list(want["custdist"])
+    # the zero bucket is real only if some customer has no order; either
+    # way total must equal |customer|
+    assert int(got["custdist"].sum()) == _con().execute(
+        "SELECT count(*) FROM customer").fetchone()[0]
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_disjunctive_filter_revenue_matches_duckdb(ray_session, bmax):
+    from nise_ray.ops.relational2 import disjunctive_filter_revenue
+    got = disjunctive_filter_revenue(SF, broadcast_max=bmax).to_pandas()
+    want = _con().execute("""
+        SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2),
+                        0.0) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """).fetchdf()
+    assert int(got["n_lineitems"][0]) == int(want["n_lineitems"][0])
+    assert got["n_lineitems"][0] > 0  # predicate actually selects rows
+    assert np.allclose(got["revenue"], want["revenue"])
+
+
+def test_disjunctive_filter_no_match(ray_session):
+    """A clause set no row satisfies returns the typed zero row (the
+    coalesce contract), on both paths."""
+    from nise_ray.ops.relational2 import disjunctive_filter_revenue
+    impossible = (("Brand#12", 60, 70, 1e9, 2e9),)
+    for bmax in (0, 5_000_000):
+        got = disjunctive_filter_revenue(SF, clauses=impossible,
+                                         broadcast_max=bmax)
+        assert got.column("revenue")[0].as_py() == 0.0
+        assert got.column("n_lineitems")[0].as_py() == 0
+
+
+def test_value_rank_windows_matches_duckdb(ray_session):
+    from nise_ray.util import collect_table
+    from nise_ray.ops.events import value_rank_windows
+    got = collect_table(value_rank_windows(SF)).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want = _con().execute("""
+        SELECT user_id, event_id, value,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value)
+        ORDER BY user_id, event_id
+    """).fetchdf()
+    assert len(got) == len(want)
+    for c in ["user_id", "event_id", "rnk", "dense_rnk"]:
+        assert list(got[c]) == list(want[c]), c
+    # ratios of exact small integers: bit-identical, no tolerance
+    assert (got["pct_rank"].to_numpy() == want["pct_rank"].to_numpy()).all()
+    assert (got["cume_dist"].to_numpy()
+            == want["cume_dist"].to_numpy()).all()
+
+
+def test_value_rank_windows_tie_semantics(ray_session):
+    """Planted ties: rank skips, dense_rank doesn't, cume_dist counts the
+    whole tie run — checked on a hand-computed frame."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops import events as ev
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "value": pa.array([5.0, 5.0, 7.0, 9.0, 3.0], pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = collect_sorted(ev.value_rank_windows(d))
+    assert got["rnk"] == [1, 1, 3, 4, 1]
+    assert got["dense_rnk"] == [1, 1, 2, 3, 1]
+    assert got["pct_rank"] == [0.0, 0.0, 2 / 3, 1.0, 0.0]
+    assert got["cume_dist"] == [0.5, 0.5, 0.75, 1.0, 1.0]
+
+
+def collect_sorted(ds):
+    from nise_ray.util import collect_table
+    t = collect_table(ds).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    return {c: list(t[c]) for c in t.columns}
+
+
+def test_monthly_revenue_matches_duckdb(ray_session):
+    from nise_ray.ops.relational2 import monthly_revenue
+    got = monthly_revenue(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute("""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1 ORDER BY 1
+    """).fetchdf()
+    assert list(got["month"]) == list(want["month"])
+    assert list(got["n_orders"]) == list(want["n_orders"])
+    assert np.allclose(got["revenue"], want["revenue"])
+
+
+def test_event_transitions_matches_duckdb(ray_session):
+    from nise_ray.ops.events import event_transitions
+    got = event_transitions(SF).to_pandas().reset_index(drop=True)
+    want = _con().execute("""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    assert list(got["prev_type"]) == list(want["prev_type"])
+    assert list(got["next_type"]) == list(want["next_type"])
+    assert list(got["n"]) == list(want["n"])
