@@ -512,6 +512,19 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def _q_doc_zscores(sf_dir: str):
+    from nise_ray.ops.analytics import doc_zscores
+    return doc_zscores(sf_dir)
+
+
+def _q_event_type_user_counts_approx(sf_dir: str):
+    """Grouped HLL count-distinct (rows-only: the estimate is hash-seed
+    dependent; the error bound vs the exact oracled operator is asserted
+    in tests/test_relational2.py)."""
+    from nise_ray.ops.events import event_type_user_counts_approx
+    return event_type_user_counts_approx(sf_dir)
+
+
 def _q_promo_revenue_share(sf_dir: str):
     from nise_ray.ops.relational import promo_revenue_share
     return promo_revenue_share(sf_dir)
@@ -663,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
         "event_transitions": _q_event_transitions,
+        "doc_zscores": _q_doc_zscores,
+        "event_type_user_counts_approx": _q_event_type_user_counts_approx,
         "funnel_counts": _q_funnel_counts,
         "user_event_paths": _q_user_event_paths,
         "user_top_event": _q_user_top_event,
@@ -1429,6 +1444,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "doc_zscores": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   round((n_chars - avg(n_chars) OVER w)
+                         / nullif(stddev_pop(n_chars) OVER w, 0), 4)
+                     AS z_chars
+            FROM documents
+            WINDOW w AS (PARTITION BY lang)
         """,
         "event_transitions": """
             WITH s AS (

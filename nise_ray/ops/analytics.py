@@ -259,18 +259,12 @@ def cube_doc_counts(sf_dir: str) -> pa.Table:
         [("lang", "ascending"), ("source", "ascending")])
 
 
-def lang_char_moments(sf_dir: str) -> pa.Table:
-    """Distributed MOMENTS aggregate: per-language mean and population
-    stddev of document length via the classic mergeable moment sums
-    (n, Σx, Σx²) — the combiner shape every distributed variance /
-    z-score / normalization stage uses. Each block emits one
-    (lang, n, s1, s2) row per language it saw; one group-count-sized
-    exchange merges them and the driver finishes the algebra.
-    Cancellation caveat: Σx² - (Σx)²/n loses precision when sd/mean is
-    tiny at huge n — for 100-TB production use shift by a per-block
-    pivot (first value) or a Welford/Chan pairwise merge; at the tested
-    scales the direct sums match DuckDB's stddev_pop bit-exactly after
-    round(,4). Returns (lang, n_docs, mean_chars, sd_chars)."""
+def _lang_moments_raw(sf_dir: str) -> pa.Table:
+    """Merged per-language moment sums (lang, n, s1, s2) over n_chars —
+    the shared first pass of lang_char_moments and doc_zscores. Each
+    block emits one row per language it saw; one group-count-sized
+    exchange merges them. Sums of integers are exact in double, so the
+    derived mean is bit-identical to SQL's avg()."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["lang", "n_chars"])
     from nise_ray.ops.groupapply import hash_group_apply, segments
@@ -313,8 +307,22 @@ def lang_char_moments(sf_dir: str) -> pa.Table:
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    t = collect_table(hash_group_apply(partials, ["lang"], merge, 0,
-                                       sort=False))
+    return collect_table(hash_group_apply(partials, ["lang"], merge, 0,
+                                          sort=False))
+
+
+def lang_char_moments(sf_dir: str) -> pa.Table:
+    """Distributed MOMENTS aggregate: per-language mean and population
+    stddev of document length via the classic mergeable moment sums
+    (n, Σx, Σx²) — the combiner shape every distributed variance /
+    z-score / normalization stage uses (first pass shared with
+    doc_zscores via _lang_moments_raw).
+    Cancellation caveat: Σx² - (Σx)²/n loses precision when sd/mean is
+    tiny at huge n — for 100-TB production use shift by a per-block
+    pivot (first value) or a Welford/Chan pairwise merge; at the tested
+    scales the direct sums match DuckDB's stddev_pop bit-exactly after
+    round(,4). Returns (lang, n_docs, mean_chars, sd_chars)."""
+    t = _lang_moments_raw(sf_dir)
     if t.num_rows == 0:
         return pa.table({"lang": pa.array([], pa.string()),
                          "n_docs": pa.array([], pa.int64()),
@@ -332,6 +340,65 @@ def lang_char_moments(sf_dir: str) -> pa.Table:
         "sd_chars": pa.array(np.round(np.sqrt(var), 4), pa.float64()),
     })
     return out.sort_by([("lang", "ascending")])
+
+
+def doc_zscores(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group FEATURE STANDARDIZATION: every document's length
+    z-scored against its language's distribution — the normalization
+    pass a training pipeline runs before mixing quality signals across
+    languages. Two passes, the canonical shape for any broadcast-stats
+    transform: (1) the group-count-sized moment exchange
+    (_lang_moments_raw — languages number in the hundreds at any corpus
+    size, so the stats table always broadcasts); (2) a stateless
+    streaming map that attaches (mean, sd_pop) by sorted-key lookup and
+    emits z = (x - mean) / sd, NULL where sd == 0 (constant group,
+    matching SQL's x / NULLIF(0)). mean is exact (integer sums in
+    double), so cross-engine agreement needs only the round(,4) on the
+    final ratio. Output is corpus-sized and streams:
+    (doc_id, lang, n_chars, z_chars)."""
+    t = _lang_moments_raw(sf_dir)
+    if t.num_rows == 0:
+        langs = np.empty(0, dtype=object)
+        means = np.empty(0, dtype=np.float64)
+        sds = np.empty(0, dtype=np.float64)
+    else:
+        langs = np.array(t.column("lang").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        means = s1 / n
+        var = np.maximum(s2 / n - means * means, 0.0)
+        sds = np.sqrt(var)
+        order = np.argsort(langs)
+        langs, means, sds = langs[order], means[order], sds[order]
+    stats_ref = ray.put((langs, means, sds))
+
+    def attach_z(b: pa.Table) -> pa.Table:
+        langs, means, sds = ray.get(stats_ref)
+        bl = np.array(b.column("lang").to_pylist(), dtype=object)
+        pos = np.searchsorted(langs, bl) if len(langs) else \
+            np.zeros(len(bl), dtype=np.int64)
+        pos = np.clip(pos, 0, max(len(langs) - 1, 0))
+        if len(langs) and not (langs[pos] == bl).all():
+            raise AssertionError("lang missing from moments table")
+        x = b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sd = sds[pos] if len(langs) else np.zeros(len(bl))
+        mean = means[pos] if len(langs) else np.zeros(len(bl))
+        zero_sd = sd == 0.0
+        z = np.round((x - mean) / np.where(zero_sd, 1.0, sd), 4)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+            "z_chars": pa.array(z, pa.float64(), mask=zero_sd),
+        })
+
+    attach_z.__name__ = "AttachZScore"
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return docs.map_batches(attach_z, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _make_chunk_batch(size: int, stride: int):

@@ -1153,3 +1153,75 @@ def event_transitions(sf_dir: str) -> pa.Table:
                     "n": merged.column("n")})
     return out.sort_by([("prev_type", "ascending"),
                         ("next_type", "ascending")])
+
+
+def event_type_user_counts_approx(sf_dir: str) -> pa.Table:
+    """Grouped APPROXIMATE COUNT-DISTINCT: per event_type, the number
+    of distinct users estimated with HyperLogLog — the scale path for
+    the exact operator (event_type_user_counts), whose one user_id-
+    bounded exchange is still corpus-wide. Here NOTHING is exchanged:
+    each block builds one 16 KiB register table per event type it saw
+    (p=14, ~0.8% relative error), the driver merges them with a
+    bytewise max, and the estimate is the standard bias-corrected
+    harmonic mean. Per-block cost is |type-vocab| x 16 KiB regardless
+    of corpus size — the same registers would merge across 256 nodes
+    unchanged. Returns (event_type, n_users_approx) — rows-only at the
+    oracle gate (the estimate is seed-dependent, not SQL-expressible);
+    the error bound vs the exact oracled operator is asserted in
+    tests/test_relational2.py."""
+    from nise_ray.hashing import splitmix64
+    from nise_ray.metrics import _HLL_M, _HLL_P, _bit_length64, _hll_estimate
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def regs_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "regs": pa.array([], pa.binary())})
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(uid.astype(np.uint64))
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = h << np.uint64(_HLL_P)
+        rank = np.minimum(64 - _bit_length64(rest) + 1,
+                          64 - _HLL_P + 1).astype(np.uint8)
+        V = len(et.dictionary)
+        # one flat (type, register) table; np.maximum.at scatters every
+        # row in one pass — no per-type Python loop
+        regs = np.zeros(V * _HLL_M, dtype=np.uint8)
+        np.maximum.at(regs, codes * _HLL_M + idx, rank)
+        return pa.table({
+            "event_type": et.dictionary.cast(pa.string()),
+            "regs": pa.array([regs[v * _HLL_M:(v + 1) * _HLL_M].tobytes()
+                              for v in range(V)], pa.binary()),
+        })
+
+    partials = collect_table(ds.map_batches(
+        regs_partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_users_approx": pa.array([], pa.int64())})
+    types = np.array(partials.column("event_type").to_pylist(),
+                     dtype=object)
+    order = np.argsort(types, kind="stable")
+    from nise_ray.ops.groupapply import segments
+    # dictionary-encode to ints for segments() (object compare is fine
+    # for argsort but segments wants a numeric array on some paths)
+    uniq, inv = np.unique(types[order], return_inverse=True)
+    starts, counts = segments(inv)
+    out_types, out_est = [], []
+    regs_col = partials.column("regs")
+    for s, c, t in zip(starts, counts, uniq):
+        merged = np.zeros(_HLL_M, dtype=np.uint8)
+        for i in order[s:s + c]:
+            np.maximum(merged,
+                       np.frombuffer(regs_col[int(i)].as_py(),
+                                     dtype=np.uint8), out=merged)
+        out_types.append(str(t))
+        out_est.append(int(round(_hll_estimate(merged))))
+    out = pa.table({"event_type": pa.array(out_types, pa.string()),
+                    "n_users_approx": pa.array(out_est, pa.int64())})
+    return out.sort_by([("event_type", "ascending")])

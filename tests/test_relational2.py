@@ -198,3 +198,45 @@ def test_event_transitions_matches_duckdb(ray_session):
     assert list(got["prev_type"]) == list(want["prev_type"])
     assert list(got["next_type"]) == list(want["next_type"])
     assert list(got["n"]) == list(want["n"])
+
+
+def test_doc_zscores_matches_duckdb(ray_session):
+    from nise_ray.util import collect_table
+    from nise_ray.ops.analytics import doc_zscores
+    got = collect_table(doc_zscores(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               round((n_chars - avg(n_chars) OVER w)
+                     / nullif(stddev_pop(n_chars) OVER w, 0), 4) AS z_chars
+        FROM documents
+        WINDOW w AS (PARTITION BY lang)
+        ORDER BY doc_id
+    """).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["n_chars"]) == list(want["n_chars"])
+    gz, wz = got["z_chars"].to_numpy(), want["z_chars"].to_numpy()
+    assert (np.isnan(gz) == np.isnan(wz)).all()
+    m = ~np.isnan(gz)
+    assert (gz[m] == wz[m]).all()
+
+
+def test_event_type_user_counts_approx_error_bound(ray_session):
+    """HLL estimate within 5% of the exact grouped count-distinct
+    (p=14 -> sigma ~0.8%; 5% is >5 sigma, deterministic given the fixed
+    splitmix64 hash)."""
+    from nise_ray.util import collect_table
+    from nise_ray.ops.events import (event_type_user_counts,
+                                     event_type_user_counts_approx)
+    approx = event_type_user_counts_approx(SF).to_pandas() \
+        .set_index("event_type")["n_users_approx"]
+    exact_df = collect_table(event_type_user_counts(SF)).to_pandas()
+    exact = exact_df.set_index("event_type")["n_users"]
+    assert set(approx.index) == set(exact.index)
+    for t in exact.index:
+        rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
+        assert rel < 0.05, (t, approx[t], exact[t])
