@@ -1098,7 +1098,7 @@ def event_transitions(sf_dir: str) -> pa.Table:
     same kernel family as event_interarrival's LAG) that emits at most
     |type-vocab|^2 partial rows per block; the driver merges a tiny
     (pairs x blocks) table. No per-row Python anywhere."""
-    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.util import collect_table
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",

@@ -124,7 +124,13 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
         sk = st.column("s_suppkey").to_numpy(zero_copy_only=False)
         sn = st.column("s_nationkey").to_numpy(zero_copy_only=False)
         so = np.argsort(sk)
-        supp_ref = ray.put((sk[so], sn[so].astype(np.int64)))
+        sk = sk[so]
+        # duplicate dimension keys would silently drop join multiplicity
+        # (searchsorted picks one match) — fail loudly, as _broadcast_side
+        if len(sk) > 1 and (sk[1:] == sk[:-1]).any():
+            raise AssertionError("volume_shipping: duplicate s_suppkey in "
+                                 "broadcast side — use the distributed path")
+        supp_ref = ray.put((sk, sn[so].astype(np.int64)))
 
         def attach_supp(b: pa.Table) -> pa.Table:
             sk, sn = ray.get(supp_ref)
@@ -140,7 +146,18 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
         li_s = li.map_batches(attach_supp, batch_format="pyarrow",
                               zero_copy_batch=True)
     else:
-        # supplier above the gate: distributed hash join on suppkey
+        # supplier above the gate: distributed hash join on suppkey.
+        # The ship-date window is pushed into the read, so an empty
+        # window leaves li with ZERO blocks and the join aggregator
+        # cannot infer its schema — sentinel it (suppkey -1 matches no
+        # supplier, so the row dies at this join and the join-2 anchor
+        # below re-covers emptiness).
+        li = _anchor_sentinel(li, {
+            "l_orderkey": (pa.int64(), -1),
+            "l_suppkey": (pa.int64(), -1),
+            "l_extendedprice": (pa.float64(), 0.0),
+            "l_discount": (pa.float64(), 0.0),
+            "l_shipdate": (pa.timestamp("us"), 0)})
         _hash_shuffle_on(li, supp)
         li_j = li.join(supp, join_type="inner",
                        num_partitions=_join_partitions(),
@@ -297,13 +314,11 @@ def customer_order_distribution(sf_dir: str,
     def hist_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"c_count": pa.array([], pa.int64()),
-                             "custdist": pa.array([], pa.int64()),
-                             "n_matched": pa.array([], pa.int64())})
+                             "custdist": pa.array([], pa.int64())})
         n = b.column("n").to_numpy(zero_copy_only=False)
         u, c = np.unique(n, return_counts=True)
         return pa.table({"c_count": pa.array(u, pa.int64()),
-                         "custdist": pa.array(c, pa.int64()),
-                         "n_matched": pa.array(c, pa.int64())})
+                         "custdist": pa.array(c, pa.int64())})
 
     partials = collect_table(matched.map_batches(
         hist_partial, batch_format="pyarrow", zero_copy_batch=True))
@@ -311,8 +326,7 @@ def customer_order_distribution(sf_dir: str,
         cc = partials.column("c_count").to_numpy(zero_copy_only=False)
         cd = partials.column("custdist").to_numpy(zero_copy_only=False)
         order = np.argsort(cc, kind="stable")
-        from nise_ray.ops.groupapply import segments as _segs
-        starts, _ = _segs(cc[order])
+        starts, _ = segments(cc[order])
         counts = cc[order][starts]
         dist = np.add.reduceat(cd[order], starts)
         n_matched = int(dist.sum())
@@ -359,12 +373,22 @@ def disjunctive_filter_revenue(
     the gate it is a distributed hash join on partkey followed by the
     same vectorized predicate. Returns one row
     (revenue, n_lineitems)."""
+    import pyarrow.compute as pc
+
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_brand", "p_size"])
-    brand_idx = {c[0]: i for i, c in enumerate(clauses)}
+    clause_brands = pa.array([c[0] for c in clauses], pa.string())
+
+    def brand_to_clause(brand_col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+        """Vectorized brand -> clause-index map (-1 = no clause names
+        the brand); pc.index_in, no per-row Python."""
+        idx = pc.index_in(brand_col, value_set=clause_brands)
+        return pc.fill_null(pc.cast(idx, pa.int64()), -1) \
+            .to_numpy(zero_copy_only=False)
+
     size_lo = np.array([c[1] for c in clauses], dtype=np.int64)
     size_hi = np.array([c[2] for c in clauses], dtype=np.int64)
     qty_lo = np.array([c[3] for c in clauses], dtype=np.float64)
@@ -390,13 +414,16 @@ def disjunctive_filter_revenue(
     if part.count() <= broadcast_max:
         pt = collect_table(part)
         pk = pt.column("p_partkey").to_numpy(zero_copy_only=False)
-        brands = pt.column("p_brand").to_pylist()
-        bidx = np.array([brand_idx.get(x, -1) for x in brands],
-                        dtype=np.int64)
+        bidx = brand_to_clause(pt.column("p_brand"))
         psize = pt.column("p_size").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         order = np.argsort(pk)
-        ref = ray.put((pk[order], bidx[order], psize[order]))
+        pk = pk[order]
+        if len(pk) > 1 and (pk[1:] == pk[:-1]).any():
+            raise AssertionError(
+                "disjunctive_filter_revenue: duplicate p_partkey in "
+                "broadcast side — use the distributed path")
+        ref = ray.put((pk, bidx[order], psize[order]))
 
         def attach_eval(b: pa.Table) -> pa.Table:
             keys, bi, sz = ray.get(ref)
@@ -416,10 +443,9 @@ def disjunctive_filter_revenue(
             attach_eval, batch_format="pyarrow", zero_copy_batch=True))
     else:
         def part_project(b: pa.Table) -> pa.Table:
-            brands = b.column("p_brand").to_pylist()
             return pa.table({
                 "p_partkey": b.column("p_partkey"),
-                "bidx": pa.array([brand_idx.get(x, -1) for x in brands],
+                "bidx": pa.array(brand_to_clause(b.column("p_brand")),
                                  pa.int64()),
                 "p_size": b.column("p_size").cast(pa.int64()),
             })
@@ -497,10 +523,9 @@ def monthly_revenue(sf_dir: str) -> pa.Table:
         return pa.table({"month": pa.array([], pa.timestamp("us")),
                          "n_orders": pa.array([], pa.int64()),
                          "revenue": pa.array([], pa.float64())})
-    from nise_ray.ops.groupapply import segments as _segs
     m = partials.column("m").to_numpy(zero_copy_only=False)
     order = np.argsort(m, kind="stable")
-    starts, _ = _segs(m[order])
+    starts, _ = segments(m[order])
     n = np.add.reduceat(partials.column("n_orders")
                         .to_numpy(zero_copy_only=False)[order], starts)
     rev = np.add.reduceat(partials.column("revenue")

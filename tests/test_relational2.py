@@ -240,3 +240,14 @@ def test_event_type_user_counts_approx_error_bound(ray_session):
     for t in exact.index:
         rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
         assert rel < 0.05, (t, approx[t], exact[t])
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_volume_shipping_empty_window(ray_session, bmax):
+    """A ship-date window past all data prunes every lineitem fragment;
+    the distributed path crashed without the li anchor sentinel
+    (zero-block join side, review finding)."""
+    from nise_ray.ops.relational2 import volume_shipping
+    got = volume_shipping(SF, date_lo="2030-01-01", date_hi="2031-01-01",
+                          broadcast_max=bmax)
+    assert got.num_rows == 0
