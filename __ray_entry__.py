@@ -596,6 +596,26 @@ def _q_multimodal_real_audio(sf_dir: str):
                             concurrency=(1, 4), batch_format="pyarrow")
 
 
+def _q_moving_event_stats(sf_dir: str):
+    from nise_ray.ops.events import moving_event_stats
+    return moving_event_stats(sf_dir, frame_rows=7)
+
+
+def _q_scrub_event_props(sf_dir: str):
+    from nise_ray.ops.strings import scrub_event_props
+    return scrub_event_props(sf_dir)
+
+
+def _q_high_value_users_intersect(sf_dir: str):
+    from nise_ray.ops.relational2 import high_value_user_sets
+    return high_value_user_sets(sf_dir, op="intersect")
+
+
+def _q_high_value_users_except(sf_dir: str):
+    from nise_ray.ops.relational2 import high_value_user_sets
+    return high_value_user_sets(sf_dir, op="except")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -673,6 +693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": _q_customer_order_distribution,
         "disjunctive_filter_revenue": _q_disjunctive_filter_revenue,
         "event_interarrival": _q_event_interarrival,
+        "moving_event_stats": _q_moving_event_stats,
+        "scrub_event_props": _q_scrub_event_props,
+        "high_value_users_intersect": _q_high_value_users_intersect,
+        "high_value_users_except": _q_high_value_users_except,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
         "event_transitions": _q_event_transitions,
@@ -1473,6 +1497,38 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_next_us
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "moving_event_stats": """
+            SELECT user_id, event_id,
+                   CAST(sum(length(props)) OVER w AS BIGINT) AS mov_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS mov_cnt,
+                   CAST(sum(length(props)) OVER w AS DOUBLE)
+                     / (count(*) OVER w) AS mov_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "scrub_event_props": """
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                        AS BIGINT) AS k_val,
+                   regexp_replace(props, '\\d+', '<NUM>', 'g')
+                     AS props_masked
+            FROM events
+        """,
+        "high_value_users_intersect": """
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 180
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 180
+        """,
+        "high_value_users_except": """
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 180
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 180
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1225,3 +1225,57 @@ def event_type_user_counts_approx(sf_dir: str) -> pa.Table:
     out = pa.table({"event_type": pa.array(out_types, pa.string()),
                     "n_users_approx": pa.array(out_est, pa.int64())})
     return out.sort_by([("event_type", "ascending")])
+
+
+def moving_event_stats(sf_dir: str, frame_rows: int = 7) -> "ray.data.Dataset":
+    """FRAME-BOUNDED moving window aggregate: per user, events ordered
+    by (ts, event_id), SUM/COUNT/AVG of length(props) over ROWS BETWEEN
+    `frame_rows-1` PRECEDING AND CURRENT ROW — the bounded-frame window
+    primitive (running stats cover only the UNBOUNDED PRECEDING case).
+    The metric is an int64 (character length), so the moving sum is
+    exact under any accumulation order and the DuckDB hash comparison
+    is bit-exact; mov_avg is ONE double division of the exact ints,
+    matching CAST(sum AS DOUBLE)/count.
+
+    Plan: one hash exchange on user_id, then a single vectorized sweep
+    per block: lexsort, an extended cumulative sum, and a segment-
+    clamped lower bound (max(pos-frame+1, seg_start)) — mov_sum is a
+    two-element difference of the cumsum, no per-row or per-user loop.
+    Output is events-sized and streams."""
+    import pyarrow.compute as pc
+
+    w = int(frame_rows)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "props"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def moving(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "mov_sum": pa.array([], pa.int64()),
+                             "mov_cnt": pa.array([], pa.int64()),
+                             "mov_avg": pa.array([], pa.float64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        n = pc.utf8_length(batch.column("props")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, n = uid[order], eid[order], n[order]
+        starts, counts = segments(uid)
+        pos = np.arange(len(order), dtype=np.int64)
+        seg_start = np.repeat(starts, counts)
+        lo = np.maximum(pos - (w - 1), seg_start)
+        ext = np.concatenate(([0], np.cumsum(n, dtype=np.int64)))
+        mov_sum = ext[pos + 1] - ext[lo]
+        mov_cnt = pos + 1 - lo
+        mov_avg = mov_sum.astype(np.float64) / mov_cnt
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "event_id": pa.array(eid, pa.int64()),
+                         "mov_sum": pa.array(mov_sum, pa.int64()),
+                         "mov_cnt": pa.array(mov_cnt, pa.int64()),
+                         "mov_avg": pa.array(mov_avg, pa.float64())})
+
+    return hash_group_apply(ds, ["user_id"], moving, 0, sort=False)

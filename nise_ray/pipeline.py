@@ -182,6 +182,7 @@ def _sign_chunked(ctx: RunContext, cfg: DedupConfig,
     wrapped = lineage_wrap(sign_fn, ctx.manifest_dir("signed"),
                            ctx.run_id, "signed")
     out_dirs: list[str] = []
+    any_signed = False
     for i, chunk in enumerate(chunks):
         cdir = os.path.join(ctx.stage_dir("signed"), f"chunk={i:05d}")
         # marker OUTSIDE the chunk dir so read_parquet(cdir) sees only parquet
@@ -206,7 +207,11 @@ def _sign_chunked(ctx: RunContext, cfg: DedupConfig,
             "completed_at": time.time(),
         })
         out_dirs.append(cdir)
-    ctx.mark_complete("signed", n_chunks=len(chunks))
+        any_signed = True
+    # don't re-stamp the stage marker on a fully-skipped resume: the
+    # _SUCCESS mtime is the "nothing re-ran" audit signal
+    if any_signed or not ctx.is_complete("signed"):
+        ctx.mark_complete("signed", n_chunks=len(chunks))
     # read_parquet accepts one dir OR a list of FILES — expand chunk dirs
     signed_files: list[str] = []
     for d in out_dirs:

@@ -251,3 +251,94 @@ def test_volume_shipping_empty_window(ray_session, bmax):
     got = volume_shipping(SF, date_lo="2030-01-01", date_hi="2031-01-01",
                           broadcast_max=bmax)
     assert got.num_rows == 0
+
+
+def test_moving_event_stats_matches_duckdb(ray_session):
+    from nise_ray.ops.events import moving_event_stats
+    got = moving_event_stats(SF, frame_rows=7).to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    want = _con().execute("""
+        SELECT user_id, event_id,
+               CAST(sum(length(props)) OVER w AS BIGINT) AS mov_sum,
+               CAST(count(*) OVER w AS BIGINT) AS mov_cnt,
+               CAST(sum(length(props)) OVER w AS DOUBLE)
+                 / (count(*) OVER w) AS mov_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """).fetchdf()
+    assert list(got["mov_sum"]) == list(want["mov_sum"])
+    assert list(got["mov_cnt"]) == list(want["mov_cnt"])
+    # exact-int division on both sides -> bit-exact
+    assert (got["mov_avg"].to_numpy() == want["mov_avg"].to_numpy()).all()
+    assert got["mov_cnt"].max() <= 7
+
+
+def test_moving_event_stats_frame_one(ray_session):
+    # frame of 1 row degenerates to the metric itself
+    from nise_ray.ops.events import moving_event_stats
+    got = moving_event_stats(SF, frame_rows=1).to_pandas()
+    assert (got["mov_cnt"] == 1).all()
+    assert (got["mov_sum"].to_numpy().astype(float)
+            == got["mov_avg"].to_numpy()).all()
+
+
+def test_scrub_event_props_matches_duckdb(ray_session):
+    from nise_ray.ops.strings import scrub_event_props
+    got = scrub_event_props(SF).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = _con().execute("""
+        SELECT event_id,
+               CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                    AS BIGINT) AS k_val,
+               regexp_replace(props, '\\d+', '<NUM>', 'g') AS props_masked
+        FROM events ORDER BY event_id
+    """).fetchdf()
+    assert list(got["k_val"]) == list(want["k_val"])
+    assert list(got["props_masked"]) == list(want["props_masked"])
+    assert not got["props_masked"].str.contains(r"\d").any()
+
+
+def test_high_value_user_sets_match_duckdb(ray_session):
+    # threshold 120: both set-op results non-empty at sf0.001
+    from nise_ray.ops.relational2 import high_value_user_sets
+    con = _con()
+    for op, kw in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = sorted(high_value_user_sets(SF, op=op, min_value=120.0)
+                     .to_pandas()["user_id"])
+        want = sorted(r[0] for r in con.execute(f"""
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 120
+            {kw}
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value > 120
+        """).fetchall())
+        assert got == want, op
+    # algebra invariant: intersect and except partition set A
+    a = sorted(r[0] for r in con.execute(
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE event_type='purchase' AND value > 120").fetchall())
+    inter = sorted(high_value_user_sets(SF, op="intersect", min_value=120.0)
+                   .to_pandas()["user_id"])
+    exc = sorted(high_value_user_sets(SF, op="except", min_value=120.0)
+                 .to_pandas()["user_id"])
+    assert sorted(inter + exc) == a
+
+
+def test_high_value_user_sets_empty_result_keeps_schema(ray_session):
+    # impossible threshold -> empty result; the Arrow schema must
+    # survive (Ray's to_pandas drops columns on ANY empty dataset, so
+    # assert via the Arrow path)
+    from nise_ray.ops.relational2 import high_value_user_sets
+    from nise_ray.util import collect_table
+    out = high_value_user_sets(SF, min_value=1e12)
+    assert out.schema().names == ["user_id"]
+    t = collect_table(out)
+    assert t.num_rows == 0
+
+
+def test_high_value_user_sets_bad_op(ray_session):
+    from nise_ray.ops.relational2 import high_value_user_sets
+    with pytest.raises(ValueError):
+        high_value_user_sets(SF, op="union_all")
