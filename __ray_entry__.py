@@ -611,6 +611,11 @@ def _q_high_value_users_intersect(sf_dir: str):
     return high_value_user_sets(sf_dir, op="intersect")
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    from nise_ray.ops.strings import edit_distance_pairs
+    return edit_distance_pairs(sf_dir, k=30)
+
+
 def _q_high_value_users_except(sf_dir: str):
     from nise_ray.ops.relational2 import high_value_user_sets
     return high_value_user_sets(sf_dir, op="except")
@@ -697,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_event_props": _q_scrub_event_props,
         "high_value_users_intersect": _q_high_value_users_intersect,
         "high_value_users_except": _q_high_value_users_except,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
         "event_transitions": _q_event_transitions,
@@ -1529,6 +1535,15 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT user_id FROM events
             WHERE event_type = 'error' AND value > 180
+        """,
+        "edit_distance_pairs": """
+            WITH shortest AS (
+                SELECT doc_id, text FROM documents
+                ORDER BY n_chars, doc_id LIMIT 30)
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+            FROM shortest a, shortest b
+            WHERE a.doc_id < b.doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

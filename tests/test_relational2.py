@@ -342,3 +342,46 @@ def test_high_value_user_sets_bad_op(ray_session):
     from nise_ray.ops.relational2 import high_value_user_sets
     with pytest.raises(ValueError):
         high_value_user_sets(SF, op="union_all")
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    import numpy as np
+    from nise_ray.ops.strings import _levenshtein_bytes
+    con = duckdb.connect()
+    cases = [("kitten", "sitting"), ("", "abc"), ("abc", ""),
+             ("same", "same"), ("café", "cafe"),
+             ("日本語", "日本a"),
+             ("ab" * 40, "ba" * 40)]
+    rng = np.random.default_rng(7)
+    al = np.array(list("abcde "))
+    for _ in range(60):
+        a = "".join(rng.choice(al, size=rng.integers(0, 30)))
+        b = "".join(rng.choice(al, size=rng.integers(0, 30)))
+        cases.append((a, b))
+    for a, b in cases:
+        got = _levenshtein_bytes(np.frombuffer(a.encode(), np.uint8),
+                                 np.frombuffer(b.encode(), np.uint8))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got == want, (a, b)
+
+
+def test_edit_distance_pairs_matches_duckdb(ray_session):
+    from nise_ray.ops.strings import edit_distance_pairs
+    got = edit_distance_pairs(SF, k=12).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH shortest AS (
+            SELECT doc_id, text FROM documents
+            ORDER BY n_chars, doc_id LIMIT 12)
+        SELECT a.doc_id AS u, b.doc_id AS v,
+               levenshtein(a.text, b.text) AS dist
+        FROM shortest a, shortest b WHERE a.doc_id < b.doc_id
+        ORDER BY u, v
+    """).fetchdf()
+    assert len(got) == 66
+    assert list(got["u"]) == list(want["u"])
+    assert list(got["v"]) == list(want["v"])
+    assert list(got["dist"]) == list(want["dist"])
