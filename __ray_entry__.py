@@ -616,6 +616,21 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_user_first_last_event(sf_dir: str):
+    from nise_ray.ops.events import user_first_last_event
+    return user_first_last_event(sf_dir)
+
+
+def _q_top_suppliers_by_qty(sf_dir: str):
+    from nise_ray.ops.relational2 import top_suppliers_by_qty
+    return top_suppliers_by_qty(sf_dir)
+
+
+def _q_token_cooccurrence(sf_dir: str):
+    from nise_ray.ops.textstats import token_cooccurrence
+    return token_cooccurrence(sf_dir, vocab_limit=64)
+
+
 def _q_high_value_users_except(sf_dir: str):
     from nise_ray.ops.relational2 import high_value_user_sets
     return high_value_user_sets(sf_dir, op="except")
@@ -703,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_users_intersect": _q_high_value_users_intersect,
         "high_value_users_except": _q_high_value_users_except,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "user_first_last_event": _q_user_first_last_event,
+        "top_suppliers_by_qty": _q_top_suppliers_by_qty,
+        "token_cooccurrence": _q_token_cooccurrence,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
         "event_transitions": _q_event_transitions,
@@ -1544,6 +1562,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
             FROM shortest a, shortest b
             WHERE a.doc_id < b.doc_id
+        """,
+        "user_first_last_event": """
+            SELECT DISTINCT user_id,
+                   first_value(event_type) OVER w AS first_et,
+                   last_value(event_type) OVER w AS last_et,
+                   nth_value(event_type, 2) OVER w AS second_et,
+                   CAST(count(*) OVER w AS BIGINT) AS n_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        """,
+        "top_suppliers_by_qty": """
+            WITH qty AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS total_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT l_suppkey, total_qty FROM qty
+            WHERE total_qty = (SELECT max(total_qty) FROM qty)
+        """,
+        "token_cooccurrence": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS tok
+                FROM documents),
+            vocab AS (
+                SELECT tok FROM (
+                    SELECT unnest(regexp_extract_all(text,
+                                  '[A-Za-z0-9_]+')) AS tok
+                    FROM documents) t
+                WHERE tok <> ''
+                GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 64)
+            SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                                   AND a.tok < b.tok
+            WHERE a.tok IN (SELECT tok FROM vocab)
+              AND b.tok IN (SELECT tok FROM vocab)
+            GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1279,3 +1279,54 @@ def moving_event_stats(sf_dir: str, frame_rows: int = 7) -> "ray.data.Dataset":
                          "mov_avg": pa.array(mov_avg, pa.float64())})
 
     return hash_group_apply(ds, ["user_id"], moving, 0, sort=False)
+
+
+def user_first_last_event(sf_dir: str) -> "ray.data.Dataset":
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE window primitives, collapsed
+    to one row per user: over the (ts, event_id)-ordered per-user frame
+    (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING), the first, last and
+    second event types plus the frame count — the entry/exit-event
+    summary a journey-analysis pipeline starts from, and the one window
+    family (positional frame values) the inventory did not yet cover.
+
+    Plan: one hash exchange on user_id, then pure segment indexing per
+    block — first = starts, last = starts+counts-1, nth(2) = starts+1
+    masked where the segment is shorter. Output is user-count-sized."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def firstlast(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first_et": pa.array([], pa.string()),
+                             "last_et": pa.array([], pa.string()),
+                             "second_et": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        starts, counts = segments(uid)
+        take = pa.array(order[starts])
+        first_et = et.take(take)
+        last_et = et.take(pa.array(order[starts + counts - 1]))
+        # nth(2): NULL for single-event users
+        second_idx = order[np.minimum(starts + 1, starts + counts - 1)]
+        second_et = et.take(pa.array(second_idx))
+        if (counts < 2).any():
+            mask = pa.array(counts < 2)
+            second_et = pc.if_else(
+                mask, pa.nulls(len(starts), pa.string()), second_et)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "first_et": first_et,
+                         "last_et": last_et,
+                         "second_et": second_et,
+                         "n_events": pa.array(counts, pa.int64())})
+
+    return hash_group_apply(ds, ["user_id"], firstlast, 0, sort=False)

@@ -618,3 +618,61 @@ def high_value_user_sets(sf_dir: str, op: str = "intersect",
         return pa.table({"user_id": pa.array(su[starts][keep], pa.int64())})
 
     return hash_group_apply(pre, ["user_id"], setop, 0, sort=False)
+
+
+def top_suppliers_by_qty(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01") -> pa.Table:
+    """TPC-H-Q15-shaped SCALAR-MAX-WITH-TIES selection: suppliers whose
+    shipped quantity over a date window equals the global maximum —
+    the argmax-over-an-aggregate shape (Q15's top-supplier view), kept
+    integer-exact on purpose: Q15 ranks by an FP revenue sum whose
+    low-bit accumulation order differs across engines, so equality
+    against the max is not a portable contract; quantity is an
+    integer-valued column, sums exactly in any order, and makes the tie
+    set deterministic (documented deviation from the literal Q15).
+
+    Plan: the date window is pushed into the parquet scan; each block
+    emits supplier-count-bounded (l_suppkey, total_qty) partials
+    (combiner); the driver merges group-count-sized partials
+    Arrow-native and applies the max filter — no corpus-sized driver
+    work, one scan, zero exchanges."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    lo = datetime.fromisoformat(date_lo)
+    hi = datetime.fromisoformat(date_hi)
+    flt = ((pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi))
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_quantity"],
+                               filter=flt)
+    from nise_ray.ops.groupapply import segments
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "total_qty": pa.array([], pa.int64())})
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)  # integer-valued by TPC-H contract
+        order = np.argsort(sk, kind="stable")
+        starts, _ = segments(sk[order])
+        sums = np.add.reduceat(qty[order], starts)
+        return pa.table({"l_suppkey": pa.array(sk[order][starts], pa.int64()),
+                         "total_qty": pa.array(sums, pa.int64())})
+
+    partials = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "total_qty": pa.array([], pa.int64())})
+    # int-keyed Arrow/numpy merge (the shared _merge_grouped_partials is
+    # string-key-only): one argsort + reduceat over the partials
+    sk = partials.column("l_suppkey").to_numpy(zero_copy_only=False)
+    tqp = partials.column("total_qty").to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    starts, _ = segments(sk[order])
+    tq = np.add.reduceat(tqp[order], starts)
+    keep = np.flatnonzero(tq == tq.max())
+    return pa.table({"l_suppkey": pa.array(sk[order][starts][keep],
+                                           pa.int64()),
+                     "total_qty": pa.array(tq[keep], pa.int64())})

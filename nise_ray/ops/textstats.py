@@ -779,3 +779,96 @@ def token_entropy(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
 
     return ds.map_batches(ent, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def token_cooccurrence(sf_dir: str, vocab_limit: int = 64
+                       ) -> "ray.data.Dataset":
+    """TOKEN CO-OCCURRENCE matrix over a heavy-hitter vocabulary: for
+    every unordered token pair (a < b) in the global top-`vocab_limit`
+    vocabulary, the number of documents containing BOTH — the
+    distributional-similarity / PMI precursor a corpus-analysis pipeline
+    computes before embedding training.
+
+    Scale contract: all-pairs co-occurrence over an UNBOUNDED vocabulary
+    is quadratic and off the table; the vocabulary is first capped to
+    the global top-V heavy hitters (the existing top_tokens combiner —
+    one vocabulary-sized exchange, deterministic count-desc/token-asc
+    tie-break), the V tokens broadcast once via ray.put, and each block
+    contributes a V x V boolean-membership matmul partial (distinct
+    presence per doc, so multiplicity inside a doc doesn't count). The
+    pair partials are V^2/2-bounded rows per block; ONE hash exchange on
+    the pair key sums them. Output (tok_a, tok_b, n_docs), zero-count
+    pairs omitted."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    vocab_t = top_tokens(sf_dir, k=vocab_limit)
+    vocab = np.asarray(vocab_t.column("token").to_pylist(), dtype=object)
+    vsort = np.sort(vocab)  # lexicographic — pair key order == oracle's
+    vocab_ref = ray.put(vsort)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    class CoocPartial:
+        def __init__(self, ref):
+            self.vocab = ray.get(ref)
+            self.v = len(self.vocab)
+            self.iu, self.iv = np.triu_indices(self.v, k=1)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            empty = pa.table({"pair": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64())})
+            if b.num_rows == 0 or self.v == 0:
+                return empty
+            row, codes, bvocab = _doc_token_stream(b)
+            if len(codes) == 0:
+                return empty
+            # block vocab -> global top-V positions (miss = not counted)
+            pos = np.searchsorted(self.vocab, bvocab.astype(object))
+            pos = np.clip(pos, 0, self.v - 1)
+            ok = self.vocab[pos] == bvocab
+            vpos = np.where(ok, pos, -1)[codes]
+            keep = vpos >= 0
+            row, vpos = row[keep], vpos[keep]
+            if len(row) == 0:
+                return empty
+            m = np.zeros((b.num_rows, self.v), dtype=np.int64)
+            m[row, vpos] = 1  # DISTINCT presence per doc
+            cnt = m.T @ m
+            iu, iv = self.iu, self.iv
+            n = cnt[iu, iv]
+            nz = n > 0
+            return pa.table({
+                "pair": pa.array(iu[nz] * self.v + iv[nz], pa.int64()),
+                "n": pa.array(n[nz], pa.int64()),
+            })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    partials = ds.map_batches(CoocPartial,
+                              fn_constructor_kwargs={"ref": vocab_ref},
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=default_concurrency())
+
+    v = len(vsort)
+    vlist = vsort  # closure for the merge stage
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        pair = batch.column("pair").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(pair, kind="stable")
+        sp = pair[order]
+        starts, _ = segments(sp)
+        sums = np.add.reduceat(n[order], starts)
+        up = sp[starts]
+        return pa.table({
+            "tok_a": pa.array(vlist[up // v].astype(object), pa.string()),
+            "tok_b": pa.array(vlist[up % v].astype(object), pa.string()),
+            "n_docs": pa.array(sums, pa.int64()),
+        })
+
+    return hash_group_apply(partials, ["pair"], merge, 0, sort=False)

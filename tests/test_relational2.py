@@ -385,3 +385,123 @@ def test_edit_distance_pairs_matches_duckdb(ray_session):
     assert list(got["u"]) == list(want["u"])
     assert list(got["v"]) == list(want["v"])
     assert list(got["dist"]) == list(want["dist"])
+
+
+def test_user_first_last_event_matches_duckdb(ray_session):
+    from nise_ray.ops.events import user_first_last_event
+    got = user_first_last_event(SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = _con().execute("""
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER w AS first_et,
+               last_value(event_type) OVER w AS last_et,
+               nth_value(event_type, 2) OVER w AS second_et,
+               CAST(count(*) OVER w AS BIGINT) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id
+    """).fetchdf()
+    for c in ["user_id", "first_et", "last_et", "n_events"]:
+        assert list(got[c]) == list(want[c]), c
+    assert got["second_et"].fillna("∅").tolist() \
+        == want["second_et"].fillna("∅").tolist()
+
+
+def test_user_first_last_single_event_user(ray_session):
+    # planted single-event user: second_et must be NULL, first == last
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops import events as ev
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c"], pa.string()),
+    })
+    from nise_ray.util import collect_table
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        df = collect_table(ev.user_first_last_event(d)).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        got = {c: [None if v != v else v for v in df[c]] for c in df.columns}
+    assert got["first_et"] == ["a", "c"]
+    assert got["last_et"] == ["b", "c"]
+    assert got["second_et"] == ["b", None]
+    assert got["n_events"] == [2, 1]
+
+
+def test_top_suppliers_by_qty_matches_duckdb(ray_session):
+    from nise_ray.ops.relational2 import top_suppliers_by_qty
+    got = top_suppliers_by_qty(SF).to_pandas() \
+        .sort_values("l_suppkey").reset_index(drop=True)
+    want = _con().execute("""
+        WITH qty AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                     AS total_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT l_suppkey, total_qty FROM qty
+        WHERE total_qty = (SELECT max(total_qty) FROM qty)
+        ORDER BY l_suppkey
+    """).fetchdf()
+    assert len(got) >= 1
+    assert list(got["l_suppkey"]) == list(want["l_suppkey"])
+    assert list(got["total_qty"]) == list(want["total_qty"])
+    # with-ties contract: every returned row carries the same max total
+    assert got["total_qty"].nunique() == 1
+
+
+def test_top_suppliers_by_qty_empty_window(ray_session):
+    from nise_ray.ops.relational2 import top_suppliers_by_qty
+    got = top_suppliers_by_qty(SF, date_lo="2050-01-01",
+                               date_hi="2050-02-01")
+    assert got.num_rows == 0
+    assert got.schema.names == ["l_suppkey", "total_qty"]
+
+
+def test_token_cooccurrence_matches_duckdb(ray_session):
+    from nise_ray.ops.textstats import token_cooccurrence
+    got = token_cooccurrence(SF, vocab_limit=64).to_pandas() \
+        .sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+            FROM documents),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS tok FROM documents) t
+            WHERE tok <> ''
+            GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 64)
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        WHERE a.tok IN (SELECT tok FROM vocab)
+          AND b.tok IN (SELECT tok FROM vocab)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["tok_a", "tok_b", "n_docs"]:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_token_cooccurrence_vocab_cap(ray_session):
+    # capping the vocabulary restricts pairs to the top-2 tokens
+    from nise_ray.ops.textstats import token_cooccurrence
+    got = token_cooccurrence(SF, vocab_limit=2).to_pandas()
+    assert len(got) <= 1
+    toks = set(got["tok_a"]) | set(got["tok_b"])
+    assert len(toks) <= 2
