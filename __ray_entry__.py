@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_dup_graph_triangles(sf_dir: str):
+    from nise_ray.ops.ann import dup_graph_triangles
+    return dup_graph_triangles(sf_dir, threshold=0.3)
+
+
 def _q_user_first_last_event(sf_dir: str):
     from nise_ray.ops.events import user_first_last_event
     return user_first_last_event(sf_dir)
@@ -659,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,
+        "dup_graph_triangles": _q_dup_graph_triangles,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "semantic_dedup_keep": _q_semantic_dedup_keep,
@@ -1026,6 +1032,18 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])),
                         4) >= 0.3
             ORDER BY 1, 2
+        """,
+        "dup_graph_triangles": """
+            WITH e AS MATERIALIZED (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.3)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e ab
+            JOIN e ac ON ab.u = ac.u AND ab.v < ac.v
+            JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
         """,
         # connected components as a recursive min-label CTE: reach holds
         # every (node, label-of-a-reachable-node) pair — UNION dedup

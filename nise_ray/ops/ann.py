@@ -710,3 +710,88 @@ def semantic_dedup_keep(sf_dir: str, threshold: float = 0.95,
                                        zero_copy_batch=True,
                                        concurrency=default_concurrency()))
     return out.sort_by([("vec_id", "ascending")])
+
+
+def dup_graph_triangles(sf_dir: str, threshold: float = 0.3,
+                        round_to: int = 4,
+                        broadcast_max: int = 1_000_000) -> pa.Table:
+    """TRIANGLE COUNT over the exact cosine-duplicate pair graph — the
+    graph-motif (3-way self-join) primitive: how many vector triples are
+    mutually near-duplicate. Dense triangle neighborhoods are the signal
+    that a near-dup CLUSTER is real rather than a chain of borderline
+    pairs, so this is the cluster-quality audit a dedup pipeline runs on
+    its own edge set.
+
+    Plan (node-iterator as two distributed phases, no driver graph):
+    1. wedges — one hash exchange of the edge set on the LOW endpoint;
+       each u-segment emits every neighbor pair (v1 < v2) via a
+       vectorized triu expansion (no per-wedge Python). Wedge volume is
+       sum(deg_u^2)/2 over low endpoints — the u<v orientation is the
+       standard degree-splitting bound.
+    2. closure — wedges (tagged 1) union the edge set (tagged 0), ONE
+       hash exchange on the (a, b) pair key; a segment contributes its
+       wedge count iff an edge row is present. Block partials sum to a
+       single driver row. Returns (n_triangles,) as a 1-row table."""
+    edges = _exact_pair_ds(sf_dir, threshold, round_to, broadcast_max) \
+        .select_columns(["u", "v"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "wedge": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts, counts = segments(u)
+        pos_in = np.arange(len(u), dtype=np.int64) - np.repeat(starts, counts)
+        total = int(pos_in.sum())
+        if total == 0:
+            return empty
+        second = np.repeat(np.arange(len(u), dtype=np.int64), pos_in)
+        cum = np.cumsum(pos_in) - pos_in
+        cc = np.arange(total, dtype=np.int64) - np.repeat(cum, pos_in)
+        first = second - np.repeat(pos_in, pos_in) + cc
+        return pa.table({"x": pa.array(v[first], pa.int64()),
+                         "y": pa.array(v[second], pa.int64()),
+                         "wedge": pa.array(np.ones(total, np.int64))})
+
+    wedge_ds = hash_group_apply(edges, ["u"], wedges, 0, sort=False)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"x": batch.column("u"),
+                         "y": batch.column("v"),
+                         "wedge": pa.array(np.zeros(batch.num_rows,
+                                                    np.int64))})
+
+    tagged = wedge_ds.union(edges.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def close_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n_triangles": pa.array([0], pa.int64())})
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        w = batch.column("wedge").to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        xs, ys, ws = x[order], y[order], w[order]
+        change = np.empty(len(xs), dtype=bool)
+        change[0] = True
+        change[1:] = (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+        starts = np.flatnonzero(change)
+        n_wedge = np.add.reduceat(ws, starts)
+        n_rows = np.diff(np.append(starts, len(xs)))
+        has_edge = n_rows > n_wedge  # edge rows carry wedge=0
+        return pa.table({"n_triangles":
+                         pa.array([int(n_wedge[has_edge].sum())],
+                                  pa.int64())})
+
+    partials = collect_table(hash_group_apply(tagged, ["x", "y"],
+                                              close_partial, 0, sort=False))
+    total = int(np.sum(partials.column("n_triangles")
+                       .to_numpy(zero_copy_only=False))) \
+        if partials.num_rows else 0
+    return pa.table({"n_triangles": pa.array([total], pa.int64())})

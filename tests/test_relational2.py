@@ -505,3 +505,42 @@ def test_token_cooccurrence_vocab_cap(ray_session):
     assert len(got) <= 1
     toks = set(got["tok_a"]) | set(got["tok_b"])
     assert len(toks) <= 2
+
+
+def test_dup_graph_triangles_planted(ray_session):
+    # K3 on one duplicate family + K4 on another -> C(3,3)+C(4,3) = 5
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import dup_graph_triangles
+    vecs = [[1.0, 0.0]] * 3 + [[0.0, 1.0]] * 4 + [[1.0, -1.0]]
+    t = pa.table({
+        "vec_id": pa.array(range(8), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        got = dup_graph_triangles(d, threshold=0.9)
+    assert got.column("n_triangles")[0].as_py() == 1 + 4
+
+
+def test_dup_graph_triangles_no_edges(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.ann import dup_graph_triangles
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        got = dup_graph_triangles(d, threshold=0.9)
+    assert got.column("n_triangles")[0].as_py() == 0
