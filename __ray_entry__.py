@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_lang_char_skewkurt(sf_dir: str):
+    from nise_ray.ops.analytics import lang_char_skewkurt
+    return lang_char_skewkurt(sf_dir)
+
+
 def _q_dup_graph_triangles(sf_dir: str):
     from nise_ray.ops.ann import dup_graph_triangles
     return dup_graph_triangles(sf_dir, threshold=0.3)
@@ -699,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_doc_counts": _q_rollup_doc_counts,
         "cube_doc_counts": _q_cube_doc_counts,
         "lang_char_moments": _q_lang_char_moments,
+        "lang_char_skewkurt": _q_lang_char_skewkurt,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1580,6 +1586,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
             FROM shortest a, shortest b
             WHERE a.doc_id < b.doc_id
+        """,
+        "lang_char_skewkurt": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(skewness(n_chars), 4) AS skew_chars,
+                   round(kurtosis(n_chars), 4) AS kurt_chars
+            FROM documents GROUP BY lang
         """,
         "user_first_last_event": """
             SELECT DISTINCT user_id,

@@ -810,3 +810,83 @@ def prepare_training_docs(sf_dir: str, min_chars: int = 100,
 
     return kept.map_batches(_make_chunk_batch(size, stride),
                             batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_char_skewkurt(sf_dir: str) -> pa.Table:
+    """HIGHER-MOMENT aggregates: per-language sample skewness and excess
+    kurtosis of document length from mergeable raw power sums
+    (n, Σx, Σx², Σx³, Σx⁴) — the 3rd/4th-moment extension of the
+    lang_char_moments combiner, matching DuckDB's bias-corrected G1/G2
+    estimators (verified formula fit: G1 = g1·sqrt(n(n-1))/(n-2),
+    G2 = ((n+1)g2 + 6)(n-1)/((n-2)(n-3)) on the central moments derived
+    from the power sums). Same cancellation caveat as the 2nd-moment op;
+    round(,4) absorbs summation-order noise. NULL where the corrections
+    are undefined (n < 3 for skew, n < 4 for kurtosis) or the group is
+    constant. Returns (lang, n_docs, skew_chars, kurt_chars)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    from nise_ray.ops.groupapply import segments
+    from nise_ray.util import collect_table
+
+    cols = ["n", "s1", "s2", "s3", "s4"]
+    _EMPTY = pa.table({"lang": pa.array([], pa.string()),
+                       **{c: pa.array([], pa.int64() if c == "n"
+                                      else pa.float64()) for c in cols}})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        x = b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts, _ = segments(codes[order])
+        xo = x[order]
+        vals = {"n": np.add.reduceat(np.ones(len(x), np.int64), starts)}
+        p = xo.copy()
+        for c in ("s1", "s2", "s3", "s4"):
+            vals[c] = np.add.reduceat(p, starts)
+            p = p * xo
+        return pa.table({
+            "lang": enc.take(pa.array(order[starts])).cast(pa.string()),
+            "n": pa.array(vals["n"], pa.int64()),
+            **{c: pa.array(vals[c], pa.float64())
+               for c in ("s1", "s2", "s3", "s4")}})
+
+    partials = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "skew_chars": pa.array([], pa.float64()),
+                         "kurt_chars": pa.array([], pa.float64())})
+    # group-count-sized driver merge (lexicographic lang order)
+    langs = np.asarray(partials.column("lang").to_pylist(), dtype=object)
+    order = np.argsort(langs, kind="stable")
+    starts, _ = segments(
+        np.unique(langs, return_inverse=True)[1][order])
+    merged = {c: np.add.reduceat(
+        partials.column(c).to_numpy(zero_copy_only=False)[order], starts)
+        for c in cols}
+    n = merged["n"].astype(np.float64)
+    mean = merged["s1"] / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m2 = merged["s2"] / n - mean ** 2
+        m3 = merged["s3"] / n - 3 * mean * merged["s2"] / n + 2 * mean ** 3
+        m4 = (merged["s4"] / n - 4 * mean * merged["s3"] / n
+              + 6 * mean ** 2 * merged["s2"] / n - 3 * mean ** 4)
+        g1 = m3 / m2 ** 1.5
+        G1 = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2 ** 2 - 3.0
+        G2 = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    skew_ok = (merged["n"] >= 3) & (m2 > 0)
+    kurt_ok = (merged["n"] >= 4) & (m2 > 0)
+    return pa.table({
+        "lang": pa.array(langs[order][starts].astype(object), pa.string()),
+        "n_docs": pa.array(merged["n"], pa.int64()),
+        "skew_chars": pa.array(np.round(G1, 4), pa.float64(),
+                               mask=~skew_ok),
+        "kurt_chars": pa.array(np.round(G2, 4), pa.float64(),
+                               mask=~kurt_ok),
+    })

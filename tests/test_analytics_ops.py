@@ -384,3 +384,48 @@ def test_prepare_training_docs_join_fallback_parity(ray_session):
     b = collect_table(prepare_training_docs(SF, broadcast_max=0)) \
         .select(["doc_id", "chunk_idx", "chunk_text"]).sort_by(key)
     assert a.equals(b)
+
+
+def test_lang_char_skewkurt_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.analytics import lang_char_skewkurt
+    got = lang_char_skewkurt(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(skewness(n_chars), 4) AS skew_chars,
+               round(kurtosis(n_chars), 4) AS kurt_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["n_docs"]) == list(want["n_docs"])
+    assert (got["skew_chars"].to_numpy()
+            == want["skew_chars"].to_numpy()).all()
+    assert (got["kurt_chars"].to_numpy()
+            == want["kurt_chars"].to_numpy()).all()
+
+
+def test_lang_char_skewkurt_small_groups(ray_session):
+    # n=3 group: skew defined, kurtosis NULL; n=2: both NULL; constant
+    # group: both NULL (m2 == 0)
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import lang_char_skewkurt
+    t = pa.table({
+        "lang": pa.array(["a"] * 3 + ["b"] * 2 + ["c"] * 5, pa.string()),
+        "n_chars": pa.array([10, 20, 40, 7, 9, 5, 5, 5, 5, 5], pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = lang_char_skewkurt(d).to_pandas().set_index("lang")
+    assert got.loc["a", "skew_chars"] == got.loc["a", "skew_chars"]  # not NaN
+    assert got.loc["a", "kurt_chars"] != got.loc["a", "kurt_chars"]  # NaN
+    assert got.loc["b", "skew_chars"] != got.loc["b", "skew_chars"]
+    assert got.loc["c", "skew_chars"] != got.loc["c", "skew_chars"]
