@@ -626,6 +626,14 @@ def _q_dup_graph_triangles(sf_dir: str):
     return dup_graph_triangles(sf_dir, threshold=0.3)
 
 
+def _q_pagerank_dup_graph(sf_dir: str):
+    """Iterative PageRank over the dup-pair graph (rows-only: FP power
+    iteration is not SQL-expressible; semantics pinned by the dense
+    numpy parity test in tests/test_relational2.py)."""
+    from nise_ray.ops.graph import pagerank_dup_graph
+    return pagerank_dup_graph(sf_dir, threshold=0.3, n_iter=10)
+
+
 def _q_user_first_last_event(sf_dir: str):
     from nise_ray.ops.events import user_first_last_event
     return user_first_last_event(sf_dir)
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,
         "dup_graph_triangles": _q_dup_graph_triangles,
+        "pagerank_dup_graph": _q_pagerank_dup_graph,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup_pairs": _q_semantic_dedup,
         "semantic_dedup_keep": _q_semantic_dedup_keep,

@@ -1,0 +1,126 @@
+"""Iterative graph algorithms over pair Datasets (PageRank).
+
+Connected components (ops/components.py) already exercises the
+fixed-point exchange loop; PageRank adds the WEIGHTED iterative
+dataflow: a rank vector refined over k rounds of
+scatter-along-edges / gather-by-destination, each round ONE hash
+exchange — the shape any iterative scoring (HITS, label propagation,
+harmonic centrality) reuses.
+
+Scale contract: ranks and degrees are node-count-sized Datasets, never
+driver state, EXCEPT under an explicit broadcast gate where the rank
+map rides ray.put into the scatter tasks (the node count of a dup-pair
+graph is bounded by the corpus, so the distributed path is the
+default shape; the broadcast path is the measured-crossover fast path,
+mirroring pipeline.py's verify_mode=auto design). Dangling mass and
+the teleport term are handled in closed form per round. Results are
+deterministic up to float summation order; the parity test checks
+against a dense numpy power iteration at 1e-9.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.util import collect_table
+
+
+def _undirected_edges(sf_dir: str, threshold: float, round_to: int,
+                      broadcast_max: int
+                      ) -> "tuple[pa.Table, np.ndarray]":
+    """Symmetrized (src, dst) arcs of the exact cosine-dup pair graph +
+    the sorted node universe (every vector, including isolated ones)."""
+    from nise_ray.ops.ann import _exact_pair_ds
+    # project on the driver, not via select_columns: Ray passes EMPTY
+    # blocks through map operators unprojected, so a lazy select leaves
+    # mixed (u,v,cosine)/(u,v) schemas in the stream
+    pairs = collect_table(
+        _exact_pair_ds(sf_dir, threshold, round_to, broadcast_max)) \
+        .select(["u", "v"])
+    u = pairs.column("u").to_numpy(zero_copy_only=False)
+    v = pairs.column("v").to_numpy(zero_copy_only=False)
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    nodes = collect_table(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id"])) \
+        .column("vec_id").to_numpy(zero_copy_only=False)
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())}), np.sort(nodes)
+
+
+def pagerank_dup_graph(sf_dir: str, threshold: float = 0.3,
+                       damping: float = 0.85, n_iter: int = 10,
+                       round_to: int = 6,
+                       broadcast_max: int = 1_000_000) -> pa.Table:
+    """PageRank over the exact cosine-duplicate pair graph (symmetrized):
+    rank concentrates on vectors embedded in dense near-dup
+    neighborhoods — the representative-picking signal SemDeDup-style
+    pipelines use to keep the most central member of a cluster.
+
+    Each of the `n_iter` rounds is one scatter exchange: edges keyed by
+    src carry rank/deg contributions, a hash exchange on dst sums them,
+    and the teleport + dangling terms close the round. Here the rank
+    vector rides ray.put per round (node-count gate — the query-scale
+    fast path); the edge set itself stays a Dataset and the gather is a
+    distributed map, so the exchange shape is the 10^12-node one.
+    Returns (vec_id, rank) with rank rounded to `round_to` (FP
+    summation order is not cross-engine portable; the numpy parity
+    test pins semantics instead of a SQL oracle — rows-only entry)."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    edges_t, nodes = _undirected_edges(sf_dir, threshold, round_to=4,
+                                       broadcast_max=broadcast_max)
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    # out-degree per node (0 for isolated -> dangling)
+    src_all = edges_t.column("src").to_numpy(zero_copy_only=False)
+    deg = np.bincount(np.searchsorted(nodes, src_all), minlength=n) \
+        .astype(np.float64)
+    edges = ray.data.from_arrow(edges_t)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        state_ref = ray.put((nodes, rank, deg))
+
+        def scatter(b: pa.Table) -> pa.Table:
+            nod, rk, dg = ray.get(state_ref)
+            s = np.searchsorted(nod, b.column("src")
+                                .to_numpy(zero_copy_only=False))
+            return pa.table({
+                "dst": b.column("dst"),
+                "w": pa.array(rk[s] / dg[s], pa.float64()),
+            })
+
+        def gather(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "acc": pa.array([], pa.float64())})
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("w").to_numpy(zero_copy_only=False)
+            order = np.argsort(d, kind="stable")
+            starts, _ = segments(d[order])
+            return pa.table({
+                "dst": pa.array(d[order][starts], pa.int64()),
+                "acc": pa.array(np.add.reduceat(w[order], starts),
+                                pa.float64())})
+
+        contrib = collect_table(hash_group_apply(
+            edges.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["dst"], gather, 0, sort=False))
+        acc = np.zeros(n)
+        if contrib.num_rows:
+            pos = np.searchsorted(
+                nodes, contrib.column("dst").to_numpy(zero_copy_only=False))
+            acc[pos] = contrib.column("acc").to_numpy(zero_copy_only=False)
+        dangling = rank[deg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (acc + dangling / n)
+    return pa.table({"vec_id": pa.array(nodes, pa.int64()),
+                     "rank": pa.array(np.round(rank, round_to),
+                                      pa.float64())})

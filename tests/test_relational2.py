@@ -544,3 +544,66 @@ def test_dup_graph_triangles_no_edges(ray_session):
         pq.write_table(t, os.path.join(d, "embeddings.parquet"))
         got = dup_graph_triangles(d, threshold=0.9)
     assert got.column("n_triangles")[0].as_py() == 0
+
+
+def test_pagerank_dup_graph_matches_numpy(ray_session):
+    # planted graph: K3 family, a 2-chain family, isolated node; parity
+    # vs a dense numpy power iteration with identical damping/rounds
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.graph import pagerank_dup_graph
+    vecs = ([[1.0, 0.0]] * 3          # K3: ids 0,1,2
+            + [[0.0, 1.0]] * 2        # edge: ids 3,4
+            + [[1.0, 1.0]])           # isolated: id 5
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        got = pagerank_dup_graph(d, threshold=0.9, n_iter=10,
+                                 round_to=9).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+    # dense reference
+    n, damping = 6, 0.85
+    adj = np.zeros((n, n))
+    for a, b in [(0, 1), (0, 2), (1, 2), (3, 4)]:
+        adj[a, b] = adj[b, a] = 1
+    deg = adj.sum(axis=1)
+    rank = np.full(n, 1 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if deg[s]:
+                contrib += adj[s] * (rank[s] / deg[s])
+        dangling = rank[deg == 0].sum()
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    assert np.allclose(got["rank"].to_numpy(), rank, atol=1e-8)
+    # connected nodes outrank the isolated one (which only collects the
+    # teleport + its own dangling reflux); total mass sums to 1
+    assert got["rank"][0] > got["rank"][5]
+    assert got["rank"][3] > got["rank"][5]
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_pagerank_dup_graph_empty(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.graph import pagerank_dup_graph
+    t = pa.table({
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        got = pagerank_dup_graph(d, threshold=0.9)
+    assert got.num_rows == 1
+    assert got.column("rank")[0].as_py() == 1.0
