@@ -303,3 +303,25 @@ def test_large_volume_customers_matches_duckdb(ray_session, bmax):
     assert t.num_rows == 0
     assert t.schema.names == ["c_name", "c_custkey", "o_orderkey",
                               "o_orderdate", "o_totalprice", "total_qty"]
+
+
+def test_order_priority_counts_bloom_parity(ray_session):
+    """The Bloom-prefilter semi-join mode returns exactly what both
+    exact modes return — including with a deliberately undersized
+    bitmap (64 bits for ~hundreds of keys => false positives on most
+    probes), proving the confirm join removes every false positive."""
+    from nise_ray.ops.relational import order_priority_counts
+    want = order_priority_counts(SF, broadcast_max=5_000_000).to_pandas()
+    for bits in (1 << 20, 64):
+        got = order_priority_counts(SF, semi_mode="bloom",
+                                    bloom_bits=bits).to_pandas()
+        assert list(got["o_orderpriority"]) \
+            == list(want["o_orderpriority"]), bits
+        assert list(got["n_orders"]) == list(want["n_orders"]), bits
+
+
+def test_order_priority_counts_bad_mode(ray_session):
+    from nise_ray.ops.relational import order_priority_counts
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        order_priority_counts(SF, semi_mode="nope")
