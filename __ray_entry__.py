@@ -644,6 +644,11 @@ def _q_top_suppliers_by_qty(sf_dir: str):
     return top_suppliers_by_qty(sf_dir)
 
 
+def _q_brand_supplier_counts(sf_dir: str):
+    from nise_ray.ops.relational2 import brand_supplier_counts
+    return brand_supplier_counts(sf_dir)
+
+
 def _q_token_cooccurrence(sf_dir: str):
     from nise_ray.ops.textstats import token_cooccurrence
     return token_cooccurrence(sf_dir, vocab_limit=64)
@@ -741,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "user_first_last_event": _q_user_first_last_event,
         "top_suppliers_by_qty": _q_top_suppliers_by_qty,
+        "brand_supplier_counts": _q_brand_supplier_counts,
         "token_cooccurrence": _q_token_cooccurrence,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
@@ -1624,6 +1630,16 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey)
             SELECT l_suppkey, total_qty FROM qty
             WHERE total_qty = (SELECT max(total_qty) FROM qty)
+        """,
+        "brand_supplier_counts": """
+            SELECT p_brand,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size BETWEEN 1 AND 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand
         """,
         "token_cooccurrence": """
             WITH toks AS (

@@ -734,6 +734,13 @@ def dup_graph_triangles(sf_dir: str, threshold: float = 0.3,
        single driver row. Returns (n_triangles,) as a 1-row table."""
     edges = _exact_pair_ds(sf_dir, threshold, round_to, broadcast_max) \
         .select_columns(["u", "v"])
+    # the edge set feeds BOTH the wedge exchange and the closure union;
+    # Ray Data does not share common sub-DAGs, so an unmaterialized
+    # reuse duplicates the whole scorer pipeline (two actor pools + two
+    # reads) and the doubled reservation deadlocked a 4-CPU session.
+    # One materialize of the (candidate-pair-sized, never corpus-sized)
+    # edge set is the correct barrier here.
+    edges = edges.materialize()
     from nise_ray.ops.groupapply import hash_group_apply, segments
 
     def wedges(batch: pa.Table) -> pa.Table:

@@ -676,3 +676,159 @@ def top_suppliers_by_qty(sf_dir: str, date_lo: str = "1996-01-01",
     return pa.table({"l_suppkey": pa.array(sk[order][starts][keep],
                                            pa.int64()),
                      "total_qty": pa.array(tq[keep], pa.int64())})
+
+
+def brand_supplier_counts(sf_dir: str, size_lo: int = 1, size_hi: int = 25,
+                          broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q16-shaped supplier diversity report: distinct suppliers
+    per part brand, for parts in a size window, EXCLUDING flagged
+    suppliers (NOT IN subquery — here the negative-balance proxy, the
+    synthetic schema has no comment column). Composes three primitives
+    in one query: a NOT-IN anti filter, a dimension join, and a grouped
+    COUNT DISTINCT.
+
+    Plan, both sides scale-gated: the excluded-supplier set (filter on a
+    dimension scan) broadcasts as a sorted key array into a vectorized
+    drop filter (distributed LEFT ANTI join above the gate); the
+    size-windowed part→brand map broadcasts as a sorted lookup
+    (distributed inner join above the gate) — misses are dropped, which
+    IS the inner-join/window semantics; then the distinct count is the
+    event_type_user_counts combiner shape: per-block distinct
+    (brand, suppkey) pairs, ONE brand exchange, per-segment pair count.
+    Returns (p_brand, supplier_cnt) sorted by brand."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filter=(pads.field("p_size") >= size_lo)
+               & (pads.field("p_size") <= size_hi))
+    excl = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey"],
+                                 filter=pads.field("s_acctbal") < 0.0)
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    n_supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                   columns=["s_suppkey"]).count()
+    if n_supp <= broadcast_max:
+        et = collect_table(excl)
+        ex_keys = (np.unique(et.column("s_suppkey")
+                             .to_numpy(zero_copy_only=False))
+                   if et.num_rows else np.empty(0, dtype=np.int64))
+        ex_ref = ray.put(ex_keys)
+
+        def drop_excluded(b: pa.Table) -> pa.Table:
+            ex = ray.get(ex_ref)
+            if len(ex) == 0 or b.num_rows == 0:
+                return b
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ex, sk), 0, len(ex) - 1)
+            return b.filter(pa.array(ex[pos] != sk))
+
+        drop_excluded.__name__ = "DropExcludedSuppliers"
+        li = li.map_batches(drop_excluded, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        # fabricated anti-side key -2 matches no real supplier; the li
+        # sentinel (-1) survives the anti join and dies at brand attach
+        excl_j = _anchor_sentinel(excl, {"s_suppkey": (pa.int64(), -2)})
+        li_j = _anchor_sentinel(li, {"l_partkey": (pa.int64(), -1),
+                                     "l_suppkey": (pa.int64(), -1)})
+        _hash_shuffle_on(li_j, excl_j)
+        li = li_j.join(excl_j, join_type="left_anti",
+                       num_partitions=_join_partitions(),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+
+    n_parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                    columns=["p_partkey"]).count()
+    if n_parts <= broadcast_max:
+        ptab = collect_table(part)
+        if ptab.num_rows:
+            pk = ptab.column("p_partkey").to_numpy(zero_copy_only=False)
+            order = np.argsort(pk)
+            pk = pk[order]
+            assert not (len(pk) > 1 and (pk[1:] == pk[:-1]).any()), \
+                "duplicate p_partkey in broadcast side"
+            brands = np.asarray(ptab.column("p_brand").to_pylist(),
+                                dtype=object)[order]
+        else:
+            pk = np.empty(0, dtype=np.int64)
+            brands = np.empty(0, dtype=object)
+        pref = ray.put((pk, brands))
+
+        def attach_brand(b: pa.Table) -> pa.Table:
+            keys, br = ray.get(pref)
+            if b.num_rows == 0 or len(keys) == 0:
+                return pa.table({"p_brand": pa.array([], pa.string()),
+                                 "l_suppkey": pa.array([], pa.int64())})
+            lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+            hit = keys[pos] == lpk  # out-of-window parts drop (inner join)
+            return pa.table({
+                "p_brand": pa.array(br[pos][hit].astype(object),
+                                    pa.string()),
+                "l_suppkey": b.column("l_suppkey").filter(pa.array(hit)),
+            })
+
+        attach_brand.__name__ = "AttachBrand"
+        pairs = li.map_batches(attach_brand, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        part_j = _anchor_sentinel(part, {"p_partkey": (pa.int64(), -3),
+                                         "p_brand": (pa.string(), "")})
+        _hash_shuffle_on(li, part_j)
+        pairs = li.join(part_j, join_type="inner",
+                        num_partitions=_join_partitions(),
+                        on=("l_partkey",), right_on=("p_partkey",))
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        br = b.column("p_brand").combine_chunks().dictionary_encode()
+        codes = br.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, codes))
+        sc, ss = codes[order], sk[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (sc[1:] != sc[:-1]) | (ss[1:] != ss[:-1])
+        keep = np.flatnonzero(first)
+        return pa.table({
+            "p_brand": br.dictionary.take(pa.array(sc[keep]))
+            .cast(pa.string()),
+            "l_suppkey": pa.array(ss[keep], pa.int64()),
+        })
+
+    pre = pairs.map_batches(distinct_pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def count_distinct(batch: pa.Table) -> pa.Table:
+        out = distinct_pairs(batch)
+        if out.num_rows == 0:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "supplier_cnt": pa.array([], pa.int64())})
+        br = out.column("p_brand").combine_chunks().dictionary_encode()
+        codes = br.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts, counts = segments(codes[order])
+        return pa.table({
+            "p_brand": br.dictionary.take(pa.array(codes[order][starts]))
+            .cast(pa.string()),
+            "supplier_cnt": pa.array(counts, pa.int64()),
+        })
+
+    out = collect_table(hash_group_apply(pre, ["p_brand"], count_distinct,
+                                         0, sort=False))
+    # a fully-empty result collects column-less (empty-block pass-through)
+    if out.num_rows == 0 or "p_brand" not in out.schema.names:
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "supplier_cnt": pa.array([], pa.int64())})
+    # sentinel brand '' (join path) carries no real pair; drop if present
+    keep = np.asarray([x != "" for x in
+                       out.column("p_brand").to_pylist()])
+    out = out.filter(pa.array(keep))
+    return out.sort_by([("p_brand", "ascending")])

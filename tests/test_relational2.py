@@ -607,3 +607,29 @@ def test_pagerank_dup_graph_empty(ray_session):
         got = pagerank_dup_graph(d, threshold=0.9)
     assert got.num_rows == 1
     assert got.column("rank")[0].as_py() == 1.0
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_brand_supplier_counts_matches_duckdb(ray_session, bmax):
+    from nise_ray.ops.relational2 import brand_supplier_counts
+    got = brand_supplier_counts(SF, broadcast_max=bmax).to_pandas() \
+        .reset_index(drop=True)
+    want = _con().execute("""
+        SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size BETWEEN 1 AND 25
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand ORDER BY p_brand
+    """).fetchdf()
+    assert list(got["p_brand"]) == list(want["p_brand"])
+    assert list(got["supplier_cnt"]) == list(want["supplier_cnt"])
+
+
+@pytest.mark.parametrize("bmax", PATHS)
+def test_brand_supplier_counts_empty_window(ray_session, bmax):
+    from nise_ray.ops.relational2 import brand_supplier_counts
+    got = brand_supplier_counts(SF, size_lo=900, size_hi=999,
+                                broadcast_max=bmax)
+    assert got.num_rows == 0
