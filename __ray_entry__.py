@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_lang_doc_share(sf_dir: str):
+    from nise_ray.ops.analytics import lang_doc_share
+    return lang_doc_share(sf_dir)
+
+
 def _q_lang_char_skewkurt(sf_dir: str):
     from nise_ray.ops.analytics import lang_char_skewkurt
     return lang_char_skewkurt(sf_dir)
@@ -719,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_doc_counts": _q_cube_doc_counts,
         "lang_char_moments": _q_lang_char_moments,
         "lang_char_skewkurt": _q_lang_char_skewkurt,
+        "lang_doc_share": _q_lang_doc_share,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1606,6 +1612,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    round(skewness(n_chars), 4) AS skew_chars,
                    round(kurtosis(n_chars), 4) AS kurt_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_doc_share": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS DOUBLE) / (sum(count(*)) OVER ())
+                     AS share
             FROM documents GROUP BY lang
         """,
         "user_first_last_event": """

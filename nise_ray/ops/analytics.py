@@ -890,3 +890,51 @@ def lang_char_skewkurt(sf_dir: str) -> pa.Table:
         "kurt_chars": pa.array(np.round(G2, 4), pa.float64(),
                                mask=~kurt_ok),
     })
+
+
+def lang_doc_share(sf_dir: str) -> pa.Table:
+    """RATIO-TO-REPORT window (value / SUM(value) OVER ()): each
+    language's share of the corpus — the percent-of-total attach every
+    mixture-weighting pipeline computes before sampling. Counts are
+    exact int64, so the share is ONE double division of exact integers
+    and hashes bit-exact cross-engine with no rounding.
+
+    Plan: per-block language counts (combiner, group-count-sized
+    partials), a driver merge, and the grand total from the same
+    partials — zero exchanges; the window 'partition' is the whole
+    relation, so the total is a scalar broadcast by construction.
+    Returns (lang, n_docs, share) sorted by lang."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    from nise_ray.ops.groupapply import segments
+    from nise_ray.util import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = b.column("lang").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts, counts = segments(codes[order])
+        return pa.table({
+            "lang": enc.take(pa.array(order[starts])).cast(pa.string()),
+            "n": pa.array(counts, pa.int64())})
+
+    partials = collect_table(ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
+    if partials.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64())})
+    langs = np.asarray(partials.column("lang").to_pylist(), dtype=object)
+    n = partials.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(langs, kind="stable")
+    starts, _ = segments(np.unique(langs, return_inverse=True)[1][order])
+    merged = np.add.reduceat(n[order], starts)
+    total = merged.sum()
+    return pa.table({
+        "lang": pa.array(langs[order][starts].astype(object), pa.string()),
+        "n_docs": pa.array(merged, pa.int64()),
+        "share": pa.array(merged.astype(np.float64) / total, pa.float64()),
+    })

@@ -429,3 +429,24 @@ def test_lang_char_skewkurt_small_groups(ray_session):
     assert got.loc["a", "kurt_chars"] != got.loc["a", "kurt_chars"]  # NaN
     assert got.loc["b", "skew_chars"] != got.loc["b", "skew_chars"]
     assert got.loc["c", "skew_chars"] != got.loc["c", "skew_chars"]
+
+
+def test_lang_doc_share_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from nise_ray.ops.analytics import lang_doc_share
+    got = lang_doc_share(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) AS DOUBLE) / (sum(count(*)) OVER ()) AS share
+        FROM documents GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["n_docs"]) == list(want["n_docs"])
+    # exact-int division: bit-identical, no tolerance
+    assert (got["share"].to_numpy() == want["share"].to_numpy()).all()
+    assert abs(got["share"].sum() - 1.0) < 1e-12
