@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_normalized_docs(sf_dir: str):
+    from nise_ray.ops.normalize import normalize_documents
+    return normalize_documents(sf_dir)
+
+
 def _q_lang_doc_share(sf_dir: str):
     from nise_ray.ops.analytics import lang_doc_share
     return lang_doc_share(sf_dir)
@@ -725,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_moments": _q_lang_char_moments,
         "lang_char_skewkurt": _q_lang_char_skewkurt,
         "lang_doc_share": _q_lang_doc_share,
+        "normalized_docs": _q_normalized_docs,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1619,6 +1625,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / (sum(count(*)) OVER ())
                      AS share
             FROM documents GROUP BY lang
+        """,
+        "normalized_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(nfc_normalize(text),
+                                       '[ \t\r\f\v]+', ' ', 'g'),
+                        ' ' || chr(9) || chr(10) || chr(13)
+                            || chr(12) || chr(11)) AS norm_text
+            FROM documents
         """,
         "user_first_last_event": """
             SELECT DISTINCT user_id,

@@ -195,3 +195,54 @@ def batch_shingle_hashes(flat_h: np.ndarray, offsets: np.ndarray,
     n_sh = np.bincount(r[keep], minlength=n).astype(np.int64)
     np.cumsum(n_sh, out=out_offsets[1:])
     return ff, out_offsets
+
+
+def batch_normalize(arr: "object") -> "object":
+    """Column-level ``normalize_text``: NFC + [ \\t\\r\\f\\v]+ -> ' ' +
+    strip, one Arrow kernel pass per step. ASCII rows stay fully in
+    Arrow (NFC is the identity on ASCII); rows that are non-ASCII or
+    carry the ASCII control whitespace Python's strip() removes but
+    Unicode's White_Space property excludes (\\x1c-\\x1f) take the
+    per-row reference path (this build's pc.utf8_normalize composes
+    nothing — see batch_token_hashes). Parity with normalize_text is
+    hypothesis-tested."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    is_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    has_ctl = pc.match_substring_regex(arr, r"[\x1c-\x1f]") \
+        .to_numpy(zero_copy_only=False)
+    ref_rows = np.flatnonzero(~is_ascii | has_ctl)
+    if len(ref_rows):
+        vals = arr.to_pylist()
+        for i in ref_rows:
+            vals[i] = normalize_text(vals[i])
+        arr = pa.array(vals, pa.string())
+        # reference rows are fully normalized already; the Arrow passes
+        # below are idempotent on them (no runs/edges left to rewrite)
+    collapsed = pc.replace_substring_regex(arr, pattern=r"[ \t\r\f\v]+",
+                                           replacement=" ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def normalize_documents(sf_dir: str) -> "object":
+    """The §3.2 normalizer as a standalone ORACLED query:
+    (doc_id, norm_text) over the documents table — DuckDB reproduces
+    the pinned semantics as
+    trim(regexp_replace(nfc_normalize(text), '[ \\t\\r\\f\\v]+', ' ',
+    'g'), <ascii whitespace set>). Stateless zero-copy map_batches."""
+    import pyarrow as pa
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "norm_text": batch_normalize(b.column("text"))})
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -201,3 +201,15 @@ def test_pack_group_invariants(rows, budget):
         m = seq_arr == s
         if w[m].sum() > budget:
             assert m.sum() == 1
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2060),
+    max_size=60), min_size=0, max_size=20))
+@settings(max_examples=120, deadline=None)
+def test_batch_normalize_matches_reference(texts):
+    import pyarrow as pa
+
+    from nise_ray.ops.normalize import batch_normalize, normalize_text
+    got = batch_normalize(pa.array(texts, pa.string())).to_pylist()
+    assert got == [normalize_text(t) for t in texts]
