@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_lang_mad_chars(sf_dir: str):
+    from nise_ray.ops.events import lang_mad_chars
+    return lang_mad_chars(sf_dir)
+
+
 def _q_normalized_docs(sf_dir: str):
     from nise_ray.ops.normalize import normalize_documents
     return normalize_documents(sf_dir)
@@ -731,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_skewkurt": _q_lang_char_skewkurt,
         "lang_doc_share": _q_lang_doc_share,
         "normalized_docs": _q_normalized_docs,
+        "lang_mad_chars": _q_lang_mad_chars,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1624,6 +1630,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(*) AS DOUBLE) / (sum(count(*)) OVER ())
                      AS share
+            FROM documents GROUP BY lang
+        """,
+        "lang_mad_chars": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(median(n_chars), 4) AS median_chars,
+                   round(mad(n_chars), 4) AS mad_chars
             FROM documents GROUP BY lang
         """,
         "normalized_docs": """

@@ -262,3 +262,48 @@ def test_user_top_event_match_python(ray_session):
         c = per_user[uid]
         best = min((e for e in c if c[e] == max(c.values()))), max(c.values())
         assert (top, n) == (best[0], best[1])
+
+
+def test_lang_mad_chars_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.events import lang_mad_chars
+    got = lang_mad_chars(SF).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(median(n_chars), 4) AS median_chars,
+               round(mad(n_chars), 4) AS mad_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["n_docs"]) == list(want["n_docs"])
+    assert (got["median_chars"].to_numpy()
+            == want["median_chars"].to_numpy()).all()
+    assert (got["mad_chars"].to_numpy()
+            == want["mad_chars"].to_numpy()).all()
+
+
+def test_lang_mad_chars_planted(ray_session):
+    # hand-computed: [1,1,2,10] -> median 1.5, deviations [.5,.5,.5,8.5]
+    # -> mad 0.5; singleton group -> mad 0
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.events import lang_mad_chars
+    t = pa.table({
+        "lang": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "n_chars": pa.array([1, 1, 2, 10, 5], pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = lang_mad_chars(d).to_pandas().set_index("lang")
+    assert got.loc["a", "median_chars"] == 1.5
+    assert got.loc["a", "mad_chars"] == 0.5
+    assert got.loc["b", "mad_chars"] == 0.0
