@@ -616,6 +616,16 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_user_value_trend(sf_dir: str):
+    from nise_ray.ops.analytics import user_value_trend
+    return user_value_trend(sf_dir)
+
+
+def _q_user_event_entropy(sf_dir: str):
+    from nise_ray.ops.analytics import user_event_entropy
+    return user_event_entropy(sf_dir)
+
+
 def _q_lang_mad_chars(sf_dir: str):
     from nise_ray.ops.events import lang_mad_chars
     return lang_mad_chars(sf_dir)
@@ -737,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_share": _q_lang_doc_share,
         "normalized_docs": _q_normalized_docs,
         "lang_mad_chars": _q_lang_mad_chars,
+        "user_value_trend": _q_user_value_trend,
+        "user_event_entropy": _q_user_event_entropy,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1631,6 +1643,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) / (sum(count(*)) OVER ())
                      AS share
             FROM documents GROUP BY lang
+        """,
+        "user_value_trend": """
+            SELECT user_id, CAST(count(value) AS BIGINT) AS n_pairs,
+                   round(regr_slope(value,
+                         (epoch_us(ts) % 86400000000) / 1000000.0), 4)
+                     AS slope,
+                   round(regr_intercept(value,
+                         (epoch_us(ts) % 86400000000) / 1000000.0), 4)
+                     AS intercept
+            FROM events GROUP BY user_id
+        """,
+        "user_event_entropy": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(entropy(event_type), 4) AS type_entropy
+            FROM events GROUP BY user_id
         """,
         "lang_mad_chars": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -938,3 +938,163 @@ def lang_doc_share(sf_dir: str) -> pa.Table:
         "n_docs": pa.array(merged, pa.int64()),
         "share": pa.array(merged.astype(np.float64) / total, pa.float64()),
     })
+
+
+def user_value_trend(sf_dir: str) -> pa.Table:
+    """Grouped LINEAR REGRESSION (regr_slope / regr_intercept): per
+    user, the least-squares trend of event value over second-of-day —
+    the drift detector a metrics pipeline fits per segment, and the
+    regression-family completion of value_time_correlation (same
+    mergeable cross-moment sums, one fewer power). Combiner shape: each
+    block emits (user, n, Σx, Σy, Σxy, Σx²) rows, one user exchange
+    merges them, the driver closes slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²) and
+    intercept = ȳ − slope·x̄ (DuckDB's formulas, verified to 1e-15;
+    round(,4) heals summation order). x is bounded in [0, 86400) so the
+    direct sums stay well-conditioned. NULL pairs are skipped like
+    SQL's regr_*; NULL slope/intercept for degenerate (constant-x or
+    n<2) groups. Returns (user_id, n_pairs, slope, intercept)."""
+    import ray as _ray
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = _ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "ts", "value"])
+    DAY_US = 86_400_000_000
+    COLS = ("n", "sx", "sy", "sxy", "sxx")
+    _EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                       **{c: pa.array([], pa.float64()) for c in COLS}})
+
+    def _sum_by_user(uid: np.ndarray, vals: "dict[str, np.ndarray]"):
+        order = np.argsort(uid, kind="stable")
+        starts, _ = segments(uid[order])
+        return pa.table({
+            "user_id": pa.array(uid[order][starts], pa.int64()),
+            **{c: pa.array(np.add.reduceat(vals[c][order], starts),
+                           pa.float64()) for c in COLS},
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = np.fmod(ts, DAY_US).astype(np.float64) / 1e6
+        y = b.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        valid = ~np.isnan(y)
+        xv = np.where(valid, x, 0.0)
+        yv = np.where(valid, y, 0.0)
+        return _sum_by_user(uid, {
+            "n": valid.astype(np.float64), "sx": xv, "sy": yv,
+            "sxy": xv * yv, "sxx": xv * xv})
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        return _sum_by_user(
+            b.column("user_id").to_numpy(zero_copy_only=False),
+            {c: b.column(c).to_numpy(zero_copy_only=False) for c in COLS})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    t = collect_table(hash_group_apply(partials, ["user_id"], merge, 0,
+                                       sort=False))
+    if t.num_rows == 0 or "user_id" not in t.schema.names:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "slope": pa.array([], pa.float64()),
+                         "intercept": pa.array([], pa.float64())})
+    v = {c: t.column(c).to_numpy(zero_copy_only=False) for c in COLS}
+    den = v["n"] * v["sxx"] - v["sx"] ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(den > 0,
+                         (v["n"] * v["sxy"] - v["sx"] * v["sy"]) / den,
+                         np.nan)
+        intercept = np.where(den > 0,
+                             v["sy"] / v["n"] - slope * v["sx"] / v["n"],
+                             np.nan)
+    out = pa.table({
+        "user_id": t.column("user_id"),
+        "n_pairs": pa.array(v["n"].astype(np.int64), pa.int64()),
+        "slope": pa.array(np.round(slope, 4), pa.float64()),
+        "intercept": pa.array(np.round(intercept, 4), pa.float64()),
+    })
+    return out.sort_by([("user_id", "ascending")])
+
+
+def user_event_entropy(sf_dir: str) -> pa.Table:
+    """Grouped CATEGORICAL ENTROPY: per user, the Shannon entropy (log2)
+    of their event-type mix — the behavioral-diversity signal (0 = one
+    event type, log2(k) = uniform over k types), matching DuckDB's
+    entropy() aggregate. Combiner shape: per-block (user, type) counts
+    (distinct-pair-bounded partials), one user exchange, per-segment
+    H = log2(n) − Σ c·log2(c) / n — exact integer counts into one
+    closed form, round(,4) for cross-engine log noise. Returns
+    (user_id, n_events, type_entropy)."""
+    import ray as _ray
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = _ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "event_type"])
+    _EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                       "event_type": pa.array([], pa.string()),
+                       "cnt": pa.array([], pa.int64())})
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, uid))
+        su, sc = uid[order], codes[order]
+        change = np.empty(len(order), dtype=bool)
+        change[0] = True
+        change[1:] = (su[1:] != su[:-1]) | (sc[1:] != sc[:-1])
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            "user_id": pa.array(su[starts], pa.int64()),
+            "event_type": et.dictionary.take(pa.array(sc[starts]))
+            .cast(pa.string()),
+            "cnt": pa.array(cnt, pa.int64())})
+
+    def entropy_merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "type_entropy": pa.array([], pa.float64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, uid))
+        su, sc, scnt = uid[order], codes[order], cnt[order]
+        # merge split partials of the same (user, type) first
+        change = np.empty(len(order), dtype=bool)
+        change[0] = True
+        change[1:] = (su[1:] != su[:-1]) | (sc[1:] != sc[:-1])
+        pstarts = np.flatnonzero(change)
+        c = np.add.reduceat(scnt, pstarts).astype(np.float64)
+        pu = su[pstarts]
+        ustarts, _ = segments(pu)
+        n = np.add.reduceat(c, ustarts)
+        clog = np.add.reduceat(c * np.log2(c), ustarts)
+        h = np.log2(n) - clog / n
+        return pa.table({
+            "user_id": pa.array(pu[ustarts], pa.int64()),
+            "n_events": pa.array(n.astype(np.int64), pa.int64()),
+            "type_entropy": pa.array(np.round(h, 4), pa.float64())})
+
+    partials = ds.map_batches(pair_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    t = collect_table(hash_group_apply(partials, ["user_id"],
+                                       entropy_merge, 0, sort=False))
+    if t.num_rows == 0 or "user_id" not in t.schema.names:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "type_entropy": pa.array([], pa.float64())})
+    return t.sort_by([("user_id", "ascending")])

@@ -450,3 +450,75 @@ def test_lang_doc_share_matches_duckdb(ray_session):
     # exact-int division: bit-identical, no tolerance
     assert (got["share"].to_numpy() == want["share"].to_numpy()).all()
     assert abs(got["share"].sum() - 1.0) < 1e-12
+
+
+def test_user_value_trend_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from nise_ray.ops.analytics import user_value_trend
+    got = user_value_trend(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute("""
+        SELECT user_id, CAST(count(value) AS BIGINT) AS n_pairs,
+               round(regr_slope(value,
+                     (epoch_us(ts) % 86400000000) / 1000000.0), 4) AS slope,
+               round(regr_intercept(value,
+                     (epoch_us(ts) % 86400000000) / 1000000.0), 4)
+                 AS intercept
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).fetchdf()
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["n_pairs"]) == list(want["n_pairs"])
+    for c in ("slope", "intercept"):
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert (np.isnan(g) == np.isnan(w)).all()
+        m = ~np.isnan(g)
+        assert (g[m] == w[m]).all(), c
+
+
+def test_user_value_trend_degenerate(ray_session):
+    # constant-x group -> NULL slope/intercept (regr_* semantics)
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics import user_value_trend
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([5_000_000, 5_000_000, 9_000_000],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 3.0, 7.0], pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = user_value_trend(d).to_pandas().set_index("user_id")
+    assert np.isnan(got.loc[1, "slope"]) and np.isnan(got.loc[2, "slope"])
+
+
+def test_user_event_entropy_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.analytics import user_event_entropy
+    got = user_event_entropy(SF).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(entropy(event_type), 4) AS type_entropy
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).fetchdf()
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert (got["type_entropy"].to_numpy()
+            == want["type_entropy"].to_numpy()).all()
+    # diversity bounds: 0 <= H <= log2(5) for a 5-type vocabulary
+    import numpy as np
+    assert (got["type_entropy"] >= 0).all()
+    assert (got["type_entropy"] <= np.log2(5) + 1e-9).all()
