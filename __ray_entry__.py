@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_user_props_bitmask(sf_dir: str):
+    from nise_ray.ops.strings import user_props_bitmask
+    return user_props_bitmask(sf_dir)
+
+
 def _q_user_value_trend(sf_dir: str):
     from nise_ray.ops.analytics import user_value_trend
     return user_value_trend(sf_dir)
@@ -749,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mad_chars": _q_lang_mad_chars,
         "user_value_trend": _q_user_value_trend,
         "user_event_entropy": _q_user_event_entropy,
+        "user_props_bitmask": _q_user_props_bitmask,
         "user_value_quartiles": _q_user_value_quartiles,
         "snapshot_diff_docs": _q_snapshot_diff,
         "top_doc_terms": _q_top_doc_terms,
@@ -1658,6 +1664,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    round(entropy(event_type), 4) AS type_entropy
             FROM events GROUP BY user_id
+        """,
+        "user_props_bitmask": """
+            WITH k AS (
+                SELECT user_id,
+                       CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                                   '') AS BIGINT) AS kv
+                FROM events)
+            SELECT user_id, CAST(count(kv) AS BIGINT) AS n_k,
+                   CAST(bit_or(kv) AS BIGINT) AS k_or,
+                   CAST(bit_and(kv) AS BIGINT) AS k_and,
+                   CAST(bit_xor(kv) AS BIGINT) AS k_xor
+            FROM k GROUP BY user_id
         """,
         "lang_mad_chars": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -135,3 +135,79 @@ def edit_distance_pairs(sf_dir: str, k: int = 30) -> "ray.data.Dataset":
         PairScorer, fn_constructor_kwargs={"ref": blob_ref},
         batch_size=64, concurrency=default_concurrency(0.5),
         batch_format="pyarrow")
+
+
+def user_props_bitmask(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped BITWISE aggregates (bit_or / bit_and / bit_xor) over the
+    regex-extracted `k` field, per user — the flag-accumulation family
+    (capability masks, feature bitsets) completing the aggregate
+    inventory; all three are order-independent on exact ints so the
+    comparison is bit-exact by construction.
+
+    Plan: each block extracts k once (shared RE2 pattern) and
+    pre-reduces to per-user partial masks via three reduceat sweeps; ONE
+    user exchange merges partials with the same associative ops. NULL k
+    rows are skipped like SQL aggregates (identity elements 0 / ~0 / 0);
+    all-NULL users emit NULL masks."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "props"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    _EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                       "n_k": pa.array([], pa.int64()),
+                       "k_or": pa.array([], pa.int64()),
+                       "k_and": pa.array([], pa.int64()),
+                       "k_xor": pa.array([], pa.int64())})
+
+    def _reduce(uid: np.ndarray, n: np.ndarray, kor: np.ndarray,
+                kand: np.ndarray, kxor: np.ndarray) -> pa.Table:
+        order = np.argsort(uid, kind="stable")
+        starts, _ = segments(uid[order])
+        return pa.table({
+            "user_id": pa.array(uid[order][starts], pa.int64()),
+            "n_k": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+            "k_or": pa.array(np.bitwise_or.reduceat(kor[order], starts),
+                             pa.int64()),
+            "k_and": pa.array(np.bitwise_and.reduceat(kand[order], starts),
+                              pa.int64()),
+            "k_xor": pa.array(np.bitwise_xor.reduceat(kxor[order], starts),
+                              pa.int64()),
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        hit = pc.extract_regex(b.column("props"), _K_FIELD)
+        k = pc.struct_field(hit, "k").cast(pa.int64())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = k.fill_null(0).to_numpy(zero_copy_only=False)
+        return _reduce(uid, valid.astype(np.int64),
+                       np.where(valid, kv, 0),
+                       np.where(valid, kv, -1),  # ~0: bit_and identity
+                       np.where(valid, kv, 0))
+
+    def merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        out = _reduce(b.column("user_id").to_numpy(zero_copy_only=False),
+                      b.column("n_k").to_numpy(zero_copy_only=False),
+                      b.column("k_or").to_numpy(zero_copy_only=False),
+                      b.column("k_and").to_numpy(zero_copy_only=False),
+                      b.column("k_xor").to_numpy(zero_copy_only=False))
+        # SQL aggregates over an all-NULL group are NULL
+        n = out.column("n_k").to_numpy(zero_copy_only=False)
+        if (n == 0).any():
+            mask = pa.array(n == 0)
+            import pyarrow.compute as _pc
+            cols = {"user_id": out.column("user_id"),
+                    "n_k": out.column("n_k")}
+            for c in ("k_or", "k_and", "k_xor"):
+                cols[c] = _pc.if_else(mask, pa.nulls(len(n), pa.int64()),
+                                      out.column(c))
+            out = pa.table(cols)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_group_apply(partials, ["user_id"], merge, 0, sort=False)

@@ -633,3 +633,46 @@ def test_brand_supplier_counts_empty_window(ray_session, bmax):
     got = brand_supplier_counts(SF, size_lo=900, size_hi=999,
                                 broadcast_max=bmax)
     assert got.num_rows == 0
+
+
+def test_user_props_bitmask_matches_duckdb(ray_session):
+    from nise_ray.ops.strings import user_props_bitmask
+    got = user_props_bitmask(SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = _con().execute("""
+        WITH k AS (
+            SELECT user_id,
+                   CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                               '') AS BIGINT) AS kv
+            FROM events)
+        SELECT user_id, CAST(count(kv) AS BIGINT) AS n_k,
+               CAST(bit_or(kv) AS BIGINT) AS k_or,
+               CAST(bit_and(kv) AS BIGINT) AS k_and,
+               CAST(bit_xor(kv) AS BIGINT) AS k_xor
+        FROM k GROUP BY user_id ORDER BY user_id
+    """).fetchdf()
+    for c in ["user_id", "n_k", "k_or", "k_and", "k_xor"]:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_user_props_bitmask_all_null_group(ray_session):
+    # a user whose props never match the pattern -> NULL masks, n_k=0
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.strings import user_props_bitmask
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "props": pa.array(['{"k": 5}', '{"k": 3}', "no digits here"],
+                          pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = user_props_bitmask(d).to_pandas().set_index("user_id")
+    assert got.loc[1, "k_or"] == 7 and got.loc[1, "k_and"] == 1
+    assert got.loc[1, "k_xor"] == 6 and got.loc[1, "n_k"] == 2
+    assert got.loc[2, "n_k"] == 0
+    assert got.loc[2, "k_or"] != got.loc[2, "k_or"]  # NULL -> NaN
