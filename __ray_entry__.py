@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_dedup_rate_by_source(sf_dir: str):
+    from nise_ray.ops.dedupx import dedup_rate_by_source
+    return dedup_rate_by_source(sf_dir)
+
+
 def _q_user_props_bitmask(sf_dir: str):
     from nise_ray.ops.strings import user_props_bitmask
     return user_props_bitmask(sf_dir)
@@ -703,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_pairs": _q_source_overlap,
         "decontaminate_docs": _q_decontaminate,
         "dedup_flagship": _q_dedup_flagship,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
         "ann_topk": _q_ann_topk,
@@ -1664,6 +1670,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    round(entropy(event_type), 4) AS type_entropy
             FROM events GROUP BY user_id
+        """,
+        "dedup_rate_by_source": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT sha256(text)) AS BIGINT)
+                     AS n_distinct,
+                   1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE)
+                         / count(*) AS dup_rate
+            FROM documents GROUP BY source
         """,
         "user_props_bitmask": """
             WITH k AS (

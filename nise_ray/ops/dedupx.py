@@ -223,3 +223,80 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
     # no output sort: the pair SET is deterministic; a global sort on the
     # output is pure cosmetics (consumers sort slices as needed)
     return mapped
+
+
+def dedup_rate_by_source(sf_dir: str) -> "ray.data.Dataset":
+    """Per-SOURCE exact-duplicate rate: (source, n_docs, n_distinct,
+    dup_rate) — the dedup health readout a corpus-intake pipeline
+    publishes per provider (which crawl/source ships the most exact
+    copies). dup_rate = 1 - n_distinct/n_docs is one double division of
+    exact int64 counts, so the oracle comparison is bit-exact.
+
+    Plan: each block collapses to distinct (source, sha256) pairs plus
+    its row count per source (combiner — the exchange carries at most
+    |distinct pairs| rows, never corpus rows; full 32-byte digests ride
+    as fixed-size binary, hex only in SQL); ONE hash exchange on source
+    finishes distinct counts per segment. Same shape as the engine's
+    exact-dup grouper, reread as an aggregate."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    _EMPTY = pa.table({"source": pa.array([], pa.string()),
+                       "sha": pa.array([], pa.binary(32)),
+                       "cnt": pa.array([], pa.int64())})
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        texts = b.column("text").to_pylist()
+        shas = np.array([hashlib.sha256(t.encode()).digest()
+                         for t in texts], dtype=object)
+        src = b.column("source").combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((shas, codes))
+        sc, ss = codes[order], shas[order]
+        change = np.empty(len(order), dtype=bool)
+        change[0] = True
+        change[1:] = (sc[1:] != sc[:-1]) | (ss[1:] != ss[:-1])
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.append(starts, len(order)))
+        return pa.table({
+            "source": src.dictionary.take(pa.array(sc[starts]))
+            .cast(pa.string()),
+            "sha": pa.array(list(ss[starts]), pa.binary(32)),
+            "cnt": pa.array(cnt, pa.int64())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "dup_rate": pa.array([], pa.float64())})
+        src = batch.column("source").combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        shas = np.array(batch.column("sha").to_pylist(), dtype=object)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((shas, codes))
+        sc, ss, scnt = codes[order], shas[order], cnt[order]
+        pair_first = np.empty(len(order), dtype=bool)
+        pair_first[0] = True
+        pair_first[1:] = (sc[1:] != sc[:-1]) | (ss[1:] != ss[:-1])
+        starts, _ = segments(sc)
+        n_docs = np.add.reduceat(scnt, starts)
+        n_distinct = np.add.reduceat(pair_first.astype(np.int64), starts)
+        dup = 1.0 - n_distinct.astype(np.float64) / n_docs
+        return pa.table({
+            "source": src.dictionary.take(pa.array(sc[starts]))
+            .cast(pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_rate": pa.array(dup, pa.float64())})
+
+    pre = ds.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return hash_group_apply(pre, ["source"], finish, 0, sort=False)

@@ -506,3 +506,24 @@ def test_value_time_correlation_matches_numpy(ray_session):
         expect = np.corrcoef(x[m], y[m])[0, 1]
         assert abs(r - expect) < 2e-4  # engine rounds to 4
         assert -1.0 <= r <= 1.0
+
+
+def test_dedup_rate_by_source_planted(ray_session):
+    # planted: source A has 3 docs / 2 distinct texts; B all unique
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.dedupx import dedup_rate_by_source
+    t = pa.table({
+        "source": pa.array(["A", "A", "A", "B", "B"], pa.string()),
+        "text": pa.array(["x", "x", "y", "p", "q"], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = dedup_rate_by_source(d).to_pandas().set_index("source")
+    assert got.loc["A", "n_docs"] == 3 and got.loc["A", "n_distinct"] == 2
+    assert got.loc["A", "dup_rate"] == 1.0 - 2.0 / 3.0
+    assert got.loc["B", "dup_rate"] == 0.0
