@@ -616,6 +616,11 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir, k=30)
 
 
+def _q_zipf_fit(sf_dir: str):
+    from nise_ray.ops.textstats import zipf_fit
+    return zipf_fit(sf_dir)
+
+
 def _q_dedup_rate_by_source(sf_dir: str):
     from nise_ray.ops.dedupx import dedup_rate_by_source
     return dedup_rate_by_source(sf_dir)
@@ -766,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_doc_terms": _q_top_doc_terms,
         "user_event_stats": _q_user_event_stats,
         "top_tokens": _q_top_tokens,
+        "zipf_fit": _q_zipf_fit,
         "top_tokens_sketch": _q_top_tokens_sketch,
         "top_docs_by_len": _q_top_docs_by_len,
         "event_type_user_counts": _q_event_type_user_counts,
@@ -1670,6 +1676,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    round(entropy(event_type), 4) AS type_entropy
             FROM events GROUP BY user_id
+        """,
+        "zipf_fit": """
+            WITH counts AS (
+                SELECT tok, count(*) AS n FROM (
+                    SELECT unnest(regexp_extract_all(text,
+                                  '[A-Za-z0-9_]+')) AS tok
+                    FROM documents) t
+                WHERE tok <> '' GROUP BY tok),
+            ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+                FROM counts)
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   round(regr_slope(log2(n), log2(rnk)), 4) AS zipf_slope,
+                   round(regr_intercept(log2(n), log2(rnk)), 4)
+                     AS zipf_intercept
+            FROM ranked
         """,
         "dedup_rate_by_source": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

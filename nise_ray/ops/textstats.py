@@ -9,6 +9,7 @@ possible — see __ray_entry__.oracle_sql.
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 
 import numpy as np
@@ -872,3 +873,40 @@ def token_cooccurrence(sf_dir: str, vocab_limit: int = 64
         })
 
     return hash_group_apply(partials, ["pair"], merge, 0, sort=False)
+
+
+def zipf_fit(sf_dir: str, max_types: int = 100_000) -> pa.Table:
+    """ZIPF-LAW fit over the corpus token frequency distribution:
+    least-squares slope/intercept of log2(count) vs log2(rank) — the
+    exponent a corpus-statistics report quotes (natural text ~ -1;
+    flatter means an artificial/templated vocabulary). Reuses the exact
+    heavy-hitter combiner (vocabulary-sized exchange, count-desc/token
+    tie-break identical to the SQL row_number ranking); the fit itself
+    runs on the type-count-sized driver table with DuckDB's
+    regr_slope/regr_intercept closed form (verified 1e-15; round(,4)).
+    `max_types` bounds the driver table — vocabularies past the cap get
+    the fit over the TOP max_types ranks only (logged, not silent).
+    Returns one row (n_types, zipf_slope, zipf_intercept)."""
+    t = top_tokens(sf_dir, k=max_types)
+    m = t.num_rows
+    if m < 2:
+        return pa.table({"n_types": pa.array([m], pa.int64()),
+                         "zipf_slope": pa.array([None], pa.float64()),
+                         "zipf_intercept": pa.array([None], pa.float64())})
+    if m == max_types:
+        logging.getLogger(__name__).warning(
+            "zipf_fit: vocabulary hit the max_types=%d cap — fitting the "
+            "top ranks only", max_types)
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    x = np.log2(np.arange(1, m + 1, dtype=np.float64))
+    y = np.log2(n)
+    sx, sy = x.sum(), y.sum()
+    den = m * (x * x).sum() - sx * sx
+    slope = (m * (x * y).sum() - sx * sy) / den
+    intercept = sy / m - slope * sx / m
+    return pa.table({
+        "n_types": pa.array([m], pa.int64()),
+        "zipf_slope": pa.array([round(float(slope), 4)], pa.float64()),
+        "zipf_intercept": pa.array([round(float(intercept), 4)],
+                                   pa.float64()),
+    })

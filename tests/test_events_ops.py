@@ -307,3 +307,32 @@ def test_lang_mad_chars_planted(ray_session):
     assert got.loc["a", "median_chars"] == 1.5
     assert got.loc["a", "mad_chars"] == 0.5
     assert got.loc["b", "mad_chars"] == 0.0
+
+
+def test_zipf_fit_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.textstats import zipf_fit
+    got = zipf_fit(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH counts AS (
+            SELECT tok, count(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS tok FROM documents) t
+            WHERE tok <> '' GROUP BY tok),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+            FROM counts)
+        SELECT CAST(count(*) AS BIGINT) AS n_types,
+               round(regr_slope(log2(n), log2(rnk)), 4) AS zipf_slope,
+               round(regr_intercept(log2(n), log2(rnk)), 4)
+                 AS zipf_intercept
+        FROM ranked
+    """).fetchdf()
+    assert got["n_types"][0] == want["n_types"][0]
+    assert got["zipf_slope"][0] == want["zipf_slope"][0]
+    assert got["zipf_intercept"][0] == want["zipf_intercept"][0]
+    assert got["zipf_slope"][0] < 0  # frequency decreases with rank
