@@ -626,6 +626,11 @@ def _q_dedup_rate_by_source(sf_dir: str):
     return dedup_rate_by_source(sf_dir)
 
 
+def _q_chunk_dedup(sf_dir: str):
+    from nise_ray.ops.dedupx import chunk_dedup_docs
+    return chunk_dedup_docs(sf_dir)
+
+
 def _q_user_props_bitmask(sf_dir: str):
     from nise_ray.ops.strings import user_props_bitmask
     return user_props_bitmask(sf_dir)
@@ -714,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "dedup_flagship": _q_dedup_flagship,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "chunk_dedup_docs": _q_chunk_dedup,
         "dedup_delta": _q_dedup_delta,
         # --- similarity search ----------------------------------------
         "ann_topk": _q_ann_topk,
@@ -1700,6 +1706,30 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE)
                          / count(*) AS dup_rate
             FROM documents GROUP BY source
+        """,
+        "chunk_dedup_docs": """
+            WITH chunks AS (
+                SELECT doc_id, i, substr(text, (i-1)*48+1, 48) AS ctext
+                FROM documents,
+                     unnest(generate_series(
+                         1, CAST((len(text)-1)//48 + 1 AS BIGINT))) AS s(i)
+                WHERE len(text) > 0
+            ), keep AS (
+                SELECT doc_id, i, ctext,
+                       row_number() OVER (PARTITION BY ctext
+                                          ORDER BY doc_id, i) AS rn
+                FROM chunks
+            )
+            SELECT d.doc_id,
+                   COALESCE(string_agg(k.ctext, '' ORDER BY k.i), '')
+                     AS text,
+                   CAST(CASE WHEN len(d.text)=0 THEN 0
+                             ELSE (len(d.text)-1)//48+1 END AS BIGINT)
+                     AS n_chunks,
+                   COUNT(k.i) AS n_kept
+            FROM documents d
+            LEFT JOIN (SELECT * FROM keep WHERE rn=1) k USING (doc_id)
+            GROUP BY d.doc_id, d.text
         """,
         "user_props_bitmask": """
             WITH k AS (

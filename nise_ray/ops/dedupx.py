@@ -300,3 +300,164 @@ def dedup_rate_by_source(sf_dir: str) -> "ray.data.Dataset":
     pre = ds.map_batches(pair_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
     return hash_group_apply(pre, ["source"], finish, 0, sort=False)
+
+
+def chunk_dedup_docs(sf_dir: str, size: int = 48) -> "ray.data.Dataset":
+    """Cross-corpus CHUNK-level dedup with reassembly — the C4/FineWeb
+    'drop repeated spans' op expressed over fixed NON-overlapping
+    character windows: each document is cut into size-char windows
+    [i*size, (i+1)*size); a window is KEPT iff it is the globally FIRST
+    occurrence of its text (lexicographic min (doc_id, chunk_idx) over
+    all equal windows); each document is reassembled as the in-order
+    concatenation of its kept windows. Output one row per input doc
+    (docs whose every window is a duplicate keep an empty text):
+    (doc_id, text, n_chunks, n_kept), bit-comparable to the DuckDB
+    substr/row_number/string_agg oracle (codepoint slicing == SQL
+    substr semantics, as chunk_documents pins).
+
+    Scale shape (no broadcast, no driver state, two narrow exchanges):
+      1. stateless chunk explode (the shared _make_chunk_batch kernel
+         with stride == size, so reassembly is exact concatenation);
+      2. winner exchange keyed on a 64-bit chunk-hash prefix carrying
+         only (h64, 16-byte blake2b digest, doc_id, chunk_idx) — the
+         exact-dup-grouper pattern: shuffle on the prefix, confirm on
+         the full digest inside the segment, segment min wins. Digest
+         equality stands in for string equality (128-bit blake2b is
+         collision-free at 10^12 chunks for all practical purposes);
+      3. reassembly exchange on doc_id where each doc's text rides
+         ONCE alongside its 16-byte keep rows (the carry/union pattern
+         the minhash explode uses for signatures) — kept windows are
+         re-sliced with an Arrow kernel loop bounded by
+         max-chunks-per-doc and joined with ONE binary_join; no
+         per-row Python anywhere.
+    """
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.analytics import _make_chunk_batch
+    from nise_ray.ops.groupapply import hash_group_apply
+
+    if size <= 0:
+        raise ValueError("size must be positive")
+
+    _EMPTY_KEYED = pa.table({
+        "h64": pa.array([], pa.int64()),
+        "dig": pa.array([], pa.binary(16)),
+        "doc_id": pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64())})
+    _EMPTY_KEEP = pa.table({"doc_id": pa.array([], pa.int64()),
+                            "chunk_idx": pa.array([], pa.int64())})
+    _EMPTY_OUT = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "n_chunks": pa.array([], pa.int64()),
+        "n_kept": pa.array([], pa.int64())})
+
+    chunker = _make_chunk_batch(size, size)
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        ch = chunker(b)
+        if ch.num_rows == 0:
+            return _EMPTY_KEYED
+        enc = ch.column("chunk_text").combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        # blake2b once per UNIQUE window in the batch (dictionary path,
+        # same discipline as TokenHasher.hash_vocab)
+        digs = [hashlib.blake2b(v.encode(), digest_size=16).digest()
+                for v in vocab]
+        pre = b"".join(d[:8] for d in digs)
+        h64v = (np.frombuffer(pre, dtype=np.int64) if digs
+                else np.empty(0, dtype=np.int64))
+        dig_v = np.array(digs, dtype=object)
+        return pa.table({
+            "h64": pa.array(h64v[idx], pa.int64()),
+            "dig": pa.array(list(dig_v[idx]), pa.binary(16)),
+            "doc_id": ch.column("doc_id"),
+            "chunk_idx": ch.column("chunk_idx")})
+
+    def winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_KEEP
+        dig = np.array(t.column("dig").to_pylist(), dtype=object)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cidx = t.column("chunk_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cidx, did, dig))
+        d = dig[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        sel = order[first]
+        return pa.table({"doc_id": pa.array(did[sel], pa.int64()),
+                         "chunk_idx": pa.array(cidx[sel], pa.int64())})
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "chunk_idx": t.column("chunk_idx"),
+            "text": pa.nulls(t.num_rows, pa.string())})
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "chunk_idx": pa.array(
+                np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+            "text": t.column("text")})
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_OUT
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cidx = t.column("chunk_idx").to_numpy(zero_copy_only=False)
+        txt = t.column("text").combine_chunks()
+        drows = np.flatnonzero(cidx == -1)
+        order_d = drows[np.argsort(did[drows], kind="stable")]
+        doc_ids = did[order_d]
+        texts = txt.take(pa.array(order_d))
+        lens = pc.utf8_length(texts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = np.where(lens > 0, (lens - 1) // size + 1, 0)
+        krows = np.flatnonzero(cidx != -1)
+        kd, ki = did[krows], cidx[krows]
+        korder = np.lexsort((ki, kd))
+        kd, ki = kd[korder], ki[korder]
+        rank = np.searchsorted(doc_ids, kd)
+        pieces, pos_list = [], []
+        for i in np.unique(ki):          # bounded by max chunks per doc
+            sel = np.flatnonzero(ki == i)
+            sub = pc.utf8_slice_codeunits(
+                texts.take(pa.array(rank[sel])),
+                start=int(i) * size, stop=(int(i) + 1) * size)
+            pieces.append(sub.combine_chunks()
+                          if isinstance(sub, pa.ChunkedArray) else sub)
+            pos_list.append(sel)
+        if pieces:
+            flat_unordered = pa.concat_arrays(pieces)
+            pos = np.concatenate(pos_list)
+            inv = np.empty(len(pos), dtype=np.int64)
+            inv[pos] = np.arange(len(pos), dtype=np.int64)
+            flat = flat_unordered.take(pa.array(inv))
+        else:
+            flat = pa.array([], pa.string())
+        counts = np.bincount(rank, minlength=len(doc_ids)).astype(np.int64)
+        offs = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), flat)
+        joined = pc.binary_join(lists, "")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": joined.cast(pa.string()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "n_kept": pa.array(counts, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    keep = hash_group_apply(keyed, ["h64"], winners, 0, sort=False)
+    carry = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    merged = carry.union(keep.map_batches(tag_keep, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    return hash_group_apply(merged, ["doc_id"], reassemble, 0, sort=False)

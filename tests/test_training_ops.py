@@ -527,3 +527,55 @@ def test_dedup_rate_by_source_planted(ray_session):
     assert got.loc["A", "n_docs"] == 3 and got.loc["A", "n_distinct"] == 2
     assert got.loc["A", "dup_rate"] == 1.0 - 2.0 / 3.0
     assert got.loc["B", "dup_rate"] == 0.0
+
+
+def test_chunk_dedup_docs_planted(ray_session):
+    # size=4 windows; doc 0 "aaaabbbbcc", doc 1 repeats doc 0's first
+    # window then unique, doc 2 is an exact copy of doc 0 (keeps
+    # nothing), doc 3 empty, doc 4 shorter than one window
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.dedupx import chunk_dedup_docs
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aaaabbbbcc", "aaaazzzz", "aaaabbbbcc", "", "qq"],
+                         pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (chunk_dedup_docs(d, size=4).to_pandas()
+               .set_index("doc_id").sort_index())
+    # doc 0 wins all 3 of its windows ("aaaa","bbbb","cc")
+    assert got.loc[0, "text"] == "aaaabbbbcc"
+    assert got.loc[0, "n_chunks"] == 3 and got.loc[0, "n_kept"] == 3
+    # doc 1 loses "aaaa" (doc 0, idx 0 wins), keeps "zzzz"
+    assert got.loc[1, "text"] == "zzzz"
+    assert got.loc[1, "n_chunks"] == 2 and got.loc[1, "n_kept"] == 1
+    # doc 2 is a full duplicate of doc 0 -> empty output, still present
+    assert got.loc[2, "text"] == "" and got.loc[2, "n_kept"] == 0
+    assert got.loc[2, "n_chunks"] == 3
+    # empty doc: zero chunks, empty text
+    assert got.loc[3, "text"] == "" and got.loc[3, "n_chunks"] == 0
+    # sub-window doc keeps its single short window
+    assert got.loc[4, "text"] == "qq"
+    assert got.loc[4, "n_chunks"] == 1 and got.loc[4, "n_kept"] == 1
+
+
+def test_chunk_dedup_docs_oracle_parity(ray_session):
+    # full-corpus parity vs DuckDB at sf0.001 (the driver gate shape)
+    import duckdb
+
+    from nise_ray.ops.dedupx import chunk_dedup_docs
+    got = (chunk_dedup_docs(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    import __ray_entry__ as entry
+    sql = entry.oracle_sql()["chunk_dedup_docs"] + " ORDER BY doc_id"
+    ora = con.sql(sql).df()
+    assert got.equals(ora)
