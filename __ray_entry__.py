@@ -694,6 +694,11 @@ def _q_brand_supplier_counts(sf_dir: str):
     return brand_supplier_counts(sf_dir)
 
 
+def _q_returned_item_report(sf_dir: str):
+    from nise_ray.ops.relational2 import returned_item_report
+    return returned_item_report(sf_dir)
+
+
 def _q_token_cooccurrence(sf_dir: str):
     from nise_ray.ops.textstats import token_cooccurrence
     return token_cooccurrence(sf_dir, vocab_limit=64)
@@ -801,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": _q_user_first_last_event,
         "top_suppliers_by_qty": _q_top_suppliers_by_qty,
         "brand_supplier_counts": _q_brand_supplier_counts,
+        "returned_item_report": _q_returned_item_report,
         "token_cooccurrence": _q_token_cooccurrence,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
@@ -1779,6 +1785,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_suppkey)
             SELECT l_suppkey, total_qty FROM qty
             WHERE total_qty = (SELECT max(total_qty) FROM qty)
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "brand_supplier_counts": """
             SELECT p_brand,

@@ -832,3 +832,175 @@ def brand_supplier_counts(sf_dir: str, size_lo: int = 1, size_hi: int = 25,
                        out.column("p_brand").to_pylist()])
     out = out.filter(pa.array(keep))
     return out.sort_by([("p_brand", "ascending")])
+
+
+def returned_item_report(sf_dir: str, k: int = 20,
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01",
+                         broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q10-shaped RETURNED-ITEM report: the top-k customers by
+    revenue lost to returns in one quarter — lineitem (l_returnflag='R')
+    ⋈ orders (one-quarter o_orderdate window) ⋈ customer ⋈ nation,
+    grouped per customer, top-k by revenue desc / c_custkey asc.
+    Returns (c_custkey, c_name, revenue, c_acctbal, n_name).
+
+    Scale plan: both fact filters are pushed into the parquet read
+    (returnflag dictionary page + orderdate row groups never leave
+    storage); the orders side below `broadcast_max` becomes a ray.put
+    custkey-attach inside map_batches (one pass over lineitem, no
+    exchange), above it a distributed hash join on orderkey; revenue
+    partial-aggregates per custkey INSIDE each block before the one
+    custkey hash exchange; per-block pre-top-k means at most k rows per
+    partition reach the driver merge. Customer attributes and the
+    25-row nation dimension are attached to the k winner rows only —
+    the customer scan is filtered by a k-key broadcast, so no
+    customer-sized structure ever reaches the driver."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    lo = np.datetime64(date_lo, "us").item()
+    hi = np.datetime64(date_hi, "us").item()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev": pa.array(price * (1.0 - disc), pa.float64())})
+
+    li_f = li.map_batches(li_rev, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    if orders.count() <= broadcast_max:
+        ot = collect_table(orders)
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        oc = ot.column("o_custkey").to_numpy(zero_copy_only=False)
+        oo = np.argsort(ok)
+        ref = ray.put((ok[oo], oc[oo]))
+
+        class AttachCustkey:
+            def __init__(self) -> None:
+                self.keys, self.cust = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+                pos, hit = _sorted_lookup(self.keys, lk)
+                return pa.table({
+                    "o_custkey": pa.array(self.cust[pos[hit]], pa.int64()),
+                    "rev": b.column("rev").filter(pa.array(hit))})
+
+        joined = li_f.map_batches(AttachCustkey, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  concurrency=default_concurrency())
+    else:
+        li_f = _anchor_sentinel(li_f, {"l_orderkey": (pa.int64(), -1),
+                                       "rev": (pa.float64(), 0.0)})
+        orders_j = _anchor_sentinel(orders,
+                                    {"o_orderkey": (pa.int64(), -2),
+                                     "o_custkey": (pa.int64(), -2)})
+        _hash_shuffle_on(li_f, orders_j)
+        joined = li_f.join(orders_j, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("l_orderkey",), right_on=("o_orderkey",)) \
+            .select_columns(["o_custkey", "rev"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        rv = b.column("rev").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cks, rvs = ck[order], rv[order]
+        starts, _ = segments(cks)
+        return pa.table({
+            "o_custkey": pa.array(cks[starts].astype(np.int64), pa.int64()),
+            "rev": pa.array(np.add.reduceat(rvs, starts), pa.float64())})
+
+    def per_cust(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("c_custkey", pa.int64()),
+                                ("revenue", pa.float64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        rv = b.column("rev").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cks, rvs = ck[order], rv[order]
+        starts, _ = segments(cks)
+        keys = cks[starts].astype(np.int64)
+        sums = np.round(np.add.reduceat(rvs, starts), 2)
+        if len(keys) > k:            # pre-top-k: k rows leave the block
+            keep = np.lexsort((keys, -sums))[:k]
+            keys, sums = keys[keep], sums[keep]
+        return pa.table({"c_custkey": pa.array(keys, pa.int64()),
+                         "revenue": pa.array(sums, pa.float64())})
+
+    pre = joined.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    agg = hash_group_apply(pre, ["o_custkey"], per_cust, 0, sort=False)
+    t = collect_table(agg)
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.float64()),
+                      "c_acctbal": pa.array([], pa.float64()),
+                      "n_name": pa.array([], pa.string())})
+    if t.num_rows == 0:
+        return empty
+    ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+    rv = t.column("revenue").to_numpy(zero_copy_only=False)
+    keep = np.lexsort((ck, -rv))[:k]
+    win_keys, win_rev = ck[keep], rv[keep]
+
+    # attach customer attrs to the k winners only: k-key broadcast
+    # filter over the customer scan, k rows collected
+    wref = ray.put(np.sort(win_keys))
+
+    class WinnerFilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(wref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ckv = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            _, hit = _sorted_lookup(self.keys, ckv)
+            return b.filter(pa.array(hit))
+
+    cust_rows = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(WinnerFilter, batch_format="pyarrow",
+                  zero_copy_batch=True,
+                  concurrency=default_concurrency()))
+    nation_t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    nk = nation_t.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nnames = np.array(nation_t.column("n_name").to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    nk, nnames = nk[no], nnames[no]
+
+    cust_k = cust_rows.column("c_custkey").to_numpy(zero_copy_only=False)
+    co = np.argsort(cust_k)
+    pos, hit = _sorted_lookup(cust_k[co], win_keys)
+    if not hit.all():
+        raise AssertionError("winner custkey missing from customer table")
+    sel = co[pos]
+    cnat = cust_rows.column("c_nationkey").to_numpy(
+        zero_copy_only=False)[sel]
+    npos, nhit = _sorted_lookup(nk, cnat)
+    if not nhit.all():
+        raise AssertionError("customer nationkey missing from nation")
+    return pa.table({
+        "c_custkey": pa.array(win_keys, pa.int64()),
+        "c_name": cust_rows.column("c_name").take(pa.array(sel)),
+        "revenue": pa.array(win_rev, pa.float64()),
+        "c_acctbal": cust_rows.column("c_acctbal").take(pa.array(sel)),
+        "n_name": pa.array(list(nnames[npos]), pa.string())})

@@ -325,3 +325,16 @@ def test_order_priority_counts_bad_mode(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         order_priority_counts(SF, semi_mode="nope")
+
+
+def test_returned_item_report_paths_agree(ray_session):
+    """Q10 shape: broadcast custkey-attach vs the distributed hash-join
+    fallback produce identical top-k tables."""
+    from nise_ray.ops.relational2 import returned_item_report
+    a = returned_item_report(SF).to_pandas()
+    b = returned_item_report(SF, broadcast_max=0).to_pandas()
+    assert a.equals(b)
+    assert list(a.columns) == ["c_custkey", "c_name", "revenue",
+                               "c_acctbal", "n_name"]
+    # revenue sorted desc with custkey tiebreak
+    assert (a["revenue"].values[:-1] >= a["revenue"].values[1:]).all()
