@@ -699,6 +699,11 @@ def _q_returned_item_report(sf_dir: str):
     return returned_item_report(sf_dir)
 
 
+def _q_global_sales_opportunity(sf_dir: str):
+    from nise_ray.ops.relational2 import global_sales_opportunity
+    return global_sales_opportunity(sf_dir)
+
+
 def _q_token_cooccurrence(sf_dir: str):
     from nise_ray.ops.textstats import token_cooccurrence
     return token_cooccurrence(sf_dir, vocab_limit=64)
@@ -807,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_by_qty": _q_top_suppliers_by_qty,
         "brand_supplier_counts": _q_brand_supplier_counts,
         "returned_item_report": _q_returned_item_report,
+        "global_sales_opportunity": _q_global_sales_opportunity,
         "token_cooccurrence": _q_token_cooccurrence,
         "value_rank_windows": _q_value_rank_windows,
         "monthly_revenue": _q_monthly_revenue,
@@ -1798,6 +1804,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_returnflag = 'R' AND c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "global_sales_opportunity": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_nationkey < 7
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0 AND c_nationkey < 7)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 350000)
+            GROUP BY n_name ORDER BY n_name
         """,
         "brand_supplier_counts": """
             SELECT p_brand,

@@ -1004,3 +1004,169 @@ def returned_item_report(sf_dir: str, k: int = 20,
         "revenue": pa.array(win_rev, pa.float64()),
         "c_acctbal": cust_rows.column("c_acctbal").take(pa.array(sel)),
         "n_name": pa.array(list(nnames[npos]), pa.string())})
+
+
+def global_sales_opportunity(sf_dir: str, n_nations: int = 7,
+                             min_price: float = 350_000.0,
+                             broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q22-shaped opportunity report: customers in a fixed nation
+    subset whose account balance is above the average POSITIVE balance
+    of that subset and who have placed no LARGE order (none above
+    `min_price` — this corpus's every customer has at least one order,
+    so the classic NOT EXISTS over raw orders is vacuous), rolled up
+    per nation as (n_name, numcust, totacctbal). The classic Q22
+    phone-prefix country filter maps to a c_nationkey < n_nations
+    subset (the customer table has no phone column).
+
+    Scale plan, three driver-sized scalars and no corpus materialization:
+      1. the scalar subquery avg(c_acctbal > 0) is a per-block
+         (sum, count) combiner collected as ONE row;
+      2. the order side is filtered AT THE READ (o_totalprice
+         pushdown) and shrunk to DISTINCT custkeys with the same
+         per-batch combiner + one exchange customers_without_orders
+         uses, then gate: ray.put NOT-IN broadcast below
+         `broadcast_max`, Ray Data left_anti hash join above;
+      3. the surviving (nation-filtered, above-average, order-less)
+         customers partial-aggregate (count, sum acctbal) per nation
+         inside each block — the final exchange is nation-count-sized.
+    """
+    from nise_ray.ops.groupapply import (default_concurrency,
+                                         hash_group_apply, segments)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        keep = (nk < n_nations) & (bal > 0.0)
+        return pa.table({"s": pa.array([bal[keep].sum()], pa.float64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    bp = collect_table(cust.map_batches(bal_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    n_pos = int(np.sum(bp.column("n").to_numpy(zero_copy_only=False)))
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal": pa.array([], pa.float64())})
+    if n_pos == 0:
+        return empty
+    avg_bal = float(np.sum(bp.column("s").to_numpy(
+        zero_copy_only=False))) / n_pos
+
+    def rich_filter(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        keep = (nk < n_nations) & (bal > avg_bal)
+        return b.filter(pa.array(keep))
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    import pyarrow.dataset as pads
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"],
+                                   filter=pads.field("o_totalprice")
+                                   > min_price)
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": pa.array(np.unique(ck), pa.int64())})
+
+    distinct = hash_group_apply(orders.map_batches(
+        local_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], local_distinct, 0, sort=False)
+
+    if cust.count() <= broadcast_max:
+        dt = collect_table(distinct)
+        keys = np.unique(dt.column("o_custkey").to_numpy(
+            zero_copy_only=False)) if dt.num_rows else \
+            np.empty(0, dtype=np.int64)
+        keys_ref = ray.put(keys)
+
+        class AntiFilter:
+            def __init__(self) -> None:
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+                _, has = _sorted_lookup(self.keys, ck)
+                return b.filter(pa.array(~has))
+
+        lonely = rich.map_batches(AntiFilter, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  concurrency=default_concurrency())
+    else:
+        rich = _anchor_sentinel(rich, {"c_custkey": (pa.int64(), -1),
+                                       "c_nationkey": (pa.int64(), -1),
+                                       "c_acctbal": (pa.float64(), 0.0)})
+        distinct = _anchor_sentinel(distinct,
+                                    {"o_custkey": (pa.int64(), -2)})
+        _hash_shuffle_on(rich, distinct)
+        lonely = rich.join(distinct, join_type="left_anti",
+                           num_partitions=_join_partitions(),
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        sch = pa.table({"c_nationkey": pa.array([], pa.int64()),
+                        "numcust": pa.array([], pa.int64()),
+                        "bal": pa.array([], pa.float64())})
+        if b.num_rows == 0 or "c_nationkey" not in b.schema.names:
+            return sch
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        real = nk >= 0                       # drop join-path sentinel
+        nk, bal = nk[real], bal[real]
+        if len(nk) == 0:
+            return sch
+        order = np.argsort(nk, kind="stable")
+        starts, counts = segments(nk[order])
+        return pa.table({
+            "c_nationkey": pa.array(nk[order][starts].astype(np.int64),
+                                    pa.int64()),
+            "numcust": pa.array(counts, pa.int64()),
+            "bal": pa.array(np.add.reduceat(bal[order], starts),
+                            pa.float64())})
+
+    def nation_merge(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "numcust": pa.array([], pa.int64()),
+                             "bal": pa.array([], pa.float64())})
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        n = b.column("numcust").to_numpy(zero_copy_only=False)
+        s = b.column("bal").to_numpy(zero_copy_only=False)
+        order = np.argsort(nk, kind="stable")
+        starts, _ = segments(nk[order])
+        return pa.table({
+            "c_nationkey": pa.array(nk[order][starts], pa.int64()),
+            "numcust": pa.array(np.add.reduceat(n[order], starts),
+                                pa.int64()),
+            "bal": pa.array(np.add.reduceat(s[order], starts),
+                            pa.float64())})
+
+    out = hash_group_apply(lonely.map_batches(
+        nation_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_nationkey"], nation_merge, 0, sort=False)
+    t = collect_table(out)
+    if t.num_rows == 0 or t.num_columns == 0:
+        return empty
+    nation_t = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    nk = nation_t.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nnames = np.array(nation_t.column("n_name").to_pylist(), dtype=object)
+    no = np.argsort(nk)
+    nk, nnames = nk[no], nnames[no]
+    ck = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+    pos, hit = _sorted_lookup(nk, ck)
+    if not hit.all():
+        raise AssertionError("customer nationkey missing from nation")
+    res = pa.table({
+        "n_name": pa.array(list(nnames[pos]), pa.string()),
+        "numcust": t.column("numcust"),
+        "totacctbal": pa.array(
+            np.round(t.column("bal").to_numpy(zero_copy_only=False), 2),
+            pa.float64())})
+    return res.sort_by([("n_name", "ascending")])

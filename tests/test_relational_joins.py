@@ -338,3 +338,20 @@ def test_returned_item_report_paths_agree(ray_session):
                                "c_acctbal", "n_name"]
     # revenue sorted desc with custkey tiebreak
     assert (a["revenue"].values[:-1] >= a["revenue"].values[1:]).all()
+
+
+def test_global_sales_opportunity_paths_agree(ray_session):
+    """Q22 shape: NOT-IN broadcast vs left_anti distributed join give
+    the same per-nation rollup, and the scalar-avg gate is non-vacuous
+    (some customer survives at the default params)."""
+    from nise_ray.ops.relational2 import global_sales_opportunity
+    a = global_sales_opportunity(SF).to_pandas()
+    b = global_sales_opportunity(SF, broadcast_max=0).to_pandas()
+    assert a.equals(b)
+    assert list(a.columns) == ["n_name", "numcust", "totacctbal"]
+    # empty-side degenerate: a min_price below every order price means
+    # every customer has a large order -> empty result, both paths
+    e1 = global_sales_opportunity(SF, min_price=0.0).to_pandas()
+    e2 = global_sales_opportunity(SF, min_price=0.0,
+                                  broadcast_max=0).to_pandas()
+    assert len(e1) == 0 and e1.equals(e2)
