@@ -487,6 +487,31 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_forecast_revenue_change(sf_dir: str):
+    from nise_ray.ops.relational3 import forecast_revenue_change
+    return forecast_revenue_change(sf_dir)
+
+
+def _q_priority_shipment_counts(sf_dir: str):
+    from nise_ray.ops.relational3 import priority_shipment_counts
+    return priority_shipment_counts(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    from nise_ray.ops.relational3 import market_share
+    return market_share(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    from nise_ray.ops.relational3 import product_profit
+    return product_profit(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    from nise_ray.ops.relational3 import waiting_suppliers
+    return waiting_suppliers(sf_dir)
+
+
 def _q_customer_order_distribution(sf_dir: str):
     from nise_ray.ops.relational2 import customer_order_distribution
     return customer_order_distribution(sf_dir)
@@ -800,6 +825,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue_share": _q_promo_revenue_share,
         "volume_shipping": _q_volume_shipping,
+        "forecast_revenue_change": _q_forecast_revenue_change,
+        "priority_shipment_counts": _q_priority_shipment_counts,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "waiting_suppliers": _q_waiting_suppliers,
         "customer_order_distribution": _q_customer_order_distribution,
         "disjunctive_filter_revenue": _q_disjunctive_filter_revenue,
         "event_interarrival": _q_event_interarrival,
@@ -1561,6 +1591,88 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "forecast_revenue_change": """
+            SELECT coalesce(round(sum(l_extendedprice * l_discount), 2),
+                            0.0) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
+        """,
+        "priority_shipment_counts": """
+            SELECT l_returnflag AS return_flag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                                  ELSE 0 END) / sum(volume), 4)
+                       AS mkt_share,
+                   round(sum(volume), 2) AS total_revenue
+            FROM (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r_regionkey
+                AND r_name = 'AMERICA'
+                AND s_nationkey = n2.n_nationkey
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND p_type = 'PROMO') allnations
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "product_profit": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+            FROM (
+              SELECT n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - 0.1 * p_retailprice * l_quantity AS amount
+              FROM part, supplier, lineitem, orders, nation
+              WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey
+                AND s_nationkey = n_nationkey
+                AND contains(p_name, 'red')) profit
+            GROUP BY nation, o_year ORDER BY nation, o_year
+        """,
+        "waiting_suppliers": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT * FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT * FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
         "customer_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (
