@@ -71,6 +71,34 @@ def rolling_poly_hash(data: np.ndarray, k: int) -> np.ndarray:
     return splitmix64(h)
 
 
+def sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every length-``w`` window of ``h`` — bit-identical to
+    ``sliding_window_view(h, w).min(axis=1)`` but O(n) instead of O(n*w)
+    (van Herk / Gil-Werman two-pass block min: prefix mins and suffix
+    mins within w-aligned blocks; the window starting at i is the min of
+    the suffix min at i and the prefix min at i+w-1). At the winnowing
+    config (w=37) this replaces 37 reads per element with 3 passes."""
+    n = len(h)
+    if w <= 1:
+        return h.copy()
+    if n <= w:
+        return h.min(keepdims=True) if n else h.copy()
+    m = n - w + 1
+    nb = -(-n // w)
+    pad = nb * w - n
+    if pad:
+        fill = np.iinfo(h.dtype).max if np.issubdtype(h.dtype, np.integer) \
+            else np.inf
+        hp = np.concatenate([h, np.full(pad, fill, dtype=h.dtype)])
+    else:
+        hp = h
+    blocks = hp.reshape(nb, w)
+    left = np.minimum.accumulate(blocks, axis=1).reshape(-1)
+    right = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1] \
+        .reshape(-1)[:n]
+    return np.minimum(right[:m], left[w - 1:w - 1 + m])
+
+
 def minhash_seeds(k: int, seed: int) -> np.ndarray:
     """K permutation seeds drawn from PCG64(seed) — draw order fixed."""
     rng = np.random.Generator(np.random.PCG64(seed))

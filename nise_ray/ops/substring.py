@@ -31,14 +31,23 @@ import numpy as np
 import pyarrow as pa
 
 from nise_ray.config import DedupConfig
-from nise_ray.hashing import U64, rolling_poly_hash
+from nise_ray.hashing import U64, rolling_poly_hash, sliding_min
 from nise_ray.ops.lsh import edges_table, empty_edges
 from nise_ray.ops.normalize import normalize_text
 
+# The winnowing exchange is the corpus-dominating byte mover (measured
+# 30.5M rows at the sf0.1 bench tier), so its rows are 20 bytes, not 28:
+# doc identity on the exchange is the CONTENT hash (sha64) — identical
+# files winnow once per block and pair as one member — and the
+# sha -> min-doc_key translation needed for the output contract rides
+# the SAME exchange as one 20-byte "map row" per distinct sha per block
+# (fp = the doc's sha64 so map rows hash-distribute like any other key;
+# pos = -1 marks them). Translation then touches only the OUTPUT-sized
+# pair set (pipeline.substring_pairs).
 FP_SCHEMA = pa.schema([
-    ("fp", pa.uint64()), ("doc_key", pa.uint64()), ("sha64", pa.uint64()),
-    ("pos", pa.int32()),  # normalized-text byte offset; int32 keeps the
-                          # corpus-dominating fp exchange 12.5% narrower
+    ("fp", pa.uint64()),
+    ("id", pa.uint64()),  # real row: sha64 of the doc; map row: doc_key
+    ("pos", pa.int32()),  # byte offset in normalized text; -1 = map row
 ])
 
 SPAN_SCHEMA = pa.schema([
@@ -73,10 +82,7 @@ def winnow_fingerprints_pos(text: str, k: int, w: int) -> tuple[np.ndarray, np.n
     if n < k:
         return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
     h = rolling_poly_hash(data, k)  # one hash per gram position
-    if len(h) <= w:
-        mins = h.min(keepdims=True)
-    else:
-        mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    mins = sliding_min(h, w)  # O(n) two-pass block min, not O(n*w)
     uniq = np.unique(mins)
     # first occurrence position of each selected fingerprint in h
     order = np.argsort(h, kind="stable")
@@ -85,58 +91,86 @@ def winnow_fingerprints_pos(text: str, k: int, w: int) -> tuple[np.ndarray, np.n
 
 
 def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """corpus rows -> (fp, doc_key, sha64, pos) rows (batch-native flat map)."""
+    """corpus rows -> winnowing-exchange rows (see FP_SCHEMA): real
+    fingerprint rows (fp, sha64, pos) for each DISTINCT content hash in
+    the block — exact in-block duplicates winnow once — plus one map row
+    (sha64 -> block-min doc_key, pos = -1) per distinct sha so the final
+    pair translation never re-reads content."""
+    from nise_ray.ops.normalize import batch_normalize
     repo = batch.column("repo").to_pylist()
     path = batch.column("path").to_pylist()
     commit = batch.column("commit").to_pylist()
     contents = batch.column("content").to_pylist()
+    n = batch.num_rows
+    if n == 0:
+        return FP_SCHEMA.empty_table()
+    # normalization runs as a column kernel (parity-tested against the
+    # per-row normalize_text), not once per row
+    normed = batch_normalize(batch.column("content")).to_pylist()
+    shas = np.fromiter(
+        (int.from_bytes(hashlib.sha256(
+            t.encode("utf-8", errors="surrogatepass")).digest()[:8],
+            "little") for t in contents), dtype=U64, count=n)
+    dks = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(
+            repo[i].encode() + b"\x00" + path[i].encode() + b"\x00"
+            + commit[i].encode(), digest_size=8).digest(), "little")
+         for i in range(n)), dtype=U64, count=n)
+    # one representative per distinct sha, carrying the block-min doc_key
+    order = np.lexsort((dks, shas))
+    first = np.ones(n, dtype=bool)
+    first[1:] = shas[order][1:] != shas[order][:-1]
+    reps = order[first]
     fps: list[np.ndarray] = []
     poss: list[np.ndarray] = []
-    doc_keys: list[int] = []
-    sha64s: list[int] = []
-    for i, text in enumerate(contents):
-        f, p = winnow_fingerprints_pos(normalize_text(text), cfg.winnow_k,
+    rep_shas: list[int] = []
+    rep_dks: list[int] = []
+    for i in reps:
+        f, p = winnow_fingerprints_pos(normed[i], cfg.winnow_k,
                                        cfg.winnow_window)
         if len(f) == 0:
             continue
-        blob = repo[i].encode() + b"\x00" + path[i].encode() + b"\x00" + commit[i].encode()
-        doc_keys.append(int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(), "little"))
-        raw = text.encode("utf-8", errors="surrogatepass")
-        sha64s.append(int.from_bytes(hashlib.sha256(raw).digest()[:8], "little"))
+        rep_shas.append(int(shas[i]))
+        rep_dks.append(int(dks[i]))
         fps.append(f)
         poss.append(p)
     if not fps:
         return FP_SCHEMA.empty_table()
     counts = [len(f) for f in fps]
+    sha_arr = np.array(rep_shas, dtype=U64)
     return pa.table({
-        "fp": pa.array(np.concatenate(fps), pa.uint64()),
-        "doc_key": pa.array(np.repeat(np.array(doc_keys, dtype=U64), counts), pa.uint64()),
-        "sha64": pa.array(np.repeat(np.array(sha64s, dtype=U64), counts), pa.uint64()),
-        "pos": pa.array(np.concatenate(poss).astype(np.int32), pa.int32()),
+        "fp": pa.array(np.concatenate([np.concatenate(fps), sha_arr]),
+                       pa.uint64()),
+        "id": pa.array(np.concatenate([np.repeat(sha_arr, counts),
+                                       np.array(rep_dks, dtype=U64)]),
+                       pa.uint64()),
+        "pos": pa.array(np.concatenate(
+            [np.concatenate(poss),
+             np.full(len(sha_arr), -1, np.int64)]).astype(np.int32),
+            pa.int32()),
     })
 
 
-def _substring_bucket_pairs(doc_keys: np.ndarray, sha64: np.ndarray,
-                            pos: np.ndarray, cap: int):
-    """(u, v, u_pos, v_pos) for one fingerprint bucket: sha-deduped
-    members, full pairwise below cap, star-to-min for hot fingerprints
-    (ubiquitous boilerplate)."""
-    order = np.lexsort((doc_keys, sha64))
+def _substring_bucket_pairs(sha64: np.ndarray, pos: np.ndarray, cap: int):
+    """(u, v, u_pos, v_pos) for one fingerprint bucket, members keyed by
+    content hash: distinct shas (cross-block copies of identical files
+    collapse here; their pos values are identical by construction), full
+    pairwise below cap, star-to-min-sha for hot fingerprints (ubiquitous
+    boilerplate)."""
+    order = np.argsort(sha64)
     first = np.ones(len(order), dtype=bool)
     first[1:] = sha64[order][1:] != sha64[order][:-1]
     keep = order[first]
-    o2 = np.argsort(doc_keys[keep])
-    keep = keep[o2]
-    dk = doc_keys[keep]
+    sid = sha64[keep]
     p = pos[keep]
-    m = len(dk)
+    m = len(sid)
     if m < 2:
         return None
     if m <= cap:
         ii, jj = np.triu_indices(m, k=1)
-        return dk[ii], dk[jj], p[ii], p[jj]
+        return sid[ii], sid[jj], p[ii], p[jj]
     # hot fingerprint: star to bucket min
-    return (np.full(m - 1, dk[0], dtype=U64), dk[1:],
+    return (np.full(m - 1, sid[0], dtype=U64), sid[1:],
             np.full(m - 1, p[0], dtype=np.int64), p[1:])
 
 
@@ -169,44 +203,96 @@ def _span_partials(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
 
 def make_batch_substring_pair_gen(cfg: DedupConfig):
     """Block-level fn for hash_group_apply keyed on fp: generates
-    candidate pairs with anchor positions, then PRE-AGGREGATES them into
-    per-(u, v) span partials before anything leaves the block."""
+    candidate pairs (u, v = content hashes) with anchor positions, then
+    PRE-AGGREGATES them into per-(u, v) span partials before anything
+    leaves the block. Map rows (pos = -1) reduce to ONE
+    (sha -> min doc_key) row per sha, re-encoded in the partial schema
+    as (u = sha, v = doc_key, n_fps = -1) for the translation passes."""
     from nise_ray.ops.groupapply import segments
     cap = cfg.bucket_cap
 
     def batch_fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return PAIR_PARTIAL_SCHEMA.empty_table()
-        keys = batch.column("fp").to_numpy(zero_copy_only=False)
+        pos_all = batch.column("pos").to_numpy(zero_copy_only=False)
+        fp_all = batch.column("fp").to_numpy(
+            zero_copy_only=False).astype(U64)
+        id_all = batch.column("id").to_numpy(
+            zero_copy_only=False).astype(U64)
+        parts: list[pa.Table] = []
+        is_map = pos_all < 0
+        if is_map.any():
+            mf, mid = fp_all[is_map], id_all[is_map]
+            order = np.lexsort((mid, mf))
+            starts, _ = segments(mf[order])
+            nm = len(starts)
+            zeros = pa.array(np.zeros(nm, np.int64), pa.int64())
+            parts.append(pa.table({
+                "u": pa.array(mf[order][starts], pa.uint64()),
+                "v": pa.array(mid[order][starts], pa.uint64()),
+                "n_fps": pa.array(np.full(nm, -1, np.int64), pa.int64()),
+                "u_min": zeros, "u_max": zeros,
+                "v_min": zeros, "v_max": zeros,
+            }))
+        real = ~is_map
+        # masking preserves the fp sort order the exchange established
+        keys, ids, pos = fp_all[real], id_all[real], pos_all[real]
         starts, counts = segments(keys)
         multi = counts >= 2
-        if not multi.any():
-            return PAIR_PARTIAL_SCHEMA.empty_table()
-        doc_keys = batch.column("doc_key").to_numpy(zero_copy_only=False).astype(U64)
-        sha64 = batch.column("sha64").to_numpy(zero_copy_only=False).astype(U64)
-        pos = batch.column("pos").to_numpy(zero_copy_only=False)
         us, vs, ups, vps = [], [], [], []
         for s, c in zip(starts[multi], counts[multi]):
-            pair = _substring_bucket_pairs(doc_keys[s:s + c], sha64[s:s + c],
-                                           pos[s:s + c], cap)
+            pair = _substring_bucket_pairs(ids[s:s + c], pos[s:s + c], cap)
             if pair is not None:
                 us.append(pair[0])
                 vs.append(pair[1])
                 ups.append(pair[2])
                 vps.append(pair[3])
-        if not us:
+        if us:
+            parts.append(_span_partials(np.concatenate(us),
+                                        np.concatenate(vs),
+                                        np.concatenate(ups),
+                                        np.concatenate(vps)))
+        if not parts:
             return PAIR_PARTIAL_SCHEMA.empty_table()
-        return _span_partials(np.concatenate(us), np.concatenate(vs),
-                              np.concatenate(ups), np.concatenate(vps))
+        return pa.concat_tables(parts)
 
     return batch_fn
 
 
-def merge_span_partials(t: pa.Table, k: int) -> pa.Table:
-    """Merge per-block span partials into the final SPAN_SCHEMA rows:
-    counts sum, bounds min/max, each anchor covers k bytes."""
-    if t.num_rows == 0:
-        return SPAN_SCHEMA.empty_table()
+def _split_map_rows(t: pa.Table):
+    """(real-partial table, sorted sha array, doc_key array) from a mixed
+    partial stream — map rows are n_fps < 0 with (u = sha, v = doc_key)."""
+    n_fps = t.column("n_fps").to_numpy(zero_copy_only=False)
+    is_map = n_fps < 0
+    if not is_map.any():
+        return t, np.empty(0, dtype=U64), np.empty(0, dtype=U64)
+    mu = t.column("u").to_numpy(zero_copy_only=False).astype(U64)[is_map]
+    mv = t.column("v").to_numpy(zero_copy_only=False).astype(U64)[is_map]
+    order = np.lexsort((mv, mu))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = mu[order][1:] != mu[order][:-1]
+    keep = order[first]  # min doc_key per sha (defensive; one row/sha)
+    real = t.filter(pa.array(~is_map))
+    return real, mu[keep], mv[keep]
+
+
+def _translate(keys: np.ndarray, map_sha: np.ndarray, map_dk: np.ndarray,
+               what: str) -> np.ndarray:
+    if len(map_sha) == 0:
+        if len(keys):
+            raise AssertionError(f"substring translate: no map rows for "
+                                 f"{what}")
+        return keys
+    pos = np.clip(np.searchsorted(map_sha, keys), 0, len(map_sha) - 1)
+    if not (map_sha[pos] == keys).all():
+        raise AssertionError(f"substring translate: sha missing from "
+                             f"{what} map")
+    return map_dk[pos]
+
+
+def _merge_real_partials(t: pa.Table) -> dict[str, np.ndarray]:
+    """Sum counts / min-max bounds per distinct (u, v). Returns plain
+    arrays so callers can translate / swap before boxing."""
     u = t.column("u").to_numpy(zero_copy_only=False).astype(U64)
     v = t.column("v").to_numpy(zero_copy_only=False).astype(U64)
     order = np.lexsort((v, u))
@@ -218,28 +304,123 @@ def merge_span_partials(t: pa.Table, k: int) -> pa.Table:
     starts = np.flatnonzero(change)
     cols = {name: t.column(name).to_numpy(zero_copy_only=False)[order]
             for name in ("n_fps", "u_min", "u_max", "v_min", "v_max")}
+    return {
+        "u": su[starts], "v": sv[starts],
+        "n_fps": np.add.reduceat(cols["n_fps"], starts),
+        "u_min": np.minimum.reduceat(cols["u_min"], starts),
+        "u_max": np.maximum.reduceat(cols["u_max"], starts),
+        "v_min": np.minimum.reduceat(cols["v_min"], starts),
+        "v_max": np.maximum.reduceat(cols["v_max"], starts),
+    }
+
+
+def _finalize_spans(m: dict[str, np.ndarray], k: int) -> pa.Table:
+    """Canonicalize u < v by doc_key (swapping span bounds with their
+    side) and box into SPAN_SCHEMA; each anchor covers k bytes."""
+    if len(m["u"]) == 0:
+        return SPAN_SCHEMA.empty_table()
+    swap = m["u"] > m["v"]
+    u = np.where(swap, m["v"], m["u"])
+    v = np.where(swap, m["u"], m["v"])
+    u_min = np.where(swap, m["v_min"], m["u_min"])
+    u_max = np.where(swap, m["v_max"], m["u_max"])
+    v_min = np.where(swap, m["u_min"], m["v_min"])
+    v_max = np.where(swap, m["u_max"], m["v_max"])
+    order = np.lexsort((v, u))
     return pa.table({
-        "u": pa.array(su[starts], pa.uint64()),
-        "v": pa.array(sv[starts], pa.uint64()),
-        "n_shared_fps": pa.array(
-            np.add.reduceat(cols["n_fps"], starts), pa.int64()),
-        "u_start": pa.array(
-            np.minimum.reduceat(cols["u_min"], starts), pa.int64()),
-        "u_end": pa.array(
-            np.maximum.reduceat(cols["u_max"], starts) + k, pa.int64()),
-        "v_start": pa.array(
-            np.minimum.reduceat(cols["v_min"], starts), pa.int64()),
-        "v_end": pa.array(
-            np.maximum.reduceat(cols["v_max"], starts) + k, pa.int64()),
+        "u": pa.array(u[order], pa.uint64()),
+        "v": pa.array(v[order], pa.uint64()),
+        "n_shared_fps": pa.array(m["n_fps"][order], pa.int64()),
+        "u_start": pa.array(u_min[order], pa.int64()),
+        "u_end": pa.array((u_max[order] + k).astype(np.int64), pa.int64()),
+        "v_start": pa.array(v_min[order], pa.int64()),
+        "v_end": pa.array((v_max[order] + k).astype(np.int64), pa.int64()),
     })
 
 
-def make_span_distinct_batch(cfg: DedupConfig):
-    """Block fn for the (u, v) exchange: merge span partials per pair."""
+def merge_span_partials(t: pa.Table, k: int) -> pa.Table:
+    """Driver-path merge of the mixed partial stream: split out the
+    sha -> doc_key map rows, merge real partials per (u, v), translate
+    both sides, canonicalize and box. One pass, output-sized."""
+    if t.num_rows == 0:
+        return SPAN_SCHEMA.empty_table()
+    real, map_sha, map_dk = _split_map_rows(t)
+    if real.num_rows == 0:
+        return SPAN_SCHEMA.empty_table()
+    m = _merge_real_partials(real)
+    m["u"] = _translate(m["u"], map_sha, map_dk, "driver")
+    m["v"] = _translate(m["v"], map_sha, map_dk, "driver")
+    return _finalize_spans(m, k)
+
+
+def make_u_translate_batch(cfg: DedupConfig):
+    """Distributed pass 1, keyed on u (= sha): each partition holds
+    complete u groups, so (u, v) merges complete here; u translates to
+    its doc_key; map rows forward unchanged (their v = sha keys them
+    into pass 2 alongside the pairs that still need that sha)."""
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return PAIR_PARTIAL_SCHEMA.empty_table()
+        real, map_sha, map_dk = _split_map_rows(batch)
+        parts: list[pa.Table] = []
+        if len(map_sha):
+            nm = len(map_sha)
+            zeros = pa.array(np.zeros(nm, np.int64), pa.int64())
+            parts.append(pa.table({
+                "u": pa.array(map_dk, pa.uint64()),
+                "v": pa.array(map_sha, pa.uint64()),
+                "n_fps": pa.array(np.full(nm, -1, np.int64), pa.int64()),
+                "u_min": zeros, "u_max": zeros,
+                "v_min": zeros, "v_max": zeros,
+            }))
+        if real.num_rows:
+            m = _merge_real_partials(real)
+            m["u"] = _translate(m["u"], map_sha, map_dk, "pass-1 (u)")
+            parts.append(pa.table({
+                "u": pa.array(m["u"], pa.uint64()),
+                "v": pa.array(m["v"], pa.uint64()),
+                "n_fps": pa.array(m["n_fps"], pa.int64()),
+                "u_min": pa.array(m["u_min"], pa.int64()),
+                "u_max": pa.array(m["u_max"], pa.int64()),
+                "v_min": pa.array(m["v_min"], pa.int64()),
+                "v_max": pa.array(m["v_max"], pa.int64()),
+            }))
+        if not parts:
+            return PAIR_PARTIAL_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    return batch_fn
+
+
+def make_v_finalize_batch(cfg: DedupConfig):
+    """Distributed pass 2, keyed on v (= sha): translate v via the
+    co-located map rows (now encoded u = doc_key, v = sha), canonicalize
+    and box into SPAN_SCHEMA."""
     k = cfg.winnow_k
 
     def batch_fn(batch: pa.Table) -> pa.Table:
-        return merge_span_partials(batch, k)
+        if batch.num_rows == 0:
+            return SPAN_SCHEMA.empty_table()
+        n_fps = batch.column("n_fps").to_numpy(zero_copy_only=False)
+        is_map = n_fps < 0
+        real = batch.filter(pa.array(~is_map))
+        if real.num_rows == 0:
+            return SPAN_SCHEMA.empty_table()
+        mu = batch.column("u").to_numpy(
+            zero_copy_only=False).astype(U64)[is_map]
+        mv = batch.column("v").to_numpy(
+            zero_copy_only=False).astype(U64)[is_map]
+        order = np.lexsort((mu, mv))  # min doc_key first per sha
+        map_sha, map_dk = mv[order], mu[order]
+        m = {name: real.column(col).to_numpy(zero_copy_only=False)
+             for name, col in (("u", "u"), ("v", "v"), ("n_fps", "n_fps"),
+                               ("u_min", "u_min"), ("u_max", "u_max"),
+                               ("v_min", "v_min"), ("v_max", "v_max"))}
+        m["u"] = m["u"].astype(U64)
+        m["v"] = _translate(m["v"].astype(U64), map_sha, map_dk,
+                            "pass-2 (v)")
+        return _finalize_spans(m, k)
 
     return batch_fn
 

@@ -645,7 +645,8 @@ def substring_pairs(
     corpus cleaning."""
     from nise_ray.ops.substring import (
         SPAN_SCHEMA,
-        make_span_distinct_batch,
+        make_u_translate_batch,
+        make_v_finalize_batch,
         merge_span_partials,
     )
     cfg = cfg or DedupConfig()
@@ -673,5 +674,11 @@ def substring_pairs(
         if t.num_rows == 0:
             return ray.data.from_arrow(SPAN_SCHEMA.empty_table())
         return ray.data.from_arrow(merge_span_partials(t, cfg.winnow_k))
-    return hash_group_apply(pairs, ["u", "v"], make_span_distinct_batch(cfg),
+    # distributed path: two pair-sized exchanges translate the sha pair
+    # identities back to doc_keys using the map rows that rode the fp
+    # exchange — pass 1 (keyed u = sha) completes the (u, v) merge and
+    # translates u; pass 2 (keyed v = sha) translates v and finalizes
+    p1 = hash_group_apply(pairs, ["u"], make_u_translate_batch(cfg),
+                          cfg.shuffle_partitions, sort=False)
+    return hash_group_apply(p1, ["v"], make_v_finalize_batch(cfg),
                             cfg.shuffle_partitions, sort=False)

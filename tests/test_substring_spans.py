@@ -71,6 +71,64 @@ def test_substring_spans_cover_planted_block(ray_session):
     assert t.column("n_shared_fps")[0].as_py() >= 2
 
 
+def test_substring_driver_vs_distributed_parity(ray_session):
+    """The sha-identity redesign: pairs ride the fp exchange as content
+    hashes and translate back to doc_keys either on the driver (gated)
+    or through the two keyed translate passes — both paths must emit
+    identical spans, including with exact-duplicate docs present."""
+    import ray
+
+    from nise_ray.pipeline import substring_pairs
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    cfg_driver = DedupConfig()
+    block = _rand_text(rng, 60)
+    base = {
+        "a": _rand_text(rng, 40) + "\n" + block + "\n" + _rand_text(rng, 40),
+        "b": _rand_text(rng, 80) + "\n" + block + "\n" + _rand_text(rng, 20),
+        "c": _rand_text(rng, 100),
+        "d": _rand_text(rng, 30) + "\n" + block,
+    }
+    paths, texts = [], []
+    for p, t in base.items():
+        paths.append(p)
+        texts.append(t)
+    # exact duplicates of 'a' under different paths: they must collapse
+    # to the min-doc_key representative in BOTH paths
+    for i in range(3):
+        paths.append(f"a_copy{i}")
+        texts.append(base["a"])
+    corpus = pa.table({
+        "repo": pa.array(["r"] * len(paths), pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "commit": pa.array([""] * len(paths), pa.string()),
+        "lang": pa.array(["python"] * len(paths), pa.string()),
+        "content": pa.array(texts, pa.string()),
+    })
+
+    def run(cfg):
+        ds = ray.data.from_arrow(corpus).repartition(3)
+        t = collect_table(substring_pairs(ds, cfg))
+        return t.sort_by([("u", "ascending"), ("v", "ascending")])
+
+    got_driver = run(DedupConfig())
+    got_dist = run(DedupConfig(driver_docs_max=0))
+    assert got_driver.num_rows > 0
+    assert got_driver.equals(got_dist), (
+        f"driver:\n{got_driver.to_pydict()}\n"
+        f"distributed:\n{got_dist.to_pydict()}")
+    # representative identity: every u/v is the MIN doc_key of its
+    # exact-dup group
+    from nise_ray.hashing import doc_key as doc_key_fn
+    a_keys = [doc_key_fn("r", p, "") for p in
+              ["a", "a_copy0", "a_copy1", "a_copy2"]]
+    rep = min(a_keys)
+    endpoints = set(got_driver.column("u").to_pylist()) \
+        | set(got_driver.column("v").to_pylist())
+    assert rep in endpoints
+    assert not (set(a_keys) - {rep}) & endpoints
+
+
 def test_suffix_array_matches_sorted_suffixes():
     from nise_ray.ops.suffixarray import suffix_array
     rng = np.random.Generator(np.random.PCG64(11))
