@@ -487,6 +487,11 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_containment_pairs(sf_dir: str):
+    from nise_ray.ops.simjoin import containment_token_pairs
+    return containment_token_pairs(sf_dir)
+
+
 def _q_forecast_revenue_change(sf_dir: str):
     from nise_ray.ops.relational3 import forecast_revenue_change
     return forecast_revenue_change(sf_dir)
@@ -825,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue_share": _q_promo_revenue_share,
         "volume_shipping": _q_volume_shipping,
+        "containment_pairs_docs": _q_containment_pairs,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,
@@ -1591,6 +1597,27 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # asymmetric containment near-dup join: smaller token set
+        # tau-contained in the larger (catches file-pasted-into-file
+        # cases symmetric Jaccard misses)
+        "containment_pairs_docs": """
+            WITH d AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+              FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT u AS doc_id_u, v AS doc_id_v,
+                   i AS n_inter, LEAST(su.n, sv.n) AS n_min
+            FROM inter
+            JOIN sz su ON su.doc_id = u
+            JOIN sz sv ON sv.doc_id = v
+            WHERE CAST(i AS DOUBLE) >= 0.8 * LEAST(su.n, sv.n)
+            ORDER BY 1, 2
         """,
         "forecast_revenue_change": """
             SELECT coalesce(round(sum(l_extendedprice * l_discount), 2),

@@ -532,3 +532,249 @@ def source_overlap_pairs(sf_dir: str, tau: float = 0.5,
         "source_v": pa.array(nv[starts].tolist(), pa.string()),
         "n_pairs": pa.array(counts.astype(np.int64), pa.int64()),
     })
+
+
+_EMPTY_CONTAIN = pa.schema([
+    ("doc_id_u", pa.int64()), ("doc_id_v", pa.int64()),
+    ("n_inter", pa.int64()), ("n_min", pa.int64()),
+])
+
+
+class _VerifyContainment:
+    """Distributed exact verification for the containment join: same
+    one-lexsort intersection count as _VerifyPairs, but the keep
+    predicate is |inter| >= tau * min(|Tu|, |Tv|) (containment of the
+    smaller set in the larger) and the output carries n_min so
+    consumers derive containment = n_inter / n_min with no float in
+    the contract."""
+
+    def __init__(self, map_ref, tau: float) -> None:
+        self.ids, self.flat, self.offs = ray.get(map_ref)
+        self.tau = tau
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_CONTAIN.empty_table()
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        hi = max(len(self.ids) - 1, 0)
+        iu = np.clip(np.searchsorted(self.ids, u), 0, hi)
+        iv = np.clip(np.searchsorted(self.ids, v), 0, hi)
+        if not ((self.ids[iu] == u).all() and (self.ids[iv] == v).all()):
+            raise AssertionError("pair endpoint missing from token-set map")
+        cu = self.offs[iu + 1] - self.offs[iu]
+        cv = self.offs[iv + 1] - self.offs[iv]
+        npair = len(u)
+        pair_idx = np.arange(npair, dtype=np.int64)
+        a_idx = _ranges(self.offs[iu], cu)
+        b_idx = _ranges(self.offs[iv], cv)
+        all_pair = np.concatenate([np.repeat(pair_idx, cu),
+                                   np.repeat(pair_idx, cv)])
+        all_hash = np.concatenate([self.flat[a_idx], self.flat[b_idx]])
+        order = np.lexsort((all_hash, all_pair))
+        ps, hs = all_pair[order], all_hash[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        n_inter = np.bincount(ps[1:][dup], minlength=npair)
+        n_min = np.minimum(cu, cv)
+        keep = n_inter.astype(np.float64) >= self.tau * n_min
+        return pa.table({
+            "doc_id_u": pa.array(u[keep], pa.int64()),
+            "doc_id_v": pa.array(v[keep], pa.int64()),
+            "n_inter": pa.array(n_inter[keep], pa.int64()),
+            "n_min": pa.array(n_min[keep], pa.int64()),
+        })
+
+
+def containment_token_pairs(sf_dir: str, tau: float = 0.8,
+                            df_broadcast_max: int = 10_000_000) -> pa.Table:
+    """All document pairs whose SMALLER token set is tau-contained in
+    the larger: |Tu ∩ Tv| >= tau * min(|Tu|, |Tv|) — the asymmetric
+    near-dup signal that catches a file pasted into a bigger one,
+    which symmetric Jaccard misses (a 100-line file inside a
+    10,000-line file has J ~ 0.01 but containment 1.0). Output
+    (doc_id_u, doc_id_v, n_inter, n_min) sorted, integer-exact.
+
+    Scale shape (prefix-probe x full-index, the containment variant of
+    Bayardo'07/PPJoin): overlap >= ceil(tau * min(nu, nv)) means the
+    SMALLER side's (df, tok)-rarest prefix of length n - ceil(tau*n) + 1
+    must share a token with the larger side's FULL set, so candidates
+    come from probe rows (prefix explode, reused from the Jaccard op)
+    meeting index rows (_ExplodeAllTokens) in one token-keyed exchange;
+    each unordered pair generates exactly once, from its smaller side
+    (ties broken by doc_id). Hot stopword tokens have high df and
+    almost never enter a prefix, so their index groups pair with ~zero
+    probes — the skew guard is the prefix itself. Verification is the
+    same distributed needed-docs broadcast as token_jaccard_pairs."""
+    from nise_ray.ops.groupapply import (
+        default_concurrency,
+        hash_group_apply,
+        segments,
+    )
+    from nise_ray.util import collect_table
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    partials = docs.map_batches(_DfPartial, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+    df_ds = hash_group_apply(partials, ["tok"], _df_merge_batch)
+    df_t = collect_table(df_ds)
+    if df_t.num_rows > df_broadcast_max:
+        raise NotImplementedError(
+            "containment_token_pairs: vocab above the broadcast gate — "
+            "attach df via the distributed tok join (token_jaccard_pairs "
+            "df_mode='join' shape)")
+    if df_t.num_rows == 0:
+        return _EMPTY_CONTAIN.empty_table()
+    toks_sorted = df_t.column("tok").to_numpy(
+        zero_copy_only=False).astype(U64)
+    order = np.argsort(toks_sorted)
+    df_ref = ray.put((toks_sorted[order],
+                      df_t.column("df").to_numpy(
+                          zero_copy_only=False)[order]))
+
+    probe = docs.map_batches(
+        _PrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency())
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "side", pa.array(np.full(b.num_rows, side, np.int8),
+                                 pa.int8()))
+        fn.__name__ = f"TagSide{side}"
+        return fn
+
+    index = docs.map_batches(_ExplodeAllTokens, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             concurrency=default_concurrency())
+    both = probe.map_batches(tag(1), batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        index.map_batches(tag(0), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def pair_gen(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tok").to_numpy(zero_copy_only=False)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        # per token: index rows sorted by (n_tok, doc_id); each probe
+        # pairs every STRICTLY-GREATER index key, so each unordered
+        # pair emits exactly once, from its smaller side
+        o = np.lexsort((ids, nt, side, tok))  # probes after index rows
+        tok, ids, nt, side = tok[o], ids[o], nt[o], side[o]
+        starts, counts = segments(tok)
+        us, vs = [], []
+        for s, c in zip(starts, counts):
+            g_side = side[s:s + c]
+            n_idx = int((g_side == 0).sum())
+            if n_idx == 0 or n_idx == c:
+                continue
+            gi_n = nt[s:s + n_idx]
+            gi_id = ids[s:s + n_idx]
+            gp_n = nt[s + n_idx:s + c]
+            gp_id = ids[s + n_idx:s + c]
+            # first index row with key strictly greater than the probe's;
+            # (n_tok, doc_id) packs into one int64 — guarded, a 2^32+
+            # doc-id space would need a two-level searchsorted instead
+            if gi_id.max() >= (1 << 32) or gp_id.max() >= (1 << 32):
+                raise AssertionError("containment pair_gen: doc_id >= "
+                                     "2^32, widen the composite key")
+            lo = np.searchsorted(gi_n * (1 << 32) + gi_id,
+                                 gp_n * (1 << 32) + gp_id, side="right")
+            cnt = n_idx - lo
+            if not (cnt > 0).any():
+                continue
+            sel = _ranges(lo, cnt)
+            us.append(np.repeat(gp_id, np.maximum(cnt, 0)))
+            vs.append(gi_id[sel])
+        if not us:
+            return empty
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        lo_id = np.minimum(u, v)
+        hi_id = np.maximum(u, v)
+        return pa.table({"u": pa.array(lo_id, pa.int64()),
+                         "v": pa.array(hi_id, pa.int64())})
+
+    cands = hash_group_apply(both, ["tok"], pair_gen, sort=False)
+
+    def distinct_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (u[order][1:] != u[order][:-1]) | \
+                    (v[order][1:] != v[order][:-1])
+        return batch.take(pa.array(order[first]))
+
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+                                sort=False).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        e = np.unique(np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(e, pa.int64())})
+
+    ep = collect_table(pairs_ds.map_batches(endpoints,
+                                            batch_format="pyarrow"))
+    if ep.num_rows == 0:
+        return _EMPTY_CONTAIN.empty_table()
+    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
+    needed_ref = ray.put(needed)
+
+    class GatherTokenSets:
+        def __init__(self) -> None:
+            self.needed = ray.get(needed_ref)
+            self.hasher = TokenHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.needed, ids), 0,
+                          len(self.needed) - 1)
+            rows = np.flatnonzero(self.needed[pos] == ids)
+            if len(rows) == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "toks": pa.array([], pa.large_list(pa.uint64()))})
+            sel = b.take(pa.array(rows))
+            uf, uoffs = _row_unique_token_hashes(sel.column("text"),
+                                                 self.hasher)
+            return pa.table({
+                "doc_id": sel.column("doc_id"),
+                "toks": pa.LargeListArray.from_arrays(
+                    pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
+            })
+
+    got = collect_table(docs.map_batches(
+        GatherTokenSets, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()))
+    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
+    glists = got.column("toks").combine_chunks()
+    g_flat = glists.flatten().to_numpy(zero_copy_only=False).astype(U64)
+    g_offs = np.asarray(glists.offsets, dtype=np.int64) - glists.offset
+    order = np.argsort(gids)
+    cnts = np.diff(g_offs)[order]
+    flat_sorted = g_flat[_ranges(g_offs[:-1][order], cnts)]
+    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs_sorted[1:])
+    map_ref = ray.put((gids[order], flat_sorted, offs_sorted))
+
+    verified = pairs_ds.map_batches(
+        _VerifyContainment, fn_constructor_args=(map_ref, tau),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency())
+    out = collect_table(verified)
+    if out.num_rows == 0:
+        return _EMPTY_CONTAIN.empty_table()
+    return out.sort_by([("doc_id_u", "ascending"),
+                        ("doc_id_v", "ascending")])

@@ -202,3 +202,59 @@ def test_token_jaccard_df_join_parity(ray_session):
     b = token_jaccard_pairs(SF, tau=0.5, df_mode="join")
     assert a.num_rows > 0
     assert a.equals(b)
+
+
+def test_containment_pairs_matches_bruteforce(ray_session):
+    from nise_ray.ops.simjoin import containment_token_pairs
+    tau = 0.8
+    got = containment_token_pairs(SF, tau=tau)
+    raw = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(i): frozenset(_TOK.findall(t))
+            for i, t in zip(raw.column("doc_id").to_pylist(),
+                            raw.column("text").to_pylist())}
+    ids = sorted(sets)
+    want = set()
+    for a_i, a in enumerate(ids):
+        ta = sets[a]
+        if not ta:
+            continue
+        for b in ids[a_i + 1:]:
+            tb = sets[b]
+            if not tb:
+                continue
+            inter = len(ta & tb)
+            if inter >= tau * min(len(ta), len(tb)):
+                want.add((a, b, inter, min(len(ta), len(tb))))
+    have = set(zip(got.column("doc_id_u").to_pylist(),
+                   got.column("doc_id_v").to_pylist(),
+                   got.column("n_inter").to_pylist(),
+                   got.column("n_min").to_pylist()))
+    assert have == want
+    assert len(want) > 0  # fixture must exercise the op
+
+
+def test_containment_catches_asymmetric_pair(ray_session):
+    """A small file pasted into a much larger one: containment ~1.0
+    but Jaccard far below any sane tau — the case this op exists for."""
+    import pyarrow as pa
+    import ray
+
+    from nise_ray.ops.simjoin import containment_token_pairs
+    import nise_ray.ops.simjoin as sj
+
+    small = " ".join(f"needle{i}" for i in range(20))
+    big = " ".join(f"hay{i}" for i in range(400)) + " " + small
+    other = " ".join(f"stone{i}" for i in range(50))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([small, big, other], pa.string()),
+    })
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    got = containment_token_pairs(d, tau=0.9)
+    rows = list(zip(got.column("doc_id_u").to_pylist(),
+                    got.column("doc_id_v").to_pylist(),
+                    got.column("n_inter").to_pylist(),
+                    got.column("n_min").to_pylist()))
+    assert rows == [(1, 2, 20, 20)]
