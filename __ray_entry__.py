@@ -487,6 +487,16 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    from nise_ray.ops.events import retention_cohorts
+    return retention_cohorts(sf_dir)
+
+
+def _q_type2_clone_groups(sf_dir: str):
+    from nise_ray.ops.dedupx import type2_clone_groups
+    return type2_clone_groups(sf_dir)
+
+
 def _q_containment_pairs(sf_dir: str):
     from nise_ray.ops.simjoin import containment_token_pairs
     return containment_token_pairs(sf_dir)
@@ -831,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _q_promo_revenue_share,
         "volume_shipping": _q_volume_shipping,
         "containment_pairs_docs": _q_containment_pairs,
+        "type2_clone_groups": _q_type2_clone_groups,
+        "retention_cohorts": _q_retention_cohorts,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,
@@ -1597,6 +1609,38 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # retention triangle: users cohorted by first active day,
+        # counted at each day offset they return
+        "retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+              FROM events),
+            c AS (SELECT user_id, min(d) AS cohort FROM ud
+                  GROUP BY user_id)
+            SELECT c.cohort AS cohort_day,
+                   CAST(date_diff('day', c.cohort, ud.d) AS BIGINT)
+                       AS day_offset,
+                   count(*) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # type-2 clone detection: exact dup AFTER identifier/number
+        # normalization (renamed-variable copies group together)
+        "type2_clone_groups": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '[A-Za-z_][A-Za-z0-9_]*',
+                                      'ID', 'g'),
+                       '[0-9]+', 'N', 'g') AS nt
+              FROM documents),
+            g AS (
+              SELECT nt, min(doc_id) AS clone_id, count(*) AS group_size
+              FROM n GROUP BY nt HAVING count(*) >= 2)
+            SELECT n.doc_id, g.clone_id, g.group_size
+            FROM n JOIN g USING (nt)
+            ORDER BY n.doc_id
         """,
         # asymmetric containment near-dup join: smaller token set
         # tau-contained in the larger (catches file-pasted-into-file

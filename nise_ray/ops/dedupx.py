@@ -461,3 +461,71 @@ def chunk_dedup_docs(sf_dir: str, size: int = 48) -> "ray.data.Dataset":
     merged = carry.union(keep.map_batches(tag_keep, batch_format="pyarrow",
                                           zero_copy_batch=True))
     return hash_group_apply(merged, ["doc_id"], reassemble, 0, sort=False)
+
+
+def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
+    """Type-2 clone detection over the documents corpus: exact-duplicate
+    grouping AFTER identifier/literal normalization — every identifier
+    token collapses to `ID` and every integer literal to `N`, so
+    renamed-variable copies of the same code (type-2 clones in the
+    clone-detection literature; Roy & Cordy's taxonomy) land in one
+    group. Output: (doc_id, clone_id, group_size) for every member of a
+    group with >= 2 docs; clone_id = min doc_id of the group.
+
+    Scale shape: the normalization is two Arrow RE2 kernels per block
+    (bit-matching DuckDB's regexp_replace(..., 'g'), RE2 on both sides);
+    only the 8-byte blake2b of the normalized form plus doc_id leaves
+    the block, ONE 16-byte/row hash exchange groups them, and each
+    partition emits its groups vectorized (segments + reduceat min)."""
+    import pyarrow.compute as pc
+
+    from nise_ray.hashing import blake2b64
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def norm_hash(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        nt = pc.replace_substring_regex(
+            b.column("text").combine_chunks(),
+            pattern=r"[A-Za-z_][A-Za-z0-9_]*", replacement="ID")
+        nt = pc.replace_substring_regex(nt, pattern=r"[0-9]+",
+                                        replacement="N")
+        h = np.fromiter(
+            (blake2b64(s.encode("utf-8", errors="surrogatepass"))
+             for s in nt.to_pylist()), dtype=U64, count=b.num_rows)
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "doc_id": b.column("doc_id")})
+
+    norm_hash.__name__ = "Type2NormHash"
+    hashed = docs.map_batches(norm_hash, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def group_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "clone_id": pa.array([], pa.int64()),
+                          "group_size": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        h, ids = h[order], ids[order]
+        starts, counts = segments(h)
+        multi = counts >= 2
+        if not multi.any():
+            return empty
+        gid = np.repeat(np.arange(len(starts)), counts)
+        keep = multi[gid]
+        clone_id = ids[starts]  # min doc_id (ids sorted within group)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "clone_id": pa.array(clone_id[gid[keep]], pa.int64()),
+            "group_size": pa.array(counts[gid[keep]], pa.int64()),
+        })
+
+    group_batch.__name__ = "Type2CloneGroups"
+    return hash_group_apply(hashed, ["h"], group_batch, sort=False)

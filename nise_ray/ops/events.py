@@ -1388,3 +1388,84 @@ def lang_mad_chars(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(ds, ["lang"], agg, 0, sort=False)
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Retention-cohort analysis: users cohorted by their FIRST active
+    day; for every (cohort_day, day_offset) the number of cohort users
+    active exactly day_offset days later — the standard
+    product-analytics retention triangle.
+
+    Scale shape: the per-batch combiner dedups events to distinct
+    (user_id, day) pairs (bounded by users x days, not events); ONE
+    user_id hash exchange co-locates each user's days; each partition
+    derives cohort = min day per user and emits (cohort, offset)
+    partial counts (cohort x offset-sized); the driver merge is
+    triangle-sized. Returns (cohort_day, day_offset, n_users) sorted."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    day_us = 86_400_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // day_us
+        order = np.lexsort((day, uid))
+        su, sd = uid[order], day[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (sd[1:] != sd[:-1])
+        return pa.table({"user_id": pa.array(su[first], pa.int64()),
+                         "day": pa.array(sd[first], pa.int64())})
+
+    day_pairs.__name__ = "DistinctUserDays"
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def cohort_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        su, sd = uid[order], day[order]
+        # cross-block duplicate (user, day) pairs collapse here
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (sd[1:] != sd[:-1])
+        su, sd = su[first], sd[first]
+        starts, counts = segments(su)
+        cohort = np.repeat(sd[starts], counts)
+        offset = sd - cohort
+        k = cohort * (1 << 20) + offset  # offsets << 2^20 days (~2870 yr)
+        order2 = np.argsort(k, kind="stable")
+        kstarts, kcounts = segments(k[order2])
+        return pa.table({"k": pa.array(k[order2][kstarts], pa.int64()),
+                         "n": pa.array(kcounts, pa.int64())})
+
+    cohort_partial.__name__ = "CohortOffsetPartial"
+    from nise_ray.util import collect_table
+    partials = collect_table(hash_group_apply(pairs, ["user_id"],
+                                              cohort_partial, sort=False))
+    empty = pa.table({"cohort_day": pa.array([], pa.timestamp("us")),
+                      "day_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    if partials.num_rows == 0:
+        return empty
+    k = partials.column("k").to_numpy(zero_copy_only=False)
+    n = partials.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(k, kind="stable")
+    starts, _ = segments(k[order])
+    ku = k[order][starts]
+    counts = np.add.reduceat(n[order], starts)
+    cohort = (ku >> 20) * day_us
+    offset = ku & ((1 << 20) - 1)
+    return pa.table({
+        "cohort_day": pa.array(cohort).cast(pa.timestamp("us")),
+        "day_offset": pa.array(offset, pa.int64()),
+        "n_users": pa.array(counts, pa.int64()),
+    })

@@ -336,3 +336,29 @@ def test_zipf_fit_matches_duckdb(ray_session):
     assert got["zipf_slope"][0] == want["zipf_slope"][0]
     assert got["zipf_intercept"][0] == want["zipf_intercept"][0]
     assert got["zipf_slope"][0] < 0  # frequency decreases with rank
+
+
+def test_retention_cohorts_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.events import retention_cohorts
+
+    sf = "/root/testdata/sf0.001"
+    got = retention_cohorts(sf).to_pandas()
+    want = duckdb.execute(f"""
+        WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                    FROM read_parquet('{sf}/events.parquet')),
+        c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+        SELECT c.cohort AS cohort_day,
+               CAST(date_diff('day', c.cohort, ud.d) AS BIGINT)
+                   AS day_offset,
+               count(*) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    assert list(got["cohort_day"]) == list(want["cohort_day"])
+    assert list(got["day_offset"]) == list(want["day_offset"])
+    assert list(got["n_users"]) == list(want["n_users"])
+    # day-0 row exists for every cohort and equals the cohort size
+    d0 = got[got["day_offset"] == 0]
+    assert set(got["cohort_day"]) == set(d0["cohort_day"])

@@ -579,3 +579,53 @@ def test_chunk_dedup_docs_oracle_parity(ray_session):
     sql = entry.oracle_sql()["chunk_dedup_docs"] + " ORDER BY doc_id"
     ora = con.sql(sql).df()
     assert got.equals(ora)
+
+
+def test_type2_clone_groups_planted(ray_session, tmp_path):
+    """Renamed-variable code copies (type-2 clones) group together;
+    differently-STRUCTURED code does not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.dedupx import type2_clone_groups
+    from nise_ray.util import collect_table
+
+    a = "def total(xs):\n    acc = 0\n    for x in xs:\n        acc += x * 2\n    return acc\n"
+    # same structure, every identifier and literal renamed
+    b = "def sum_up(vals):\n    out = 0\n    for v in vals:\n        out += v * 7\n    return out\n"
+    # different structure (extra statement)
+    c = "def total(xs):\n    acc = 0\n    for x in xs:\n        acc += x * 2\n    acc -= 1\n    return acc\n"
+    t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                  "text": pa.array([a, b, c], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = collect_table(type2_clone_groups(str(tmp_path))) \
+        .sort_by([("doc_id", "ascending")])
+    assert got.column("doc_id").to_pylist() == [10, 20]
+    assert got.column("clone_id").to_pylist() == [10, 10]
+    assert got.column("group_size").to_pylist() == [2, 2]
+
+
+def test_type2_clone_groups_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.dedupx import type2_clone_groups
+    from nise_ray.util import collect_table
+
+    sf = "/root/testdata/sf0.001"
+    got = collect_table(type2_clone_groups(sf)) \
+        .sort_by([("doc_id", "ascending")]).to_pandas()
+    want = duckdb.execute(f"""
+        WITH n AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(text,
+                     '[A-Za-z_][A-Za-z0-9_]*', 'ID', 'g'),
+                     '[0-9]+', 'N', 'g') AS nt
+          FROM read_parquet('{sf}/documents.parquet')),
+        g AS (SELECT nt, min(doc_id) AS clone_id, count(*) AS group_size
+              FROM n GROUP BY nt HAVING count(*) >= 2)
+        SELECT n.doc_id, g.clone_id, g.group_size
+        FROM n JOIN g USING (nt) ORDER BY n.doc_id
+    """).fetchdf()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["clone_id"]) == list(want["clone_id"])
+    assert list(got["group_size"]) == list(want["group_size"])
