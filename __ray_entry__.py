@@ -487,6 +487,11 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    from nise_ray.ops.allpairs import tfidf_cosine_pairs
+    return tfidf_cosine_pairs(sf_dir)
+
+
 def _q_retention_cohorts(sf_dir: str):
     from nise_ray.ops.events import retention_cohorts
     return retention_cohorts(sf_dir)
@@ -843,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_docs": _q_containment_pairs,
         "type2_clone_groups": _q_type2_clone_groups,
         "retention_cohorts": _q_retention_cohorts,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,
@@ -1609,6 +1615,35 @@ def oracle_sql() -> dict[str, str]:
                 AND l_shipdate < TIMESTAMP '1998-01-01') shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # all-pairs TF-IDF cosine similarity self-join (Bayardo'07
+        # max-weight prefix bound); weights tf * ln(N/df), L2-normalized
+        "tfidf_cosine_pairs": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                         AS tok
+                FROM documents) GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+            nn AS (SELECT count(*) AS nd FROM documents),
+            w AS (SELECT doc_id, tf.tok,
+                         c * ln((SELECT nd FROM nn) / dfc) AS w
+                  FROM tf JOIN df ON tf.tok = df.tok),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS s FROM w
+                    GROUP BY doc_id),
+            dot AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                           sum(a.w * b.w) AS d
+                    FROM w a JOIN w b
+                      ON a.tok = b.tok AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+            SELECT u AS doc_id_u, v AS doc_id_v,
+                   round(d / (su.s * sv.s), 4) AS cosine
+            FROM dot
+            JOIN nrm su ON su.doc_id = u
+            JOIN nrm sv ON sv.doc_id = v
+            WHERE d / (su.s * sv.s) >= 0.6
+            ORDER BY 1, 2
         """,
         # retention triangle: users cohorted by first active day,
         # counted at each day offset they return

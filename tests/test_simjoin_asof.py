@@ -258,3 +258,60 @@ def test_containment_catches_asymmetric_pair(ray_session):
                     got.column("n_inter").to_pylist(),
                     got.column("n_min").to_pylist()))
     assert rows == [(1, 2, 20, 20)]
+
+
+def test_tfidf_cosine_matches_duckdb(ray_session):
+    from nise_ray.ops.allpairs import tfidf_cosine_pairs
+    got = tfidf_cosine_pairs(SF, tau=0.6).to_pandas()
+    want = duckdb.execute(f"""
+        WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+            FROM read_parquet('{SF}/documents.parquet')) GROUP BY 1, 2),
+        df AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+        nn AS (SELECT count(*) AS nd
+               FROM read_parquet('{SF}/documents.parquet')),
+        w AS (SELECT doc_id, tf.tok, c * ln((SELECT nd FROM nn) / dfc) AS w
+              FROM tf JOIN df ON tf.tok = df.tok),
+        nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS s FROM w GROUP BY doc_id),
+        dot AS (SELECT a.doc_id AS u, b.doc_id AS v, sum(a.w*b.w) AS d
+                FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT u AS doc_id_u, v AS doc_id_v,
+               round(d / (su.s * sv.s), 4) AS cosine
+        FROM dot JOIN nrm su ON su.doc_id = u JOIN nrm sv ON sv.doc_id = v
+        WHERE d / (su.s * sv.s) >= 0.6 ORDER BY 1, 2
+    """).fetchdf()
+    assert list(got["doc_id_u"]) == list(want["doc_id_u"])
+    assert list(got["doc_id_v"]) == list(want["doc_id_v"])
+    assert (got["cosine"].values == want["cosine"].values).all()
+    assert len(got) > 0
+
+
+def test_tfidf_cosine_catches_tf_skew_pair(ray_session, tmp_path):
+    """A doc repeating one rare identifier dominates its TF-IDF vector:
+    cosine to a doc sharing that identifier is high even though the
+    token-SET Jaccard is tiny — the case weighting exists for."""
+    import pyarrow as pa
+
+    from nise_ray.ops.allpairs import tfidf_cosine_pairs
+
+    rare = "xz_rare_sym "
+    a = rare * 50 + "alpha beta"
+    b = rare * 40 + " ".join(f"w{i}" for i in range(8))
+    # background docs so df(rare)=2 out of many and common words exist
+    bg = [" ".join(f"w{j}" for j in range(8)) + f" alpha beta g{i}"
+          for i in range(20)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, 23)), pa.int64()),
+        "text": pa.array([a, b] + bg, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = tfidf_cosine_pairs(str(tmp_path), tau=0.9)
+    pairs = set(zip(got.column("doc_id_u").to_pylist(),
+                    got.column("doc_id_v").to_pylist()))
+    assert (1, 2) in pairs
+    # their token-set Jaccard is far below 0.9
+    ta = set(a.split())
+    tb = set(b.split())
+    assert len(ta & tb) / len(ta | tb) < 0.2
