@@ -487,6 +487,11 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_dedup_recall_report(sf_dir: str):
+    from nise_ray.ops.dedupx import dedup_recall_report
+    return dedup_recall_report(sf_dir)
+
+
 def _q_tfidf_cosine_pairs(sf_dir: str):
     from nise_ray.ops.allpairs import tfidf_cosine_pairs
     return tfidf_cosine_pairs(sf_dir)
@@ -849,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type2_clone_groups": _q_type2_clone_groups,
         "retention_cohorts": _q_retention_cohorts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        # rows-only: truth side is the brute-force shingle oracle, not SQL
+        "dedup_recall_report": _q_dedup_recall_report,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,

@@ -494,10 +494,15 @@ def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
             pattern=r"[A-Za-z_][A-Za-z0-9_]*", replacement="ID")
         nt = pc.replace_substring_regex(nt, pattern=r"[0-9]+",
                                         replacement="N")
-        h = np.fromiter(
+        # normalization collapses duplicates aggressively — hash each
+        # DISTINCT normalized form once via the dictionary indices
+        enc = nt.dictionary_encode()
+        uniq = np.fromiter(
             (blake2b64(s.encode("utf-8", errors="surrogatepass"))
-             for s in nt.to_pylist()), dtype=U64, count=b.num_rows)
-        return pa.table({"h": pa.array(h, pa.uint64()),
+             for s in enc.dictionary.to_pylist()),
+            dtype=U64, count=len(enc.dictionary))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(uniq[codes], pa.uint64()),
                          "doc_id": b.column("doc_id")})
 
     norm_hash.__name__ = "Type2NormHash"
@@ -529,3 +534,58 @@ def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
 
     group_batch.__name__ = "Type2CloneGroups"
     return hash_group_apply(hashed, ["h"], group_batch, sort=False)
+
+
+def dedup_recall_report(sf_dir: str, tau: float = 0.7,
+                        gate_tau: float = 0.8,
+                        max_docs: int = 50_000) -> pa.Table:
+    """First-class surface for the north-rule metric (dup-pair recall
+    >= 0.99): run the flagship near-dup pipeline over the documents
+    corpus and measure its pair recall against the BRUTE-FORCE exact
+    oracle (true token-shingle Jaccard, nise_ray/oracle.py) on pairs at
+    or above `gate_tau` — comfortably inside the LSH curve's
+    high-probability region for the pinned band config, mirroring the
+    e2e recall gate. A found pair counts if it is an emitted edge OR
+    implied by the edge set's connected closure (clustering merges
+    transitively). Returns ONE row:
+    (n_docs, n_gate_pairs, n_hit, recall).
+
+    The oracle is O(n^2/inverted-index) by construction, so this
+    surface is gated at `max_docs` — it is a MEASUREMENT harness for
+    sampled tiers, not a corpus-scale operator; at 100 TB you run it on
+    a uniform sample (stratified_sample_docs) exactly like the
+    reference's recall audits."""
+    from nise_ray.oracle import oracle_dedup
+    from nise_ray.ops.components import UnionFind
+    from nise_ray.util import collect_table
+
+    corpus_ds = corpus_from_documents(sf_dir)
+    corpus = collect_table(corpus_ds)
+    if corpus.num_rows > max_docs:
+        raise AssertionError(
+            f"dedup_recall_report: {corpus.num_rows} docs > max_docs="
+            f"{max_docs}; run it on a sample — the truth side is the "
+            "brute-force oracle")
+    cfg = DedupConfig(tau=tau)
+    res = dedup_pipeline(corpus_from_documents(sf_dir), cfg)
+    edges = collect_table(res.edges)
+    found = set(zip(edges.column("u").to_pylist(),
+                    edges.column("v").to_pylist()))
+    uf = UnionFind()
+    for u, v in found:
+        uf.union(u, v)
+    truth, _ = oracle_dedup(corpus, tau=tau, w=cfg.shingle_w)
+    denom = hit = 0
+    for (u, v), (jv, kind) in truth.items():
+        if kind == "exact" or jv >= gate_tau:
+            denom += 1
+            if (u, v) in found or (u in uf.parent and v in uf.parent
+                                   and uf.find(u) == uf.find(v)):
+                hit += 1
+    recall = hit / denom if denom else 1.0
+    return pa.table({
+        "n_docs": pa.array([corpus.num_rows], pa.int64()),
+        "n_gate_pairs": pa.array([denom], pa.int64()),
+        "n_hit": pa.array([hit], pa.int64()),
+        "recall": pa.array([round(recall, 4)], pa.float64()),
+    })

@@ -629,3 +629,13 @@ def test_type2_clone_groups_matches_duckdb(ray_session):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["clone_id"]) == list(want["clone_id"])
     assert list(got["group_size"]) == list(want["group_size"])
+
+
+def test_dedup_recall_report_meets_gate(ray_session):
+    from nise_ray.ops.dedupx import dedup_recall_report
+
+    got = dedup_recall_report("/root/testdata/sf0.001")
+    assert got.num_rows == 1
+    assert got.column("n_docs").to_pylist() == [500]
+    assert got.column("n_gate_pairs")[0].as_py() > 0
+    assert got.column("recall")[0].as_py() >= 0.99
