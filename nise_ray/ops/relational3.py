@@ -217,20 +217,20 @@ def market_share(sf_dir: str, region: str = "AMERICA",
     region_nations = np.sort(nkeys[nregion == int(rk[0])])
     target_key = int(tk[0])
 
-    # part -> keyset of the target type; broadcast-gated
+    # part -> keyset of the target type; broadcast-gated with a
+    # distributed partkey semi-join fallback (same shape as
+    # product_profit's)
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_type"],
                                  filter=pads.field("p_type") == p_type)
     n_parts = part.count()
-    if n_parts > broadcast_max:
-        raise NotImplementedError(
-            "market_share: part keyset above broadcast gate — attach via "
-            "a distributed partkey join (same shape as product_profit's "
-            "fallback); sf-scale part tables always fit the gate")
-    pt = collect_table(part)
-    pkeys = (np.sort(pt.column("p_partkey").to_numpy(zero_copy_only=False))
-             if pt.num_rows else np.empty(0, dtype=np.int64))
-    pkeys_ref = ray.put(pkeys)
+    pkeys_ref = None
+    if n_parts <= broadcast_max:
+        pt = collect_table(part)
+        pkeys = (np.sort(pt.column("p_partkey").to_numpy(
+            zero_copy_only=False)) if pt.num_rows
+            else np.empty(0, dtype=np.int64))
+        pkeys_ref = ray.put(pkeys)
 
     # supplier -> nationkey broadcast map (dimension-sized)
     st = collect_table(ray.data.read_parquet(
@@ -306,8 +306,52 @@ def market_share(sf_dir: str, region: str = "AMERICA",
         })
 
     type_filter.__name__ = "TypePartSupplier"
-    li_f = li.map_batches(type_filter, batch_format="pyarrow",
-                          zero_copy_batch=True)
+
+    def type_project(b: pa.Table) -> pa.Table:
+        """Join-fallback tail: part membership already applied by the
+        distributed partkey join; attach supplier nation + revenue."""
+        sk, sn = ray.get(supp_ref)
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "is_target": pa.array([], pa.bool_()),
+                             "rev": pa.array([], pa.float64())})
+        lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos, shit = _sorted_lookup(sk, lsk)
+        # the join sentinel (suppkey -1) legitimately misses the
+        # supplier map; real rows must all hit
+        real = b.column("l_partkey").to_numpy(zero_copy_only=False) >= 0
+        if len(sk) and not shit[real].all():
+            raise AssertionError("l_suppkey missing from supplier table")
+        snat = np.where(shit, sn[pos] if len(sk) else -1, -1)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "is_target": pa.array(snat == target_key, pa.bool_()),
+            "rev": pa.array(np.where(real, price * (1.0 - disc), 0.0),
+                            pa.float64()),
+        })
+
+    type_project.__name__ = "TypeSupplierProject"
+    if pkeys_ref is not None:
+        li_f = li.map_batches(type_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    else:
+        part_k = part.map_batches(
+            lambda b: b.select(["p_partkey"]), batch_format="pyarrow",
+            zero_copy_batch=True)
+        part_k = _anchor_sentinel(part_k, {"p_partkey": (pa.int64(), -1)})
+        li_s = _anchor_sentinel(li, {
+            "l_orderkey": (pa.int64(), -1), "l_partkey": (pa.int64(), -1),
+            "l_suppkey": (pa.int64(), -1),
+            "l_extendedprice": (pa.float64(), 0.0),
+            "l_discount": (pa.float64(), 0.0)})
+        _hash_shuffle_on(li_s, part_k)
+        li_j = li_s.join(part_k, join_type="inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_partkey",), right_on=("p_partkey",))
+        li_f = li_j.map_batches(type_project, batch_format="pyarrow",
+                                zero_copy_batch=True)
     li_f = _anchor_sentinel(li_f, {"l_orderkey": (pa.int64(), -1),
                                    "is_target": (pa.bool_(), False),
                                    "rev": (pa.float64(), 0.0)})

@@ -201,6 +201,13 @@ class _ExplodeAllTokens:
         })
 
 
+def _explode_all_tokens_task(b: pa.Table) -> pa.Table:
+    """Task-path _ExplodeAllTokens (fresh hasher per task): used when a
+    JoinOperator shares the DAG — actor pools alongside join aggregator
+    pools deadlock small clusters (each reserves CPU slots)."""
+    return _ExplodeAllTokens()(b)
+
+
 def _prefix_regroup_batch(tau: float):
     """Block fn for the df-join path: the block holds complete doc_id
     groups of (doc_id, tok, n_tok, df) rows; re-derive each doc's prefix
@@ -586,6 +593,7 @@ class _VerifyContainment:
 
 
 def containment_token_pairs(sf_dir: str, tau: float = 0.8,
+                            df_mode: str = "auto",
                             df_broadcast_max: int = 10_000_000) -> pa.Table:
     """All document pairs whose SMALLER token set is tau-contained in
     the larger: |Tu ∩ Tv| >= tau * min(|Tu|, |Tv|) — the asymmetric
@@ -618,26 +626,47 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
     partials = docs.map_batches(_DfPartial, batch_format="pyarrow",
                                 zero_copy_batch=True,
                                 concurrency=default_concurrency())
-    df_ds = hash_group_apply(partials, ["tok"], _df_merge_batch)
-    df_t = collect_table(df_ds)
-    if df_t.num_rows > df_broadcast_max:
-        raise NotImplementedError(
-            "containment_token_pairs: vocab above the broadcast gate — "
-            "attach df via the distributed tok join (token_jaccard_pairs "
-            "df_mode='join' shape)")
-    if df_t.num_rows == 0:
+    # vocab-sized; consumed twice in join mode (gate count + join input)
+    df_ds = hash_group_apply(partials, ["tok"], _df_merge_batch) \
+        .materialize()
+    if df_ds.count() == 0:
         return _EMPTY_CONTAIN.empty_table()
-    toks_sorted = df_t.column("tok").to_numpy(
-        zero_copy_only=False).astype(U64)
-    order = np.argsort(toks_sorted)
-    df_ref = ray.put((toks_sorted[order],
-                      df_t.column("df").to_numpy(
-                          zero_copy_only=False)[order]))
-
-    probe = docs.map_batches(
-        _PrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency())
+    if df_mode == "auto":
+        df_mode = ("broadcast" if df_ds.count() <= df_broadcast_max
+                   else "join")
+    if df_mode == "broadcast":
+        df_t = collect_table(df_ds)
+        toks_sorted = df_t.column("tok").to_numpy(
+            zero_copy_only=False).astype(U64)
+        order = np.argsort(toks_sorted)
+        df_ref = ray.put((toks_sorted[order],
+                          df_t.column("df").to_numpy(
+                              zero_copy_only=False)[order]))
+        probe = docs.map_batches(
+            _PrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency())
+    elif df_mode == "join":
+        # 100-TB path: df attaches via a distributed hash join on tok,
+        # the per-doc prefix re-derives in a doc_id regroup — identical
+        # machinery to token_jaccard_pairs df_mode='join'. Both explode
+        # stages run TASK-path here (plain fns, fresh hasher per task):
+        # a JoinOperator's aggregator pool plus two ACTOR-pool map
+        # stages in one candidate DAG deadlocks small clusters (each
+        # pool reserves CPU slots concurrently — the documented
+        # round-4 engine gotcha).
+        from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        full = docs.map_batches(_explode_all_tokens_task,
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+        _hash_shuffle_on(full, df_ds)
+        joined = full.join(df_ds, join_type="inner",
+                           num_partitions=_join_partitions(),
+                           on=("tok",))
+        probe = hash_group_apply(joined, ["doc_id"],
+                                 _prefix_regroup_batch(tau), sort=False)
+    else:
+        raise ValueError(f"unknown df_mode {df_mode!r}")
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -647,9 +676,15 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
         fn.__name__ = f"TagSide{side}"
         return fn
 
-    index = docs.map_batches(_ExplodeAllTokens, batch_format="pyarrow",
-                             zero_copy_batch=True,
-                             concurrency=default_concurrency())
+    if df_mode == "join":
+        # keep the whole candidate DAG actor-pool-free alongside the join
+        index = docs.map_batches(_explode_all_tokens_task,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    else:
+        index = docs.map_batches(_ExplodeAllTokens, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 concurrency=default_concurrency())
     both = probe.map_batches(tag(1), batch_format="pyarrow",
                              zero_copy_batch=True).union(
         index.map_batches(tag(0), batch_format="pyarrow",

@@ -68,9 +68,11 @@ def test_priority_shipment_counts_matches_duckdb(ray_session):
     assert list(got["low_line_count"]) == list(want["low_line_count"])
 
 
-def test_market_share_matches_duckdb(ray_session):
+@pytest.mark.parametrize("bmax", [pytest.param(0, id="part-join"),
+                                  pytest.param(5_000_000, id="broadcast")])
+def test_market_share_matches_duckdb(ray_session, bmax):
     from nise_ray.ops.relational3 import market_share
-    got = market_share(SF).to_pandas()
+    got = market_share(SF, broadcast_max=bmax).to_pandas()
     want = _con().execute("""
         SELECT o_year,
                round(sum(CASE WHEN nation = 'NATION_5' THEN volume

@@ -315,3 +315,13 @@ def test_tfidf_cosine_catches_tf_skew_pair(ray_session, tmp_path):
     ta = set(a.split())
     tb = set(b.split())
     assert len(ta & tb) / len(ta | tb) < 0.2
+
+
+def test_containment_df_mode_parity(ray_session):
+    """broadcast vs distributed-join df attach must emit identical
+    containment pairs (mirrors the Jaccard op's df-mode parity)."""
+    from nise_ray.ops.simjoin import containment_token_pairs
+    a = containment_token_pairs(SF, tau=0.8, df_mode="broadcast")
+    b = containment_token_pairs(SF, tau=0.8, df_mode="join")
+    assert a.equals(b)
+    assert a.num_rows > 0
