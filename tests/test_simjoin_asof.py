@@ -325,3 +325,17 @@ def test_containment_df_mode_parity(ray_session):
     b = containment_token_pairs(SF, tau=0.8, df_mode="join")
     assert a.equals(b)
     assert a.num_rows > 0
+
+
+def test_tfidf_df_mode_parity(ray_session):
+    """broadcast vs distributed-join weighted-postings paths must emit
+    identical cosine pairs (values bit-equal after the 1e-4 grid)."""
+    from nise_ray.ops.allpairs import tfidf_cosine_pairs
+    a = tfidf_cosine_pairs(SF, tau=0.6, df_mode="broadcast")
+    b = tfidf_cosine_pairs(SF, tau=0.6, df_mode="join")
+    assert a.num_rows == b.num_rows > 0
+    assert a.column("doc_id_u").equals(b.column("doc_id_u"))
+    assert a.column("doc_id_v").equals(b.column("doc_id_v"))
+    ca = a.column("cosine").to_numpy()
+    cb = b.column("cosine").to_numpy()
+    assert (ca == cb).all()
