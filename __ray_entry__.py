@@ -487,6 +487,16 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_compression_ratio(sf_dir: str):
+    from nise_ray.ops.textstats import compression_ratio
+    return compression_ratio(sf_dir)
+
+
+def _q_event_anomaly_days(sf_dir: str):
+    from nise_ray.ops.analytics import event_anomaly_days
+    return event_anomaly_days(sf_dir)
+
+
 def _q_dedup_recall_report(sf_dir: str):
     from nise_ray.ops.dedupx import dedup_recall_report
     return dedup_recall_report(sf_dir)
@@ -854,8 +864,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type2_clone_groups": _q_type2_clone_groups,
         "retention_cohorts": _q_retention_cohorts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "event_anomaly_days": _q_event_anomaly_days,
         # rows-only: truth side is the brute-force shingle oracle, not SQL
         "dedup_recall_report": _q_dedup_recall_report,
+        # rows-only: no SQL engine exposes deterministic DEFLATE
+        "compression_ratio": _q_compression_ratio,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,
@@ -1651,6 +1664,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm sv ON sv.doc_id = v
             WHERE d / (su.s * sv.s) >= 0.6
             ORDER BY 1, 2
+        """,
+        # daily-volume anomaly sweep: each day's event count z-scored
+        # against the global daily distribution (population sigma)
+        "event_anomaly_days": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+              FROM events GROUP BY 1),
+            s AS (SELECT avg(n_events) AS m, stddev_pop(n_events) AS sd
+                  FROM d)
+            SELECT day, n_events,
+                   round((n_events - m) / NULLIF(sd, 0), 4) AS z,
+                   (abs(n_events - m) > 2.0 * sd) AS is_anomaly
+            FROM d, s ORDER BY day
         """,
         # retention triangle: users cohorted by first active day,
         # counted at each day offset they return

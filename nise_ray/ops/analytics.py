@@ -1098,3 +1098,60 @@ def user_event_entropy(sf_dir: str) -> pa.Table:
                          "n_events": pa.array([], pa.int64()),
                          "type_entropy": pa.array([], pa.float64())})
     return t.sort_by([("user_id", "ascending")])
+
+
+def event_anomaly_days(sf_dir: str, z_thresh: float = 2.0) -> pa.Table:
+    """Daily-volume anomaly detection: every day's event count z-scored
+    against the global daily distribution, with days beyond z_thresh
+    population-sigmas flagged — the ops-telemetry sweep a pipeline runs
+    over its own ingest volumes.
+
+    Scale shape: per-block (day, count) partials (days-sized, the
+    combiner pattern), one driver merge over |days| rows, moments from
+    the daily counts on the driver (|days| is bounded by calendar time,
+    never data size). Returns (day, n_events, z, is_anomaly) sorted."""
+    from nise_ray.ops.groupapply import segments
+    from nise_ray.util import collect_table
+
+    day_us = 86_400_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        day = b.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // day_us
+        order = np.argsort(day, kind="stable")
+        starts, counts = segments(day[order])
+        return pa.table({"day": pa.array(day[order][starts], pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    day_partial.__name__ = "DailyCountPartial"
+    partials = collect_table(ds.map_batches(
+        day_partial, batch_format="pyarrow", zero_copy_batch=True))
+    empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                      "n_events": pa.array([], pa.int64()),
+                      "z": pa.array([], pa.float64()),
+                      "is_anomaly": pa.array([], pa.bool_())})
+    if partials.num_rows == 0:
+        return empty
+    day = partials.column("day").to_numpy(zero_copy_only=False)
+    n = partials.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    starts, _ = segments(day[order])
+    days = day[order][starts]
+    counts = np.add.reduceat(n[order], starts)
+    cf = counts.astype(np.float64)
+    m = cf.sum() / len(cf)
+    sd = np.sqrt(np.maximum((cf * cf).sum() / len(cf) - m * m, 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(sd > 0, (cf - m) / sd, 0.0)
+    # sd == 0 (constant daily volume) -> NULL z, matching SQL NULLIF
+    null_mask = np.full(len(cf), sd == 0.0)
+    return pa.table({
+        "day": pa.array(days * day_us).cast(pa.timestamp("us")),
+        "n_events": pa.array(counts, pa.int64()),
+        "z": pa.array(np.round(z, 4), pa.float64(), mask=null_mask),
+        "is_anomaly": pa.array(np.abs(cf - m) > z_thresh * sd, pa.bool_()),
+    })

@@ -639,3 +639,31 @@ def test_dedup_recall_report_meets_gate(ray_session):
     assert got.column("n_docs").to_pylist() == [500]
     assert got.column("n_gate_pairs")[0].as_py() > 0
     assert got.column("recall")[0].as_py() >= 0.99
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """Repetitive text compresses far below random text; empty docs
+    emit NULL; counts match a direct zlib reference."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.textstats import compression_ratio
+    from nise_ray.util import collect_table
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rand = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 4000))
+    rep = "spam and eggs " * 300
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([rand, rep, ""], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = collect_table(compression_ratio(str(tmp_path))) \
+        .sort_by([("doc_id", "ascending")])
+    ratios = got.column("ratio").to_pylist()
+    assert ratios[2] is None
+    assert ratios[1] < 0.05 < ratios[0]
+    for i, text in enumerate([rand, rep]):
+        assert got.column("n_compressed")[i].as_py() == \
+            len(zlib.compress(text.encode(), 6))
