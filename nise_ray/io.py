@@ -88,3 +88,80 @@ def write_assignments(ds: "ray.data.Dataset", out_dir: str) -> None:
     ds.select_columns([
         "repo", "path", "commit", "doc_key", "content_sha256", "cluster_id",
     ]).write_parquet(out_dir)
+
+
+def read_corpus_jsonl(path: str | list[str], **read_kwargs
+                      ) -> "ray.data.Dataset":
+    """JSONL ingest for the same 5-column corpus contract — the landing
+    format most crawl/export tooling emits before parquet conversion.
+    ray.data.read_json streams line-delimited JSON per block; the
+    validation projector enforces the contract per batch (JSON has no
+    file-level schema to check up front) and projects extra keys away.
+    Use parquet for anything persistent: JSON pays ~4x the scan bytes
+    and loses row-group pruning — this reader exists so a pipeline can
+    consume landing data without a separate conversion job."""
+    ds = ray.data.read_json(path, **read_kwargs)
+
+    def validate(b: pa.Table) -> pa.Table:
+        names = set(b.column_names)
+        missing = [c for c in REQUIRED_COLUMNS if c not in names]
+        if missing:
+            raise ValueError(
+                f"jsonl corpus missing required columns {missing}")
+        cols = [c for c in CORPUS_COLUMNS if c in names]
+        if "doc_id" in names:
+            cols.append("doc_id")
+        out = b.select(cols)
+        if "lang" not in names:
+            out = out.append_column(
+                "lang", pa.array([""] * b.num_rows, pa.string()))
+        for c in REQUIRED_COLUMNS:
+            if not pa.types.is_string(out.schema.field(c).type):
+                out = out.set_column(
+                    out.schema.get_field_index(c), c,
+                    out.column(c).cast(pa.string()))
+        return out
+
+    validate.__name__ = "ValidateJsonlCorpus"
+    return ds.map_batches(validate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def read_corpus_csv(path: str | list[str], **read_kwargs
+                    ) -> "ray.data.Dataset":
+    """CSV ingest for the corpus contract (header row required). Same
+    per-batch validation/projection as the JSONL reader; same advice —
+    convert to parquet for anything that will be read twice."""
+    ds = ray.data.read_csv(path, **read_kwargs)
+
+    def validate(b: pa.Table) -> pa.Table:
+        names = set(b.column_names)
+        missing = [c for c in REQUIRED_COLUMNS if c not in names]
+        if missing:
+            raise ValueError(
+                f"csv corpus missing required columns {missing}")
+        cols = [c for c in CORPUS_COLUMNS if c in names]
+        if "doc_id" in names:
+            cols.append("doc_id")
+        out = b.select(cols)
+        if "lang" not in names:
+            out = out.append_column(
+                "lang", pa.array([""] * b.num_rows, pa.string()))
+        for c in REQUIRED_COLUMNS:
+            f = out.schema.field(c)
+            if not pa.types.is_string(f.type):
+                out = out.set_column(
+                    out.schema.get_field_index(c), c,
+                    out.column(c).cast(pa.string()))
+        # CSV renders empty strings as nulls — restore the contract
+        for c in REQUIRED_COLUMNS + ["lang"]:
+            col = out.column(c)
+            if col.null_count:
+                out = out.set_column(
+                    out.schema.get_field_index(c), c,
+                    pa.compute.fill_null(col, ""))
+        return out
+
+    validate.__name__ = "ValidateCsvCorpus"
+    return ds.map_batches(validate, batch_format="pyarrow",
+                          zero_copy_batch=True)
