@@ -213,3 +213,26 @@ def test_batch_normalize_matches_reference(texts):
     from nise_ray.ops.normalize import batch_normalize, normalize_text
     got = batch_normalize(pa.array(texts, pa.string())).to_pylist()
     assert got == [normalize_text(t) for t in texts]
+
+
+@given(st.integers(0, 300), st.integers(1, 64), st.integers(0, 2**32))
+@settings(max_examples=60, deadline=None)
+def test_sliding_min_matches_windowed_view(n, w, seed):
+    """sliding_min (O(n) two-pass block min) is bit-identical to
+    sliding_window_view(...).min(axis=1) on every shape, including
+    ties, n <= w, and w == 1."""
+    import numpy as np
+
+    from nise_ray.hashing import U64, sliding_min
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h = rng.integers(0, 37, size=n).astype(U64)  # tiny alphabet: ties
+    got = sliding_min(h, w)
+    if n == 0 or w <= 1:
+        exp = h.copy()
+    elif n <= w:
+        exp = h.min(keepdims=True)
+    else:
+        exp = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    assert got.dtype == exp.dtype
+    assert np.array_equal(got, exp)
