@@ -487,6 +487,11 @@ def _q_volume_shipping(sf_dir: str):
     return volume_shipping(sf_dir)
 
 
+def _q_ann_recall_report(sf_dir: str):
+    from nise_ray.ops.ann import ann_recall_report
+    return ann_recall_report(sf_dir)
+
+
 def _q_compression_ratio(sf_dir: str):
     from nise_ray.ops.textstats import compression_ratio
     return compression_ratio(sf_dir)
@@ -869,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_recall_report": _q_dedup_recall_report,
         # rows-only: no SQL engine exposes deterministic DEFLATE
         "compression_ratio": _q_compression_ratio,
+        # rows-only: measures the probabilistic LSH/IVF paths
+        "ann_recall_report": _q_ann_recall_report,
         "forecast_revenue_change": _q_forecast_revenue_change,
         "priority_shipment_counts": _q_priority_shipment_counts,
         "market_share": _q_market_share,

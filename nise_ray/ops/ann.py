@@ -802,3 +802,42 @@ def dup_graph_triangles(sf_dir: str, threshold: float = 0.3,
                        .to_numpy(zero_copy_only=False))) \
         if partials.num_rows else 0
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+def ann_recall_report(sf_dir: str, n_queries: int = 5, k: int = 10
+                      ) -> pa.Table:
+    """First-class recall measurement for the approximate ANN paths:
+    run SRP-LSH and IVF top-k against the exact brute-force baseline on
+    the same queries and report per-method recall@k — the audit a
+    retrieval pipeline publishes alongside its index build (mirrors
+    dedup_recall_report for the dedup flagship). Returns one row per
+    method: (method, n_queries, k, n_hits, n_truth, recall).
+
+    Cost shape: all three paths are the existing operators (baseline =
+    one streaming matmul pass; LSH/IVF are the bucketed paths), so this
+    report costs what its inputs cost — nothing new materializes beyond
+    their top-k outputs."""
+    exact = brute_force_topk(sf_dir, n_queries=n_queries, k=k)
+    truth = set(zip(exact.column("query_id").to_pylist(),
+                    exact.column("vec_id").to_pylist()))
+    # each method runs at its gated operating point (the configs the
+    # recall tests pin), not the cheap defaults
+    rows = []
+    for method, fn, kw in (
+            ("lsh", lsh_topk, {"n_tables": 16, "n_bits": 6}),
+            ("ivf", ivf_topk, {"n_centroids": 32, "n_probe": 16})):
+        got = fn(sf_dir, n_queries=n_queries, k=k, **kw)
+        approx = set(zip(got.column("query_id").to_pylist(),
+                         got.column("vec_id").to_pylist()))
+        hits = len(truth & approx)
+        rows.append((method, hits))
+    n_truth = len(truth)
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "n_queries": pa.array([n_queries] * len(rows), pa.int64()),
+        "k": pa.array([k] * len(rows), pa.int64()),
+        "n_hits": pa.array([r[1] for r in rows], pa.int64()),
+        "n_truth": pa.array([n_truth] * len(rows), pa.int64()),
+        "recall": pa.array([round(r[1] / n_truth, 4) if n_truth else 1.0
+                            for r in rows], pa.float64()),
+    })

@@ -667,3 +667,16 @@ def test_compression_ratio_signal(ray_session, tmp_path):
     for i, text in enumerate([rand, rep]):
         assert got.column("n_compressed")[i].as_py() == \
             len(zlib.compress(text.encode(), 6))
+
+
+def test_ann_recall_report(ray_session):
+    from nise_ray.ops.ann import ann_recall_report
+
+    got = ann_recall_report("/root/testdata/sf0.001")
+    assert got.column("method").to_pylist() == ["lsh", "ivf"]
+    recalls = dict(zip(got.column("method").to_pylist(),
+                       got.column("recall").to_pylist()))
+    assert recalls["lsh"] >= 0.5      # approximate by design
+    assert recalls["ivf"] >= 0.5
+    assert (got.column("n_truth")[0].as_py() ==
+            got.column("n_truth")[1].as_py() > 0)
