@@ -280,21 +280,10 @@ def tfidf_cosine_pairs(sf_dir: str, tau: float = 0.6,
                                pa.float64()),
             })
 
-    def maxw_merge(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        t = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
-        m = batch.column("mw").to_numpy(zero_copy_only=False)
-        starts, _ = segments(t)
-        return pa.table({
-            "tok": pa.array(t[starts], pa.uint64()),
-            "mw": pa.array(np.maximum.reduceat(m, starts), pa.float64()),
-        })
-
     mw_parts = docs.map_batches(MaxWPartial, batch_format="pyarrow",
                                 zero_copy_batch=True,
                                 concurrency=default_concurrency())
-    mw_t = collect_table(hash_group_apply(mw_parts, ["tok"], maxw_merge))
+    mw_t = collect_table(hash_group_apply(mw_parts, ["tok"], _maxw_merge))
     mt = mw_t.column("tok").to_numpy(zero_copy_only=False).astype(U64)
     mv = mw_t.column("mw").to_numpy(zero_copy_only=False)
     o = np.argsort(mt)
@@ -320,11 +309,16 @@ def tfidf_cosine_pairs(sf_dir: str, tau: float = 0.6,
                               "side": pa.array([], pa.int8())})
             if len(uf) == 0:
                 return empty
-            w, inv, row = _doc_weights(uf, tf, uoffs, self.toks, self.idf)
-            nw = w * inv[row]
             if self.side == 0:
+                # the full index side needs only (tok, doc_id) — skip
+                # the weight/norm computation entirely
+                row = np.repeat(np.arange(len(uoffs) - 1, dtype=np.int64),
+                                np.diff(uoffs))
                 keep = np.ones(len(uf), dtype=bool)
             else:
+                w, inv, row = _doc_weights(uf, tf, uoffs, self.toks,
+                                           self.idf)
+                nw = w * inv[row]
                 mpos = np.searchsorted(self.mt, uf)
                 mw = self.mv[mpos]
                 # per-row (maxw desc, tok asc) order in one lexsort

@@ -192,7 +192,6 @@ def market_share(sf_dir: str, region: str = "AMERICA",
     and lineitem x ordcust on their natural keys. The share folds per
     block to (year, target_rev, total_rev) partials. Returns
     (o_year, mkt_share, total_revenue) sorted by year."""
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from nise_ray.ops.groupapply import segments
@@ -220,9 +219,12 @@ def market_share(sf_dir: str, region: str = "AMERICA",
     # part -> keyset of the target type; broadcast-gated with a
     # distributed partkey semi-join fallback (same shape as
     # product_profit's)
+    # materialized once: .count() on a filtered read is a full scan, so
+    # gate-count + consume would otherwise read the dimension twice
     part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_type"],
-                                 filter=pads.field("p_type") == p_type)
+                                 filter=pads.field("p_type") == p_type) \
+        .materialize()
     n_parts = part.count()
     pkeys_ref = None
     if n_parts <= broadcast_max:
@@ -235,6 +237,10 @@ def market_share(sf_dir: str, region: str = "AMERICA",
     # supplier -> nationkey broadcast map (dimension-sized)
     st = collect_table(ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]))
+    if st.num_rows == 0:
+        # the 6-table inner join has no rows without suppliers; keeping
+        # supplier-less lineitems would silently inflate total_revenue
+        return empty
     sk = st.column("s_suppkey").to_numpy(zero_copy_only=False)
     sn = st.column("s_nationkey").to_numpy(
         zero_copy_only=False).astype(np.int64)
@@ -295,7 +301,7 @@ def market_share(sf_dir: str, region: str = "AMERICA",
         pos, shit = _sorted_lookup(sk, lsk)
         if len(sk) and not shit.all():
             raise AssertionError("l_suppkey missing from supplier table")
-        snat = sn[pos] if len(sk) else np.full(hit.sum(), -1, np.int64)
+        snat = sn[pos]  # supplier table is non-empty (early return)
         price = b.column("l_extendedprice").to_numpy(
             zero_copy_only=False)[hit]
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)[hit]
@@ -322,7 +328,7 @@ def market_share(sf_dir: str, region: str = "AMERICA",
         real = b.column("l_partkey").to_numpy(zero_copy_only=False) >= 0
         if len(sk) and not shit[real].all():
             raise AssertionError("l_suppkey missing from supplier table")
-        snat = np.where(shit, sn[pos] if len(sk) else -1, -1)
+        snat = np.where(shit, sn[pos], -1)  # -1 = join sentinel rows
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
         return pa.table({
@@ -455,6 +461,10 @@ def product_profit(sf_dir: str, name_token: str = "red",
 
     st = collect_table(ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]))
+    if st.num_rows == 0:
+        # inner-join semantics: no suppliers -> no profit rows (the
+        # synthesized nkey=-1 fallback would crash the nation lookup)
+        return empty
     sk = st.column("s_suppkey").to_numpy(zero_copy_only=False)
     sn = st.column("s_nationkey").to_numpy(
         zero_copy_only=False).astype(np.int64)
@@ -469,6 +479,9 @@ def product_profit(sf_dir: str, name_token: str = "red",
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                  "l_extendedprice", "l_discount"])
 
+    # materialized once: the gate .count() would otherwise re-run the
+    # whole read + regex filter a second time at consumption
+    part_f = part_f.materialize()
     if part_f.count() <= broadcast_max:
         pt = collect_table(part_f)
         if pt.num_rows:
@@ -501,8 +514,7 @@ def product_profit(sf_dir: str, name_token: str = "red",
             spos, shit = _sorted_lookup(sk, lsk)
             if len(sk) and not shit.all():
                 raise AssertionError("l_suppkey missing from supplier table")
-            snat = sn[spos] if len(sk) else np.full(
-                int(hit.sum()), -1, np.int64)
+            snat = sn[spos]  # supplier table is non-empty
             amount = price * (1.0 - disc) - cost_rate * retail * qty
             return pa.table({
                 "l_orderkey": b.column("l_orderkey").filter(pa.array(hit)),
@@ -540,8 +552,7 @@ def product_profit(sf_dir: str, name_token: str = "red",
             spos, shit = _sorted_lookup(sk, lsk)
             if len(sk) and not shit.all():
                 raise AssertionError("l_suppkey missing from supplier table")
-            snat = sn[spos] if len(sk) else np.full(b.num_rows, -1,
-                                                    np.int64)
+            snat = sn[spos]  # supplier table is non-empty
             amount = price * (1.0 - disc) - cost_rate * retail * qty
             return pa.table({
                 "l_orderkey": b.column("l_orderkey"),
