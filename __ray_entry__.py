@@ -779,6 +779,16 @@ def _q_high_value_users_except(sf_dir: str):
     return high_value_user_sets(sf_dir, op="except")
 
 
+def _q_gopher_quality(sf_dir: str):
+    from nise_ray.ops.textstats import gopher_quality
+    return gopher_quality(sf_dir)
+
+
+def _q_ohlc_resample(sf_dir: str):
+    from nise_ray.ops.events import ohlc_resample
+    return ohlc_resample(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -813,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
         "doc_fingerprints": _q_fingerprints,
+        "gopher_quality": _q_gopher_quality,
         "repetition_stats": _q_repetition_stats,
         "bigram_repetition_stats": _q_bigram_repetition,
         "bm25_scores": _q_bm25_scores,
@@ -833,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles_cont": _q_lang_quantiles_cont,
         "lang_length_quantiles_sketch": _q_lang_quantiles_sketch,
         "windowed_events": _q_windowed_events,
+        "ohlc_resample": _q_ohlc_resample,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1520,6 +1532,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY user_id
+        """,
+        # OHLC resample: open/close via deterministic (ts, event_id)
+        # row_number ranks (arg_min/arg_max would tie-break
+        # nondeterministically on equal ts); min/max/open/close are
+        # selected raw doubles (bit-identical), only the sum is rounded.
+        "ohlc_resample": """
+            WITH ranked AS (
+              SELECT date_trunc('hour', ts) AS bucket, value,
+                     row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                        ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events)
+            SELECT bucket, count(*) AS n_events,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+                   max(value) AS high_value,
+                   min(value) AS low_value,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+                   round(sum(value), 4) AS sum_value
+            FROM ranked GROUP BY bucket
+        """,
+        # every signal is an RE2 count in BOTH engines (Arrow
+        # count_substring_regex == regexp_extract_all length); ratios are
+        # exact int/int IEEE divisions, emitted unrounded.
+        "gopher_quality": r"""
+            WITH sig AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_words,
+                     CAST(length(text)
+                          - length(regexp_extract_all(text, '\s')) AS BIGINT)
+                       AS n_wordchars,
+                     CAST(length(regexp_extract_all(
+                          text, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+                       AS n_alpha_words,
+                     CAST(length(text)
+                          - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                     CAST((length(text) - length(replace(text, '...', '')))
+                          // 3 AS BIGINT) AS n_ellipsis,
+                     CAST(length(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|in|is|that|it|for|was)\b'))
+                          AS BIGINT) AS n_stopwords
+              FROM documents),
+            ratios AS (
+              SELECT doc_id, n_words, n_stopwords,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_wordchars AS DOUBLE) / n_words END
+                       AS mean_word_len,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_alpha_words AS DOUBLE) / n_words END
+                       AS alpha_word_ratio,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE CAST(n_hash + n_ellipsis AS DOUBLE) / n_words
+                          END AS symbol_ratio
+              FROM sig)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+                   symbol_ratio, n_stopwords,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio <= 0.1
+                        AND alpha_word_ratio >= 0.8
+                        AND n_stopwords >= 2 AS BIGINT) AS passes
+            FROM ratios
         """,
         "sliding_windows": """
             SELECT make_timestamp(win_us) AS window_start,

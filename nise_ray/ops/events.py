@@ -1469,3 +1469,120 @@ def retention_cohorts(sf_dir: str) -> pa.Table:
         "day_offset": pa.array(offset, pa.int64()),
         "n_users": pa.array(counts, pa.int64()),
     })
+
+
+def ohlc_resample(sf_dir: str, hours: int = 1) -> "ray.data.Dataset":
+    """Time-bucket OHLC resample — the financial/telemetry downsample
+    primitive the inventory did not yet cover: per tumbling hour bucket,
+    open  = first `value` in (ts, event_id) order,
+    high  = max, low = min, close = last value, plus count and sum.
+
+    Scale shape (combiner, NOT a row exchange): each input batch is
+    collapsed to per-bucket PARTIAL rows (n, sum, min, max, and the
+    open/close candidates carrying their (ts, event_id) order keys) via
+    one lexsort + segments + reduceat sweep, so only O(#buckets) rows
+    per batch reach the merge exchange; the merge re-runs the same sweep
+    on partials and resolves open/close by the lexicographically
+    smallest/largest carried key. ~8,760 buckets/year means the shuffle
+    is trivially small at any corpus size — this is the shape a 100 TB
+    telemetry resample needs (contrast windowed_event_counts, which
+    exchanges event-sized rows).
+
+    Determinism: (ts, event_id) is a total order (event_id unique), so
+    open/close are unique rows; sum is rounded 4dp at the END per the
+    repo cross-engine FP contract; min/max/open/close are selected raw
+    doubles (bit-identical, unrounded)."""
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_id", "value"])
+    bucket_us = hours * MICROS_PER_HOUR
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = {
+            "bucket_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+            "low_value": pa.array([], pa.float64()),
+            "high_value": pa.array([], pa.float64()),
+            "open_ts": pa.array([], pa.int64()),
+            "open_eid": pa.array([], pa.int64()),
+            "open_value": pa.array([], pa.float64()),
+            "close_ts": pa.array([], pa.int64()),
+            "close_eid": pa.array([], pa.int64()),
+            "close_value": pa.array([], pa.float64()),
+        }
+        if b.num_rows == 0:
+            return pa.table(empty)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        bucket = (ts // bucket_us) * bucket_us
+        order = np.lexsort((eid, ts, bucket))
+        bkt_s, ts_s = bucket[order], ts[order]
+        eid_s, val_s = eid[order], val[order]
+        starts, counts = segments(bkt_s)
+        last = starts + counts - 1
+        return pa.table({
+            "bucket_us": pa.array(bkt_s[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(np.add.reduceat(val_s, starts),
+                                  pa.float64()),
+            "low_value": pa.array(np.minimum.reduceat(val_s, starts),
+                                  pa.float64()),
+            "high_value": pa.array(np.maximum.reduceat(val_s, starts),
+                                   pa.float64()),
+            "open_ts": pa.array(ts_s[starts], pa.int64()),
+            "open_eid": pa.array(eid_s[starts], pa.int64()),
+            "open_value": pa.array(val_s[starts], pa.float64()),
+            "close_ts": pa.array(ts_s[last], pa.int64()),
+            "close_eid": pa.array(eid_s[last], pa.int64()),
+            "close_value": pa.array(val_s[last], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "open_value": pa.array([], pa.float64()),
+                "high_value": pa.array([], pa.float64()),
+                "low_value": pa.array([], pa.float64()),
+                "close_value": pa.array([], pa.float64()),
+                "sum_value": pa.array([], pa.float64()),
+            })
+        col = {n: batch.column(n).to_numpy(zero_copy_only=False)
+               for n in batch.column_names}
+        bkt = col["bucket_us"]
+        order = np.argsort(bkt, kind="stable")
+        bkt_s = bkt[order]
+        starts, counts = segments(bkt_s)
+        n = np.add.reduceat(col["n_events"][order], starts)
+        sums = np.add.reduceat(col["sum_value"][order], starts)
+        lows = np.minimum.reduceat(col["low_value"][order], starts)
+        highs = np.maximum.reduceat(col["high_value"][order], starts)
+        # open: partial with lexicographically min (open_ts, open_eid)
+        o_pick = np.lexsort((col["open_eid"][order],
+                             col["open_ts"][order], bkt_s))
+        open_rows = order[o_pick[starts]]
+        # close: max (close_ts, close_eid) = last row of each segment
+        c_pick = np.lexsort((col["close_eid"][order],
+                             col["close_ts"][order], bkt_s))
+        close_rows = order[c_pick[starts + counts - 1]]
+        return pa.table({
+            "bucket": pa.array(bkt_s[starts], pa.int64())
+                        .cast(pa.timestamp("us")),
+            "n_events": pa.array(n, pa.int64()),
+            "open_value": pa.array(col["open_value"][open_rows],
+                                   pa.float64()),
+            "high_value": pa.array(highs, pa.float64()),
+            "low_value": pa.array(lows, pa.float64()),
+            "close_value": pa.array(col["close_value"][close_rows],
+                                    pa.float64()),
+            "sum_value": pa.array(np.round(sums, 4), pa.float64()),
+        })
+
+    return hash_group_apply(partials, ["bucket_us"], merge, 0, sort=False)

@@ -953,3 +953,75 @@ def compression_ratio(sf_dir: str, level: int = 6) -> "ray.data.Dataset":
     comp_batch.__name__ = "CompressionRatio"
     return ds.map_batches(comp_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style document quality-rule filter (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", §A1.1 repetition/quality
+    rules adapted to single-line synthetic docs): per document emit the
+    rule signals plus a 0/1 pass flag for the conjunction
+
+      50 <= n_words <= 100_000
+      3.0 <= mean_word_len <= 10.0
+      symbol_ratio  (# '#' chars + non-overlapping '...' runs, per word) <= 0.1
+      alpha_word_ratio (words containing >= 1 [A-Za-z])            >= 0.80
+      n_stopwords   (occurrences of 10 common English stopwords)   >= 2
+
+    Every signal is a whole-batch Arrow RE2 kernel (count_substring /
+    count_substring_regex) — no Python rows — and each is pinned to an
+    exactly equivalent DuckDB expression (see oracle_sql), so the op is
+    bit-exact oracled end-to-end: words are `\\S+` runs, alpha words are
+    `[^\\s]*[A-Za-z][^\\s]*` runs (leftmost-greedy RE2 consumes the whole
+    token, so this counts exactly the \\S+ tokens containing a letter),
+    and the ratios are exact int/int IEEE divisions (bit-identical in
+    both engines, emitted unrounded per the repo FP contract).
+
+    Scale shape: stateless streaming map over a 2-column pruned read;
+    only per-doc scalars leave the task."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    stop_pat = r"\b(the|and|of|to|in|is|that|it|for|was)\b"
+
+    def gopher_batch(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_ws = pc.count_substring_regex(text, r"\s").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_words = pc.count_substring_regex(text, r"\S+").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_alpha_words = pc.count_substring_regex(
+            text, r"[^\s]*[A-Za-z][^\s]*").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_hash = pc.count_substring(text, "#").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_ellipsis = pc.count_substring(text, "...").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_stop = pc.count_substring_regex(pc.utf8_lower(text), stop_pat) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            mean_word_len = np.where(
+                n_words > 0, (n_chars - n_ws) / denom, 0.0)
+            alpha_ratio = np.where(n_words > 0, n_alpha_words / denom, 0.0)
+            symbol_ratio = np.where(
+                n_words > 0, (n_hash + n_ellipsis) / denom, 0.0)
+        passes = ((n_words >= 50) & (n_words <= 100_000)
+                  & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+                  & (symbol_ratio <= 0.1) & (alpha_ratio >= 0.8)
+                  & (n_stop >= 2))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+            "alpha_word_ratio": pa.array(alpha_ratio, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "passes": pa.array(passes.astype(np.int64), pa.int64()),
+        })
+
+    gopher_batch.__name__ = "GopherQuality"
+    return ds.map_batches(gopher_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -362,3 +362,117 @@ def test_retention_cohorts_matches_duckdb(ray_session):
     # day-0 row exists for every cohort and equals the cohort size
     d0 = got[got["day_offset"] == 0]
     assert set(got["cohort_day"]) == set(d0["cohort_day"])
+
+
+def test_ohlc_resample_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.events import ohlc_resample
+    got = collect_table(ohlc_resample(SF)).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute("""
+        WITH ranked AS (
+          SELECT date_trunc('hour', ts) AS bucket, value,
+                 row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT bucket, count(*) AS n_events,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+               max(value) AS high_value,
+               min(value) AS low_value,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+               round(sum(value), 4) AS sum_value
+        FROM ranked GROUP BY bucket ORDER BY bucket
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    assert list(got["bucket"]) == list(want["bucket"])
+    for c in ["n_events", "open_value", "high_value", "low_value",
+              "close_value"]:
+        assert list(got[c]) == list(want[c]), c
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-4)
+
+
+def test_ohlc_resample_cross_batch_merge(ray_session):
+    # force many tiny partials: open/close must survive the partial
+    # merge even when each input batch holds a fragment of every bucket
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from nise_ray.ops import events as ev
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = rng.integers(0, 6 * ev.MICROS_PER_HOUR, n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array(rng.normal(size=n), pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        # many small row groups -> many partial batches per bucket
+        pq2.write_table(tbl, os.path.join(d, "events.parquet"),
+                        row_group_size=97)
+        got = collect_table(ev.ohlc_resample(d)).to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+    order = np.lexsort((np.arange(n), ts))
+    bkt = (ts // ev.MICROS_PER_HOUR) * ev.MICROS_PER_HOUR
+    vals = tbl.column("value").to_numpy()
+    for i, b in enumerate(got["bucket"]):
+        b_us = b.value // 1000 if hasattr(b, "value") else int(b)
+        # pandas Timestamp.value is ns
+        rows = order[bkt[order] == b_us]
+        assert got["open_value"][i] == vals[rows[0]]
+        assert got["close_value"][i] == vals[rows[-1]]
+        assert got["n_events"][i] == len(rows)
+        assert got["high_value"][i] == vals[rows].max()
+
+
+def test_gopher_quality_matches_duckdb(ray_session):
+    import duckdb
+
+    from nise_ray.ops.textstats import gopher_quality
+    got = collect_table(gopher_quality(SF)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    import __ray_entry__ as e
+    want = con.execute(
+        e.oracle_sql()["gopher_quality"] + " ORDER BY doc_id").fetchdf()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_gopher_quality_edge_docs(ray_session):
+    # empty doc, symbol-heavy doc, clean passing doc
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from nise_ray.ops.textstats import gopher_quality
+    passing = ("the cat and the dog ran to the park in the rain "
+               "and it was fun for all of them that day ") * 3
+    docs = ["", "### ### ... ### ...", passing]
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq2.write_table(tbl, os.path.join(d, "documents.parquet"))
+        got = collect_table(gopher_quality(d)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_words"].tolist()[0] == 0
+    assert got["mean_word_len"][0] == 0.0
+    assert got["passes"].tolist() == [0, 0, 1]
+    assert got["symbol_ratio"][1] > 0.1 and got["alpha_word_ratio"][1] == 0.0
