@@ -84,9 +84,18 @@ def winnow_fingerprints_pos(text: str, k: int, w: int) -> tuple[np.ndarray, np.n
     h = rolling_poly_hash(data, k)  # one hash per gram position
     mins = sliding_min(h, w)  # O(n) two-pass block min, not O(n*w)
     uniq = np.unique(mins)
-    # first occurrence position of each selected fingerprint in h
-    order = np.argsort(h, kind="stable")
-    pos = order[np.searchsorted(h[order], uniq)].astype(np.int64)
+    # first occurrence position of each selected fingerprint in h —
+    # WITHOUT a stable argsort of the full gram-hash array (that sort was
+    # the explode stage's dominant CPU): membership-probe h against the
+    # (much smaller) selected set, then a reverse-order scatter so the
+    # earliest position wins each slot. Output is identical to the old
+    # argsort+searchsorted form.
+    idx = np.searchsorted(uniq, h)
+    idx[idx == len(uniq)] = 0       # out-of-range probes can never match
+    hit_pos = np.flatnonzero(uniq[idx] == h)
+    hit_val = idx[hit_pos]
+    pos = np.empty(len(uniq), dtype=np.int64)
+    pos[hit_val[::-1]] = hit_pos[::-1]   # duplicate slots: first index wins
     return uniq, pos
 
 
@@ -151,27 +160,62 @@ def explode_fingerprints(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     })
 
 
-def _substring_bucket_pairs(sha64: np.ndarray, pos: np.ndarray, cap: int):
-    """(u, v, u_pos, v_pos) for one fingerprint bucket, members keyed by
-    content hash: distinct shas (cross-block copies of identical files
-    collapse here; their pos values are identical by construction), full
-    pairwise below cap, star-to-min-sha for hot fingerprints (ubiquitous
-    boilerplate)."""
-    order = np.argsort(sha64)
-    first = np.ones(len(order), dtype=bool)
-    first[1:] = sha64[order][1:] != sha64[order][:-1]
-    keep = order[first]
-    sid = sha64[keep]
-    p = pos[keep]
-    m = len(sid)
-    if m < 2:
+def _all_bucket_pairs(keys: np.ndarray, ids: np.ndarray,
+                      pos: np.ndarray, cap: int):
+    """(u, v, u_pos, v_pos) for ALL fingerprint buckets in a partition at
+    once — one lexsort plus index arithmetic, zero per-bucket Python
+    (round-4 rewrite of the per-bucket argsort loop, which was the
+    partition kernel's dominant CPU at the bench tier). Semantics per
+    bucket are unchanged: members are the DISTINCT content hashes
+    (cross-block copies of identical files collapse here), full pairwise
+    with u < v below `cap`, star-to-min-sha for hot fingerprints
+    (ubiquitous boilerplate). One deliberate tightening: when a doc
+    repeats the same fingerprint value at several positions, the MIN
+    position is kept (the loop version kept an unstable argsort pick) —
+    span bounds are anchor-granular either way, and determinism no
+    longer depends on exchange row order."""
+    from nise_ray.ops.groupapply import segments
+    from nise_ray.ops.simjoin import _ranges
+
+    if len(keys) > 1 and bool((keys[1:] >= keys[:-1]).all()):
+        # the fp exchange delivers keys pre-sorted: singleton buckets
+        # (the vast majority) can never pair, so gather only multi-member
+        # bucket rows BEFORE the lexsort — at the bench tier this cuts
+        # sort traffic ~4x, which matters because 32 concurrent sorts
+        # are memory-bandwidth-bound, not compute-bound
+        s_all, c_all = segments(keys)
+        multi_rows = _ranges(s_all[c_all >= 2], c_all[c_all >= 2])
+        keys, ids, pos = keys[multi_rows], ids[multi_rows], pos[multi_rows]
+        if len(keys) == 0:
+            return None
+    order = np.lexsort((pos, ids, keys))
+    k_s, id_s, pos_s = keys[order], ids[order], pos[order]
+    new = np.ones(len(k_s), dtype=bool)
+    new[1:] = (k_s[1:] != k_s[:-1]) | (id_s[1:] != id_s[:-1])
+    k_d, id_d, pos_d = k_s[new], id_s[new], pos_s[new]
+    starts, counts = segments(k_d)
+    small = (counts >= 2) & (counts <= cap)
+    hot = counts > cap
+    u_parts, v_parts = [], []
+    if small.any():
+        s0, c0 = starts[small], counts[small]
+        # level 1: one row per (segment, i) for i = 0..c-2 — the 'u' slot
+        u_idx = _ranges(s0, c0 - 1)
+        i_off = u_idx - np.repeat(s0, c0 - 1)
+        # level 2: each u-slot pairs with the (c-1-i) members after it
+        vcnt = np.repeat(c0, c0 - 1) - 1 - i_off
+        u_parts.append(np.repeat(u_idx, vcnt))
+        v_parts.append(_ranges(u_idx + 1, vcnt))
+    if hot.any():
+        s0, c0 = starts[hot], counts[hot]
+        u_parts.append(np.repeat(s0, c0 - 1))
+        v_parts.append(_ranges(s0 + 1, c0 - 1))
+    if not u_parts:
         return None
-    if m <= cap:
-        ii, jj = np.triu_indices(m, k=1)
-        return sid[ii], sid[jj], p[ii], p[jj]
-    # hot fingerprint: star to bucket min
-    return (np.full(m - 1, sid[0], dtype=U64), sid[1:],
-            np.full(m - 1, p[0], dtype=np.int64), p[1:])
+    ui = np.concatenate(u_parts)
+    vi = np.concatenate(v_parts)
+    # ids ascend within a segment (lexsort key order), so u < v holds
+    return id_d[ui], id_d[vi], pos_d[ui], pos_d[vi]
 
 
 def _span_partials(u: np.ndarray, v: np.ndarray, u_pos: np.ndarray,
@@ -235,23 +279,10 @@ def make_batch_substring_pair_gen(cfg: DedupConfig):
                 "v_min": zeros, "v_max": zeros,
             }))
         real = ~is_map
-        # masking preserves the fp sort order the exchange established
         keys, ids, pos = fp_all[real], id_all[real], pos_all[real]
-        starts, counts = segments(keys)
-        multi = counts >= 2
-        us, vs, ups, vps = [], [], [], []
-        for s, c in zip(starts[multi], counts[multi]):
-            pair = _substring_bucket_pairs(ids[s:s + c], pos[s:s + c], cap)
-            if pair is not None:
-                us.append(pair[0])
-                vs.append(pair[1])
-                ups.append(pair[2])
-                vps.append(pair[3])
-        if us:
-            parts.append(_span_partials(np.concatenate(us),
-                                        np.concatenate(vs),
-                                        np.concatenate(ups),
-                                        np.concatenate(vps)))
+        pair = _all_bucket_pairs(keys, ids, pos, cap)
+        if pair is not None:
+            parts.append(_span_partials(*pair))
         if not parts:
             return PAIR_PARTIAL_SCHEMA.empty_table()
         return pa.concat_tables(parts)
