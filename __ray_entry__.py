@@ -779,6 +779,21 @@ def _q_high_value_users_except(sf_dir: str):
     return high_value_user_sets(sf_dir, op="except")
 
 
+def _q_min_cost_supplier(sf_dir: str):
+    from nise_ray.ops.relational3 import min_cost_supplier
+    return min_cost_supplier(sf_dir)
+
+
+def _q_important_parts(sf_dir: str):
+    from nise_ray.ops.relational3 import important_parts
+    return important_parts(sf_dir)
+
+
+def _q_dominant_part_suppliers(sf_dir: str):
+    from nise_ray.ops.relational3 import dominant_part_suppliers
+    return dominant_part_suppliers(sf_dir)
+
+
 def _q_gopher_quality(sf_dir: str):
     from nise_ray.ops.textstats import gopher_quality
     return gopher_quality(sf_dir)
@@ -893,6 +908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _q_market_share,
         "product_profit": _q_product_profit,
         "waiting_suppliers": _q_waiting_suppliers,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_parts": _q_important_parts,
+        "dominant_part_suppliers": _q_dominant_part_suppliers,
         "customer_order_distribution": _q_customer_order_distribution,
         "disjunctive_filter_revenue": _q_disjunctive_filter_revenue,
         "event_interarrival": _q_event_interarrival,
@@ -1894,6 +1912,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        # Q2 shape: groupwise-min decorrelation; min_price is a SELECTED
+        # raw double (exact equality both engines), ties keep all rows,
+        # and the ORDER BY is total (s_name unique per supplier).
+        "min_cost_supplier": """
+            WITH mins AS (
+              SELECT l_partkey, l_suppkey, l_extendedprice,
+                     min(l_extendedprice) OVER (PARTITION BY l_partkey)
+                       AS mn
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_size = 15)
+            SELECT s_acctbal, s_name, n_name, p_partkey, min_price
+            FROM (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey,
+                         mn AS min_price
+                  FROM mins WHERE l_extendedprice = mn) w
+            JOIN supplier ON s_suppkey = w.l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        # Q11 shape: global-scalar HAVING over integer-valued-double
+        # quantity sums (exact in both engines; no FP boundary risk).
+        "important_parts": """
+            SELECT l_partkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_partkey
+            HAVING sum(l_quantity) >
+                   0.0005 * (SELECT sum(l_quantity) FROM lineitem)
+            ORDER BY sum_qty DESC, l_partkey
+        """,
+        # Q20 shape: nested two-level aggregate + semi-join; share
+        # threshold compares exact integer-valued-double sums.
+        "dominant_part_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY 1, 2),
+            tot AS (
+              SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   CAST(count(*) AS BIGINT) AS n_dominant_parts
+            FROM ps
+            JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = ps.l_suppkey
+            WHERE qty > 0.15 * total_qty
+            GROUP BY 1, 2
+            ORDER BY n_dominant_parts DESC, s_suppkey
+            LIMIT 20
         """,
         "customer_order_distribution": """
             SELECT c_count, count(*) AS custdist FROM (

@@ -751,3 +751,279 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90, k: int = 10
     sel = np.lexsort((names.astype(str), -waits))[:k]
     return pa.table({"s_name": pa.array(names[sel], pa.string()),
                      "numwait": pa.array(waits[sel], pa.int64())})
+
+
+def min_cost_supplier(sf_dir: str, size: int = 15, k: int = 100,
+                      broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q2-shaped groupwise-min join-back (the correlated-scalar-
+    subquery decorrelation): for every part of a given p_size, the
+    supplier(s) offering the MINIMUM observed l_extendedprice (the
+    tables lack partsupp, so lineitem prices stand in for supply cost —
+    the shape is unchanged). Ties keep every minimal supplier, exactly
+    like Q2. Returns (s_acctbal, s_name, n_name, p_partkey, min_price)
+    ordered by s_acctbal DESC, n_name, s_name, p_partkey, LIMIT k.
+
+    Scale shape: the filtered part keyset broadcasts under the gate
+    (one ray.put, searchsorted per block); the per-part min AND the
+    equal-row filter ride ONE l_partkey hash exchange (no join-back
+    shuffle: the group sees its own min); supplier/nation attach by
+    broadcast; only the (part x minimal-supplier)-sized result reaches
+    the driver for the final k-row sort."""
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.ops.relational import _broadcast_side, _sorted_lookup
+
+    part_keys_ref = _broadcast_side(
+        ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name"],
+                              filter=pads.field("p_size") == size),
+        "p_partkey", "p_name", broadcast_max)
+    assert part_keys_ref is not None, \
+        "part dimension exceeded broadcast_max; add a distributed path"
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    class FilterParts:
+        def __init__(self) -> None:
+            self.keys, _ = ray.get(part_keys_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            _, hit = _sorted_lookup(self.keys, pk)
+            return b.filter(pa.array(hit))
+
+    from nise_ray.ops.groupapply import default_concurrency
+    filtered = li.map_batches(FilterParts, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=default_concurrency(0.5))
+
+    def group_min(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "min_price": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pr = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        starts, counts = segments(pk)  # sorted by the exchange
+        mins = np.minimum.reduceat(pr, starts)
+        is_min = pr == np.repeat(mins, counts)
+        # distinct (part, supplier) among minimal rows
+        ppk, ssk = pk[is_min], sk[is_min]
+        mn = np.repeat(mins, counts)[is_min]
+        order = np.lexsort((ssk, ppk))
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (ppk[order][1:] != ppk[order][:-1]) | \
+                   (ssk[order][1:] != ssk[order][:-1])
+        sel = order[keep]
+        return pa.table({"p_partkey": pa.array(ppk[sel], pa.int64()),
+                         "l_suppkey": pa.array(ssk[sel], pa.int64()),
+                         "min_price": pa.array(mn[sel], pa.float64())})
+
+    mins_ds = hash_group_apply(filtered, ["l_partkey"], group_min,
+                               0, sort=True)
+    t = collect_table(mins_ds)  # (minimal part,supplier)-sized
+    if t.num_rows == 0:
+        return pa.table({"s_acctbal": pa.array([], pa.float64()),
+                         "s_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "p_partkey": pa.array([], pa.int64()),
+                         "min_price": pa.array([], pa.float64())})
+    supp = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]))
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]))
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    pos, hit = _sorted_lookup(sk[so], t.column("l_suppkey")
+                              .to_numpy(zero_copy_only=False))
+    assert hit.all(), "lineitem references unknown supplier"
+    sel = pa.array(so[pos])
+    s_name = supp.column("s_name").take(sel)
+    s_bal = supp.column("s_acctbal").take(sel)
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    no = np.argsort(nk)
+    npos, nhit = _sorted_lookup(
+        nk[no], supp.column("s_nationkey").take(sel)
+        .to_numpy(zero_copy_only=False))
+    assert nhit.all(), "supplier references unknown nation"
+    n_name = nat.column("n_name").take(pa.array(no[npos]))
+    out = pa.table({"s_acctbal": s_bal.cast(pa.float64()),
+                    "s_name": s_name,
+                    "n_name": n_name,
+                    "p_partkey": t.column("p_partkey"),
+                    "min_price": t.column("min_price")})
+    return out.sort_by([("s_acctbal", "descending"),
+                        ("n_name", "ascending"),
+                        ("s_name", "ascending"),
+                        ("p_partkey", "ascending")]).slice(0, k)
+
+
+def important_parts(sf_dir: str, frac: float = 0.0005) -> pa.Table:
+    """TPC-H-Q11-shaped global-scalar HAVING (the uncorrelated-scalar-
+    subquery decorrelation): parts whose total shipped quantity exceeds
+    ``frac`` of the corpus-wide total. Quantity sums are integer-valued
+    doubles, so partial-sum order cannot move the HAVING boundary (exact
+    in both engines — the repo FP contract forbids thresholding on
+    noise-bearing doubles). Returns (l_partkey, sum_qty) ordered by
+    sum_qty DESC, l_partkey.
+
+    Scale shape: per-block combiner folds each block to its distinct
+    partkeys BEFORE the exchange; the merge exchange moves group-count-
+    sized partials; the global total is the sum OF THE SAME PARTIALS
+    (no second scan); only the HAVING survivors reach the driver."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.float64())})
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        starts, _ = segments(pk[order])
+        return pa.table({
+            "l_partkey": pa.array(pk[order][starts], pa.int64()),
+            "qty": pa.array(np.add.reduceat(q[order], starts),
+                            pa.float64())})
+
+    partials = li.map_batches(combine, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.float64())})
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = batch.column("qty").to_numpy(zero_copy_only=False)
+        starts, _ = segments(pk)
+        return pa.table({
+            "l_partkey": pa.array(pk[starts], pa.int64()),
+            "sum_qty": pa.array(np.add.reduceat(q, starts),
+                                pa.float64())})
+
+    per_part = collect_table(hash_group_apply(
+        partials, ["l_partkey"], merge, 0, sort=True))
+    if per_part.num_rows == 0:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.float64())})
+    qty = per_part.column("sum_qty").to_numpy(zero_copy_only=False)
+    total = float(qty.sum())  # exact: integer-valued doubles
+    keep = qty > frac * total
+    pk = per_part.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+    qv = qty[keep]
+    order = np.lexsort((pk, -qv))
+    return pa.table({"l_partkey": pa.array(pk[order], pa.int64()),
+                     "sum_qty": pa.array(qv[order], pa.float64())})
+
+
+def dominant_part_suppliers(sf_dir: str, share: float = 0.15,
+                            k: int = 20,
+                            broadcast_max: int = 5_000_000) -> pa.Table:
+    """TPC-H-Q20-shaped two-level aggregate + semi-join: suppliers who
+    shipped MORE THAN ``share`` of some part's total quantity (partsupp
+    availability replaced by shipped quantity — the nested-aggregate
+    semi-join shape is unchanged), counted per supplier. Returns
+    (s_suppkey, s_name, n_dominant_parts) ordered by count DESC,
+    s_suppkey, LIMIT k (total order — s_suppkey is unique).
+
+    Scale shape: per-block (partkey, suppkey) combiner, then BOTH
+    aggregate levels ride ONE l_partkey exchange (the group holds its
+    own part total, so the share comparison is in-group — no join-back);
+    the supplier-level count is a second exchange over the dominant
+    (part, supplier) survivors (dominance-bounded, fewer than 1/share
+    rows per part); names attach by broadcast. Share thresholds
+    compare integer-valued-double sums — exact in both engines."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.ops.relational import _broadcast_side, _sorted_lookup
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_quantity"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.float64())})
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        kpk, ksk = pk[order], sk[order]
+        change = np.ones(len(order), dtype=bool)
+        change[1:] = (kpk[1:] != kpk[:-1]) | (ksk[1:] != ksk[:-1])
+        starts = np.flatnonzero(change)
+        return pa.table({
+            "l_partkey": pa.array(kpk[starts], pa.int64()),
+            "l_suppkey": pa.array(ksk[starts], pa.int64()),
+            "qty": pa.array(np.add.reduceat(q[order], starts),
+                            pa.float64())})
+
+    partials = li.map_batches(combine, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def dominant(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = batch.column("qty").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        kpk, ksk, kq = pk[order], sk[order], q[order]
+        # merge duplicate (part, supp) partials, then per-part total
+        change = np.ones(len(order), dtype=bool)
+        change[1:] = (kpk[1:] != kpk[:-1]) | (ksk[1:] != ksk[:-1])
+        ps_starts = np.flatnonzero(change)
+        ps_pk = kpk[ps_starts]
+        ps_sk = ksk[ps_starts]
+        ps_q = np.add.reduceat(kq, ps_starts)
+        p_starts, p_counts = segments(ps_pk)
+        totals = np.repeat(np.add.reduceat(ps_q, p_starts), p_counts)
+        win = ps_q > share * totals
+        return pa.table({"l_suppkey": pa.array(ps_sk[win], pa.int64())})
+
+    winners = hash_group_apply(partials, ["l_partkey"], dominant,
+                               0, sort=False)
+
+    def count_per_supp(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "n_dominant_parts": pa.array([], pa.int64())})
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        starts, counts = segments(sk[order])
+        return pa.table({
+            "s_suppkey": pa.array(sk[order][starts], pa.int64()),
+            "n_dominant_parts": pa.array(counts, pa.int64())})
+
+    counts_t = collect_table(hash_group_apply(
+        winners, ["l_suppkey"], count_per_supp, 0, sort=False))
+    if counts_t.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "n_dominant_parts": pa.array([], pa.int64())})
+    name_ref = _broadcast_side(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", broadcast_max)
+    assert name_ref is not None
+    keys, names = ray.get(name_ref)
+    sk = counts_t.column("s_suppkey").to_numpy(zero_copy_only=False)
+    pos, hit = _sorted_lookup(keys, sk)
+    assert hit.all(), "dominant supplier missing from supplier table"
+    out = pa.table({
+        "s_suppkey": counts_t.column("s_suppkey"),
+        "s_name": names.take(pa.array(pos)),
+        "n_dominant_parts": counts_t.column("n_dominant_parts")})
+    return out.sort_by([("n_dominant_parts", "descending"),
+                        ("s_suppkey", "ascending")]).slice(0, k)

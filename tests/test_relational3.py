@@ -161,3 +161,34 @@ def test_waiting_suppliers_no_late_orders(ray_session):
     got = waiting_suppliers(SF, late_days=100_000)
     assert got.num_rows == 0
     assert got.column_names == ["s_name", "numwait"]
+
+
+def test_min_cost_supplier_matches_duckdb(ray_session):
+    import __ray_entry__ as e
+    from nise_ray.ops.relational3 import min_cost_supplier
+    got = min_cost_supplier(SF).to_pandas()
+    want = _con().execute(e.oracle_sql()["min_cost_supplier"]).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_important_parts_matches_duckdb(ray_session):
+    import __ray_entry__ as e
+    from nise_ray.ops.relational3 import important_parts
+    got = important_parts(SF).to_pandas()
+    want = _con().execute(e.oracle_sql()["important_parts"]).fetchdf()
+    assert len(got) == len(want) > 0
+    assert list(got["l_partkey"]) == list(want["l_partkey"])
+    assert np.array_equal(got["sum_qty"].to_numpy(),
+                          want["sum_qty"].to_numpy())
+
+
+def test_dominant_part_suppliers_matches_duckdb(ray_session):
+    import __ray_entry__ as e
+    from nise_ray.ops.relational3 import dominant_part_suppliers
+    got = dominant_part_suppliers(SF).to_pandas()
+    want = _con().execute(e.oracle_sql()["dominant_part_suppliers"]).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
