@@ -804,6 +804,11 @@ def _q_ohlc_resample(sf_dir: str):
     return ohlc_resample(sf_dir)
 
 
+def _q_daily_type_coverage(sf_dir: str):
+    from nise_ray.ops.events import daily_type_coverage
+    return daily_type_coverage(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -860,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles_sketch": _q_lang_quantiles_sketch,
         "windowed_events": _q_windowed_events,
         "ohlc_resample": _q_ohlc_resample,
+        "daily_type_coverage": _q_daily_type_coverage,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1570,6 +1576,17 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
                    round(sum(value), 4) AS sum_value
             FROM ranked GROUP BY bucket
+        """,
+        # FULL OUTER join shape; NULL (not 0) marks days absent on a side
+        "daily_type_coverage": """
+            WITH a AS (SELECT date_trunc('day', ts) AS day,
+                              count(*) AS n_a
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+                 b AS (SELECT date_trunc('day', ts) AS day,
+                              count(*) AS n_b
+                       FROM events WHERE event_type = 'error' GROUP BY 1)
+            SELECT coalesce(a.day, b.day) AS day, n_a, n_b
+            FROM a FULL OUTER JOIN b ON a.day = b.day
         """,
         # every signal is an RE2 count in BOTH engines (Arrow
         # count_substring_regex == regexp_extract_all length); ratios are

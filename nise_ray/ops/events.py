@@ -1586,3 +1586,72 @@ def ohlc_resample(sf_dir: str, hours: int = 1) -> "ray.data.Dataset":
         })
 
     return hash_group_apply(partials, ["bucket_us"], merge, 0, sort=False)
+
+
+def daily_type_coverage(sf_dir: str, type_a: str = "click",
+                        type_b: str = "error") -> "ray.data.Dataset":
+    """FULL OUTER join shape — the one join type the inventory lacked:
+    daily counts of two event types aligned on day, with NULL (not 0)
+    on days where a side has no rows, exactly matching
+    ``a FULL OUTER JOIN b USING (day)``. Returns (day, n_a, n_b).
+
+    Scale shape: ONE scan filtered to both types (predicate pushed to
+    the read), per-batch (day, type) combiner, one day-keyed exchange
+    of group-count-sized partials, then an in-group co-group pivot —
+    the full-outer semantics fall out of the pivot's NULL fill, no
+    driver-side alignment. Day count is bounded (~365/yr), so the
+    exchange is trivially small at any corpus size."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
+        filter=pads.field("event_type").isin([type_a, type_b]))
+    day_us = 24 * MICROS_PER_HOUR
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"day_us": pa.array([], pa.int64()),
+                             "is_a": pa.array([], pa.bool_()),
+                             "n": pa.array([], pa.int64())})
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // day_us) * day_us
+        is_a = pc.equal(b.column("event_type"), type_a) \
+            .to_numpy(zero_copy_only=False)
+        combo = day * 2 + is_a          # day is us-scaled, headroom vast
+        order = np.argsort(combo, kind="stable")
+        starts, counts = segments(combo[order])
+        return pa.table({
+            "day_us": pa.array(day[order][starts], pa.int64()),
+            "is_a": pa.array(is_a[order][starts], pa.bool_()),
+            "n": pa.array(counts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def cogroup(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.timestamp("us")),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        day = batch.column("day_us").to_numpy(zero_copy_only=False)
+        is_a = batch.column("is_a").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        starts, counts = segments(day[order])
+        na = np.zeros(len(starts), dtype=np.int64)
+        nb = np.zeros(len(starts), dtype=np.int64)
+        gid = np.repeat(np.arange(len(starts)), counts)
+        a_rows = is_a[order]
+        np.add.at(na, gid[a_rows], n[order][a_rows])
+        np.add.at(nb, gid[~a_rows], n[order][~a_rows])
+        return pa.table({
+            "day": pa.array(day[order][starts], pa.int64())
+                     .cast(pa.timestamp("us")),
+            "n_a": pa.array(na, pa.int64(), mask=na == 0),
+            "n_b": pa.array(nb, pa.int64(), mask=nb == 0)})
+
+    return hash_group_apply(partials, ["day_us"], cogroup, 0, sort=False)

@@ -476,3 +476,33 @@ def test_gopher_quality_edge_docs(ray_session):
     assert got["mean_word_len"][0] == 0.0
     assert got["passes"].tolist() == [0, 0, 1]
     assert got["symbol_ratio"][1] > 0.1 and got["alpha_word_ratio"][1] == 0.0
+
+
+def test_daily_type_coverage_full_outer_nulls(ray_session):
+    # planted: day 0 has only clicks, day 2 only errors, day 1 both —
+    # the NULL pattern is the FULL OUTER contract
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from nise_ray.ops import events as ev
+    day = 24 * ev.MICROS_PER_HOUR
+    rows = [(0, "click"), (int(0.5 * day), "click"),
+            (day + 1, "click"), (day + 2, "error"),
+            (2 * day + 5, "error"), (2 * day + 6, "error"),
+            (day + 3, "view")]          # other types never counted
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] for r in rows], pa.int64())
+                .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq2.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = collect_table(ev.daily_type_coverage(d)).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+    assert len(got) == 3
+    assert got["n_a"].fillna(-1).tolist() == [2, 1, -1]
+    assert got["n_b"].fillna(-1).tolist() == [-1, 1, 2]
