@@ -809,6 +809,21 @@ def _q_daily_type_coverage(sf_dir: str):
     return daily_type_coverage(sf_dir)
 
 
+def _q_shipment_overlaps(sf_dir: str):
+    from nise_ray.ops.relational4 import shipment_overlap_counts
+    return shipment_overlap_counts(sf_dir)
+
+
+def _q_merge_upsert(sf_dir: str):
+    from nise_ray.ops.relational4 import merge_upsert_docs
+    return merge_upsert_docs(sf_dir)
+
+
+def _q_unpivot_quality(sf_dir: str):
+    from nise_ray.ops.relational4 import unpivot_quality_metrics
+    return unpivot_quality_metrics(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -866,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": _q_windowed_events,
         "ohlc_resample": _q_ohlc_resample,
         "daily_type_coverage": _q_daily_type_coverage,
+        "shipment_overlap_counts": _q_shipment_overlaps,
+        "merge_upsert_docs": _q_merge_upsert,
+        "unpivot_quality_metrics": _q_unpivot_quality,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1587,6 +1605,67 @@ def oracle_sql() -> dict[str, str]:
                        FROM events WHERE event_type = 'error' GROUP BY 1)
             SELECT coalesce(a.day, b.day) AS day, n_a, n_b
             FROM a FULL OUTER JOIN b ON a.day = b.day
+        """,
+        # interval-overlap self-join: the oracle builds the O(n^2) pair
+        # set; the engine counts the same pairs with an O(n log n)
+        # per-supplier sweep (see ops/relational4.py). Row-value compare
+        # == the engine's (shipdate, orderkey, linenumber) lexsort.
+        "shipment_overlap_counts": """
+            SELECT a.l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_overlap_pairs
+            FROM lineitem a JOIN lineitem b
+              ON a.l_suppkey = b.l_suppkey
+             AND (a.l_shipdate, a.l_orderkey, a.l_linenumber)
+                 < (b.l_shipdate, b.l_orderkey, b.l_linenumber)
+             AND a.l_shipdate + to_days(CAST(a.l_quantity AS INTEGER))
+                 >= b.l_shipdate
+            GROUP BY a.l_suppkey
+        """,
+        # MERGE INTO shape: same deterministic changeset (doc_id%10:
+        # 0=update +1000 chars, 1=delete, 2=insert under id+2^40)
+        # declared in SQL; the engine applies it with a distributed
+        # left-outer join + union, never seeing the modulo rule.
+        "merge_upsert_docs": """
+            WITH delta AS (
+              SELECT doc_id, 'U' AS op, lang,
+                     n_chars + 1000 AS n_chars
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, 'D', lang, n_chars
+              FROM documents WHERE doc_id % 10 = 1
+              UNION ALL
+              SELECT doc_id + 1099511627776, 'I', lang, n_chars
+              FROM documents WHERE doc_id % 10 = 2)
+            SELECT b.doc_id, b.lang,
+                   CAST(coalesce(d.n_chars, b.n_chars) AS BIGINT)
+                     AS n_chars
+            FROM documents b
+            LEFT JOIN delta d
+              ON b.doc_id = d.doc_id AND d.op IN ('U', 'D')
+            WHERE d.op IS NULL OR d.op = 'U'
+            UNION ALL
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT)
+            FROM delta WHERE op = 'I'
+        """,
+        # UNPIVOT of the quality_scores wide table; int metrics cast
+        # exactly to double (values << 2^53).
+        "unpivot_quality_metrics": """
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_c,
+                     CAST(length(text) - length(replace(text, chr(10), ''))
+                          + 1 AS BIGINT) AS n_lines,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(
+                                 text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / length(text) END AS alpha_ratio
+              FROM documents)
+            SELECT doc_id, 'n_chars_c' AS metric,
+                   CAST(n_chars_c AS DOUBLE) AS value FROM q
+            UNION ALL
+            SELECT doc_id, 'n_lines', CAST(n_lines AS DOUBLE) FROM q
+            UNION ALL
+            SELECT doc_id, 'alpha_ratio', alpha_ratio FROM q
         """,
         # every signal is an RE2 count in BOTH engines (Arrow
         # count_substring_regex == regexp_extract_all length); ratios are

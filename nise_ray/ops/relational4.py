@@ -1,0 +1,236 @@
+"""Fourth batch of relational showcase ops (round 4): interval-overlap
+self-join (counted by a per-group sweep, never materializing pairs),
+MERGE/upsert changeset application (the SCD "apply a delta to a
+snapshot" shape — the inverse of analytics.snapshot_diff_docs), and
+UNPIVOT/melt (wide metrics table -> long (id, metric, value) form).
+
+Scale contracts match ops/relational.py: the overlap sweep rides ONE
+hash exchange on the group key and its per-block kernel is O(n log n)
+searchsorted arithmetic (the O(n^2) pair set is counted, not built);
+the merge is a single distributed left-outer join plus a streamed
+union (no driver materialization of either side); unpivot is a
+stateless per-batch map that streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.ops.groupapply import (hash_group_apply, join_safe_partitions,
+                                     segments)
+
+DAY_US = 86_400_000_000
+
+
+def shipment_overlap_counts(sf_dir: str) -> "ray.data.Dataset":
+    """INTERVAL-OVERLAP SELF-JOIN, counted: per supplier, the number of
+    unordered lineitem pairs whose transit windows
+    ``[l_shipdate, l_shipdate + int(l_quantity) days]`` overlap
+    (equivalently ``a JOIN b ON same supplier AND a < b in
+    (shipdate, orderkey, linenumber) row-order AND a_end >= b_start``).
+    Returns (l_suppkey, n_overlap_pairs), suppliers with >= 1 pair.
+
+    Scale shape: the naive oracle join is O(n^2) per supplier; the
+    engine instead counts overlaps with a sweep — sort each supplier
+    segment by (start, orderkey, linenumber); a pair (a, b) with
+    a <= b in that order overlaps iff end_a >= start_b (start_a <=
+    start_b <= end_a needs only the right-hand check once sorted), so
+    pairs(b) = (#predecessors of b) - (#ends < start_b), both plain
+    searchsorted arithmetic. All segments are swept in ONE vectorized
+    pass by encoding (segment_ordinal, day) into a single int64 key —
+    shipdates are day-aligned and spans are bounded, so the encoding
+    never overflows. One l_suppkey hash exchange of 5 small columns;
+    per-block output is group-count-sized."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_linenumber",
+                 "l_shipdate", "l_quantity"])
+
+    def sweep(b: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "n_overlap_pairs": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        supp = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        lno = b.column("l_linenumber").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ship_us = b.column("l_shipdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # day-aligned by data contract (oracle interval arithmetic is in
+        # whole days); a misaligned timestamp would silently change pair
+        # membership vs SQL, so fail loudly instead.
+        if ((ship_us % DAY_US) != 0).any():
+            raise ValueError("l_shipdate not day-aligned; the whole-day "
+                             "overlap encoding would diverge from the "
+                             "SQL oracle")
+        day = ship_us // DAY_US
+        order = np.lexsort((lno, okey, day, supp))
+        supp, day, qty = supp[order], day[order], qty[order]
+        end_day = day + qty
+
+        starts, counts = segments(supp)
+        n = len(supp)
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        day0 = int(day.min())
+        span = int(end_day.max()) - day0 + 2
+        enc_start = seg_id * span + (day - day0)
+        enc_end = seg_id * span + (end_day - day0)
+        # seg_id dominates the encoding, so one global sort of the end
+        # keys is per-segment sorted with identical segment offsets.
+        enc_end_sorted = np.sort(enc_end, kind="stable")
+        ends_lt = np.searchsorted(enc_end_sorted, enc_start, side="left")
+        local_idx = np.arange(n, dtype=np.int64) - starts[seg_id]
+        # ends in EARLIER segments all encode below this segment's keys
+        # and are exactly the starts[seg] prefix of the sorted array.
+        pairs = local_idx - (ends_lt - starts[seg_id])
+        per_supp = np.add.reduceat(pairs, starts)
+        keep = per_supp > 0
+        if not keep.any():
+            return empty
+        return pa.table({
+            "l_suppkey": pa.array(supp[starts][keep], pa.int64()),
+            "n_overlap_pairs": pa.array(per_supp[keep], pa.int64())})
+
+    return hash_group_apply(ds, ["l_suppkey"], sweep)
+
+
+# insert ids land far above any real doc_id (2^40 > any sf's id space);
+# the oracle uses the same literal.
+MERGE_INSERT_OFFSET = 1 << 40
+
+
+def _derive_changeset(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic synthetic changeset over documents: doc_id%10==0 ->
+    update (n_chars+1000), %10==1 -> delete tombstone, %10==2 -> insert
+    under a fresh id. Emitted as a real Dataset so the merge below
+    exercises the distributed join machinery — nothing downstream may
+    exploit how the delta was derived."""
+    def make(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "op": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        lang = b.column("lang")
+        m = did % 10
+        u, d, i = m == 0, m == 1, m == 2
+        idx = np.concatenate([np.flatnonzero(u), np.flatnonzero(d),
+                              np.flatnonzero(i)])
+        ops = np.concatenate([np.repeat("U", u.sum()),
+                              np.repeat("D", d.sum()),
+                              np.repeat("I", i.sum())])
+        out_id = did[idx].copy()
+        out_ch = nch[idx].copy()
+        nu = int(u.sum())
+        out_ch[:nu] += 1000
+        out_id[len(idx) - int(i.sum()):] += MERGE_INSERT_OFFSET
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "op": pa.array(ops, pa.string()),
+                         "lang": lang.take(pa.array(idx)),
+                         "n_chars": pa.array(out_ch, pa.int64())})
+
+    return docs.map_batches(make, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def merge_upsert_docs(sf_dir: str) -> "ray.data.Dataset":
+    """MERGE INTO (upsert + delete) applied distributedly: base snapshot
+    LEFT OUTER JOIN changeset on doc_id — matched 'U' rows take the
+    delta's n_chars, matched 'D' rows are dropped, unmatched rows pass
+    through — then the 'I' inserts are unioned in. Returns the merged
+    snapshot (doc_id, lang, n_chars).
+
+    Scale shape: ONE distributed hash join keyed on doc_id (both sides
+    corpus-sized, neither collected), a streamed filter/coalesce per
+    block, and a lazy union with the insert slice — the canonical CDC /
+    slowly-changing-dimension apply with no driver materialization.
+    Inverse of analytics.snapshot_diff_docs (which re-derives the
+    changeset from two snapshots)."""
+    import pyarrow.compute as pc
+
+    def docs() -> "ray.data.Dataset":
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "lang", "n_chars"])
+
+    # each consumer gets its own read: a Dataset consumed twice
+    # duplicates its sub-DAG per consumer, and a duplicated branch that
+    # feeds a JoinOperator aggregator pool has deadlocked before
+    # (SURVEY 9.6); column-pruned re-reads are cheap.
+    base = docs()
+
+    def ud_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("op"), "I"))
+        return t.rename_columns(["doc_id", "op", "d_lang", "d_n_chars"])
+
+    ud = _derive_changeset(docs()).map_batches(ud_side,
+                                               batch_format="pyarrow")
+    np_ = join_safe_partitions(0)
+    joined = base.join(ud, join_type="left_outer", num_partitions=np_,
+                       on=("doc_id",))
+
+    def apply_ops(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        op = b.column("op")
+        keep = pc.fill_null(pc.not_equal(op, "D"), True)
+        b = b.filter(keep)
+        op = b.column("op")
+        upd = pc.fill_null(pc.equal(op, "U"), False)
+        n_chars = pc.if_else(upd, b.column("d_n_chars"),
+                             b.column("n_chars"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "n_chars": n_chars.cast(pa.int64())})
+
+    merged = joined.map_batches(apply_ops, batch_format="pyarrow")
+
+    def insert_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("op"), "I"))
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    inserts = _derive_changeset(docs()).map_batches(
+        insert_side, batch_format="pyarrow")
+    return merged.union(inserts)
+
+
+def unpivot_quality_metrics(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT / melt: the wide per-document quality table
+    (doc_id, n_chars_c, n_lines, alpha_ratio) unfolded to long form
+    (doc_id, metric, value DOUBLE) — 3 rows per document. The int
+    metrics cast exactly to double (values << 2^53).
+
+    Scale shape: stateless per-batch reshape (concat of three column
+    slices + a dictionary-repeated metric column); streams, no
+    exchange."""
+    from nise_ray.ops.textstats import quality_scores
+
+    wide = quality_scores(sf_dir)
+    metrics = ["n_chars_c", "n_lines", "alpha_ratio"]
+
+    def melt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "metric": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        n = b.num_rows
+        did = b.column("doc_id")
+        parts = []
+        for m in metrics:
+            parts.append(pa.table({
+                "doc_id": did,
+                "metric": pa.array(np.repeat(m, n), pa.string()),
+                "value": b.column(m).cast(pa.float64())}))
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            zero_copy_batch=True)
