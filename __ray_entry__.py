@@ -824,6 +824,16 @@ def _q_unpivot_quality(sf_dir: str):
     return unpivot_quality_metrics(sf_dir)
 
 
+def _q_activity_streaks(sf_dir: str):
+    from nise_ray.ops.relational4 import user_activity_streaks
+    return user_activity_streaks(sf_dir)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    from nise_ray.ops.relational4 import source_vocab_jaccard
+    return source_vocab_jaccard(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -884,6 +894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipment_overlap_counts": _q_shipment_overlaps,
         "merge_upsert_docs": _q_merge_upsert,
         "unpivot_quality_metrics": _q_unpivot_quality,
+        "user_activity_streaks": _q_activity_streaks,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1666,6 +1678,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'n_lines', CAST(n_lines AS DOUBLE) FROM q
             UNION ALL
             SELECT doc_id, 'alpha_ratio', alpha_ratio FROM q
+        """,
+        # gaps-and-islands: SQL's day - row_number() island key vs the
+        # engine's sorted diff sweep; epoch-day floor division matches
+        # the engine's ts // DAY_US exactly (timestamps are positive).
+        "user_activity_streaks": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+                 i AS (SELECT user_id, day,
+                              day - row_number() OVER (
+                                  PARTITION BY user_id ORDER BY day)
+                                AS isl
+                       FROM d),
+                 s AS (SELECT user_id, isl, count(*) AS len
+                       FROM i GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS longest_streak,
+                   CAST(count(*) AS BIGINT) AS n_streaks
+            FROM s GROUP BY user_id
+        """,
+        # vocabulary Jaccard between sources: the oracle self-joins the
+        # distinct (source, token) set; the engine ORs per-token source
+        # bitmasks through one token exchange and folds them with a
+        # bits-matrix matmul. ASCII source names make numpy's and
+        # DuckDB's (binary-collation) string orders agree on a < b;
+        # jaccard = exact-int DOUBLE division, bit-identical.
+        "source_vocab_jaccard": """
+            WITH st AS (SELECT DISTINCT source, token FROM (
+                   SELECT source,
+                          unnest(regexp_extract_all(
+                              text, '[A-Za-z0-9_]+')) AS token
+                   FROM documents)),
+                 sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+                 ix AS (SELECT a.source AS source_a,
+                               b.source AS source_b,
+                               count(*) AS n_shared
+                        FROM st a JOIN st b
+                          ON a.token = b.token AND a.source < b.source
+                        GROUP BY 1, 2)
+            SELECT source_a, source_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+                     AS jaccard
+            FROM ix JOIN sz sa ON sa.source = ix.source_a
+                    JOIN sz sb ON sb.source = ix.source_b
         """,
         # every signal is an RE2 count in BOTH engines (Arrow
         # count_substring_regex == regexp_extract_all length); ratios are

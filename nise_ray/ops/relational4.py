@@ -234,3 +234,182 @@ def unpivot_quality_metrics(sf_dir: str) -> "ray.data.Dataset":
 
     return wide.map_batches(melt, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def user_activity_streaks(sf_dir: str) -> "ray.data.Dataset":
+    """GAPS-AND-ISLANDS: per user, activity-day streaks — n_active_days
+    (distinct days with >= 1 event), longest_streak (longest run of
+    CONSECUTIVE active days) and n_streaks (number of runs). The classic
+    SQL islands pattern (day - row_number() island key); the engine
+    finds the same islands with a sorted diff sweep.
+
+    Scale shape: per-batch distinct-(user, day) combiner shrinks the
+    exchange to active-user-days (<< events); ONE user_id hash
+    exchange; in-group global dedupe + one vectorized break/cumsum/
+    reduceat sweep; output is user-count-sized."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def distinct_days(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = b.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // DAY_US
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.empty(len(uid), dtype=bool)
+        keep[0] = True
+        np.logical_or(uid[1:] != uid[:-1], day[1:] != day[:-1],
+                      out=keep[1:])
+        return pa.table({"user_id": pa.array(uid[keep], pa.int64()),
+                         "day": pa.array(day[keep], pa.int64())})
+
+    partials = ds.map_batches(distinct_days, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def streaks(b: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_active_days": pa.array([], pa.int64()),
+                          "longest_streak": pa.array([], pa.int64()),
+                          "n_streaks": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.empty(len(uid), dtype=bool)     # cross-batch dupes
+        keep[0] = True
+        np.logical_or(uid[1:] != uid[:-1], day[1:] != day[:-1],
+                      out=keep[1:])
+        uid, day = uid[keep], day[keep]
+        n = len(uid)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.logical_or(uid[1:] != uid[:-1], np.diff(day) != 1,
+                      out=new_run[1:])
+        run_starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_starts, n))
+        run_user = uid[run_starts]
+        starts, counts = segments(run_user)
+        return pa.table({
+            "user_id": pa.array(run_user[starts], pa.int64()),
+            "n_active_days": pa.array(np.add.reduceat(run_len, starts),
+                                      pa.int64()),
+            "longest_streak": pa.array(
+                np.maximum.reduceat(run_len, starts), pa.int64()),
+            "n_streaks": pa.array(counts, pa.int64())})
+
+    return hash_group_apply(partials, ["user_id"], streaks)
+
+
+# one int64 bitmask bit per source; >63 sources needs mask chunking
+# (document the limit loudly rather than silently corrupting bit 63's
+# sign)
+_MAX_MASK_SOURCES = 63
+
+
+def source_vocab_jaccard(sf_dir: str) -> pa.Table:
+    """Pairwise VOCABULARY overlap between sources: for every source
+    pair with >= 1 shared token, (source_a, source_b, n_shared,
+    jaccard) where jaccard = |Va ∩ Vb| / |Va ∪ Vb| over distinct token
+    vocabularies (tokens = the corpus-wide [A-Za-z0-9_]+ convention).
+
+    Scale shape: per-batch (token, source-bitmask) combiner — the
+    exchange moves vocabulary-sized 2-column rows, never token
+    instances; ONE token hash exchange; in-group OR-reduce, then each
+    block folds its tokens into a K x K intersection matrix with one
+    bits-matrix matmul (B^T B), so only block-count x K^2 tiny partials
+    reach the driver. Union sizes come from the matrix diagonal —
+    |Va ∪ Vb| = |Va| + |Vb| - |Va ∩ Vb|. K <= 63 sources per int64
+    mask (assert; chunk masks beyond that)."""
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.textstats import _doc_token_stream
+    from nise_ray.util import collect_table
+
+    src_ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["source"])
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(b.column("source")
+                                             .combine_chunks())})
+
+    srcs = np.unique(np.asarray(
+        collect_table(src_ds.map_batches(src_partial,
+                                         batch_format="pyarrow"))
+        .column("source").to_pylist(), dtype=object))
+    k = len(srcs)
+    if k == 0:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_shared": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    if k > _MAX_MASK_SOURCES:
+        raise ValueError(f"{k} sources exceed the {_MAX_MASK_SOURCES}-bit "
+                         "int64 mask; chunk the mask dimension")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "mask": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        row, codes, vocab = _doc_token_stream(b)
+        if len(codes) == 0:
+            return empty
+        src = np.asarray(b.column("source").to_pylist(), dtype=object)
+        bit = np.searchsorted(srcs, src)[row]
+        key = np.unique(codes * 64 + bit)
+        code_u, bit_u = key >> 6, key & 63
+        starts, _ = segments(code_u)
+        masks = np.bitwise_or.reduceat(
+            np.int64(1) << bit_u.astype(np.int64), starts)
+        return pa.table({"token": pa.array(vocab[code_u[starts]],
+                                           pa.string()),
+                         "mask": pa.array(masks, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        tok = np.asarray(batch.column("token").to_pylist(), dtype=object)
+        masks = batch.column("mask").to_numpy(zero_copy_only=False)
+        starts, _ = segments(tok)      # block arrives token-sorted
+        m = np.bitwise_or.reduceat(masks, starts)
+        bits = ((m[:, None] >> np.arange(k, dtype=np.int64)) & 1) \
+            .astype(np.int64)
+        mat = bits.T @ bits            # K x K intersections; diag = |V|
+        iu, ju = np.triu_indices(k)
+        return pa.table({"i": pa.array(iu.astype(np.int64), pa.int64()),
+                         "j": pa.array(ju.astype(np.int64), pa.int64()),
+                         "n": pa.array(mat[iu, ju], pa.int64())})
+
+    folded = collect_table(hash_group_apply(partials, ["token"], fold))
+    mat = np.zeros((k, k), dtype=np.int64)
+    if folded.num_rows:
+        i = folded.column("i").to_numpy(zero_copy_only=False)
+        j = folded.column("j").to_numpy(zero_copy_only=False)
+        n = folded.column("n").to_numpy(zero_copy_only=False)
+        np.add.at(mat, (i, j), n)
+    sizes = np.diag(mat)
+    iu, ju = np.triu_indices(k, 1)
+    shared = mat[iu, ju]
+    hit = shared > 0
+    iu, ju, shared = iu[hit], ju[hit], shared[hit]
+    union = sizes[iu] + sizes[ju] - shared
+    return pa.table({
+        "source_a": pa.array(srcs[iu], pa.string()),
+        "source_b": pa.array(srcs[ju], pa.string()),
+        "n_shared": pa.array(shared, pa.int64()),
+        "jaccard": pa.array(shared.astype(np.float64) / union,
+                            pa.float64())})

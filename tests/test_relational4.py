@@ -129,3 +129,57 @@ def test_unpivot_quality_matches_duckdb(ray_session):
     """).fetchdf())
     assert len(got) == 3 * len(got["doc_id"].unique())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_activity_streaks_matches_duckdb(ray_session):
+    from nise_ray.ops.relational4 import user_activity_streaks
+    got = _sorted(user_activity_streaks(SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = _sorted(con.execute("""
+        WITH d AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+             i AS (SELECT user_id, day,
+                          day - row_number() OVER (
+                              PARTITION BY user_id ORDER BY day) AS isl
+                   FROM d),
+             s AS (SELECT user_id, isl, count(*) AS len
+                   FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               CAST(max(len) AS BIGINT) AS longest_streak,
+               CAST(count(*) AS BIGINT) AS n_streaks
+        FROM s GROUP BY user_id
+    """).fetchdf())
+    assert len(got) > 0
+    # a streak decomposition invariant: longest <= active days, and
+    # n_streaks <= n_active_days
+    assert (got["longest_streak"] <= got["n_active_days"]).all()
+    assert (got["n_streaks"] <= got["n_active_days"]).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_source_vocab_jaccard_matches_duckdb(ray_session):
+    from nise_ray.ops.relational4 import source_vocab_jaccard
+    got = _sorted(source_vocab_jaccard(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH st AS (SELECT DISTINCT source, token FROM (
+               SELECT source,
+                      unnest(regexp_extract_all(
+                          text, '[A-Za-z0-9_]+')) AS token
+               FROM documents)),
+             sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+             ix AS (SELECT a.source AS source_a, b.source AS source_b,
+                           count(*) AS n_shared
+                    FROM st a JOIN st b
+                      ON a.token = b.token AND a.source < b.source
+                    GROUP BY 1, 2)
+        SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+                 AS jaccard
+        FROM ix JOIN sz sa ON sa.source = ix.source_a
+                JOIN sz sb ON sb.source = ix.source_b
+    """).fetchdf())
+    assert len(got) > 0
+    assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1)).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
