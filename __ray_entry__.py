@@ -834,6 +834,21 @@ def _q_source_vocab_jaccard(sf_dir: str):
     return source_vocab_jaccard(sf_dir)
 
 
+def _q_duplicate_lines(sf_dir: str):
+    from nise_ray.ops.lines import duplicate_lines_docs
+    return duplicate_lines_docs(sf_dir)
+
+
+def _q_line_dedup(sf_dir: str):
+    from nise_ray.ops.lines import line_dedup_docs
+    return line_dedup_docs(sf_dir)
+
+
+def _q_rolling_wau(sf_dir: str):
+    from nise_ray.ops.lines import rolling_active_users
+    return rolling_active_users(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -896,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_quality_metrics": _q_unpivot_quality,
         "user_activity_streaks": _q_activity_streaks,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "duplicate_lines_docs": _q_duplicate_lines,
+        "line_dedup_docs": _q_line_dedup,
+        "rolling_wau": _q_rolling_wau,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1723,6 +1741,65 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM ix JOIN sz sa ON sa.source = ix.source_a
                     JOIN sz sb ON sb.source = ix.source_b
+        """,
+        # line-level dedup family: both engines pin the SAME deterministic
+        # 10-token re-wrap of the single-line documents (lines are
+        # byte-exact substrings of text; see nise_ray/ops/lines.py module
+        # docstring). string_split('',' ')=[''] on both sides, so the
+        # remainder/empty edge cases agree exactly.
+        "duplicate_lines_docs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 expl AS (SELECT doc_id, t,
+                                 unnest(generate_series(0,
+                                   CAST(floor((len(t)-1)/10) AS BIGINT)))
+                                   AS i
+                          FROM toks),
+                 lines AS (SELECT doc_id,
+                                  array_to_string(
+                                    t[(i*10+1):(i*10+10)], ' ') AS line
+                           FROM expl)
+            SELECT line,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM lines GROUP BY line
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "line_dedup_docs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 expl AS (SELECT doc_id, t,
+                                 unnest(generate_series(0,
+                                   CAST(floor((len(t)-1)/10) AS BIGINT)))
+                                   AS i
+                          FROM toks),
+                 lines AS (SELECT doc_id,
+                                  array_to_string(
+                                    t[(i*10+1):(i*10+10)], ' ') AS line
+                           FROM expl),
+                 marked AS (SELECT doc_id, line,
+                                   count(DISTINCT doc_id)
+                                     OVER (PARTITION BY line) AS nd
+                            FROM lines)
+            SELECT doc_id, count(*) AS n_lines,
+                   CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(coalesce(sum(CASE WHEN nd < 2 THEN len(line)
+                                          ELSE 0 END), 0) AS BIGINT)
+                     AS kept_chars
+            FROM marked GROUP BY doc_id
+        """,
+        # rolling 7-day distinct active users; the engine's interval-
+        # coverage sweep equals the correlated count-distinct window.
+        "rolling_wau": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                          FROM events)
+            SELECT d.day,
+                   CAST((SELECT count(DISTINCT e.user_id) FROM events e
+                         WHERE date_trunc('day', e.ts)
+                           BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+                        AS BIGINT) AS wau
+            FROM days d
         """,
         # every signal is an RE2 count in BOTH engines (Arrow
         # count_substring_regex == regexp_extract_all length); ratios are

@@ -1,0 +1,354 @@
+"""Line-level dedup surfaces (C4 / RefinedWeb-style) plus a rolling
+distinct-users window — round-4 additions.
+
+The documents table is single-line word soup (space-separated tokens, no
+newlines — verified at every sf), so a literal line split would be
+vacuous. Instead both engines (Ray and the DuckDB oracle) agree on a
+DETERMINISTIC RE-WRAP: split ``text`` on single spaces and group every
+``TOKENS_PER_LINE`` consecutive tokens into one "line" (the final line
+keeps the remainder). Because the source text is exactly single-space
+separated, each wrapped line is a byte-exact substring of the original
+text, and DuckDB reproduces it with
+``array_to_string(string_split(text,' ')[i*10+1 : i*10+10], ' ')`` —
+the contract both sides are pinned to.
+
+Scale contracts:
+
+- the explode is one Arrow kernel chain per batch (split_pattern →
+  ListArray regroup by offset arithmetic → binary_join); no Python loop
+  over rows; line identity for SEMANTICS is the line string (hash only
+  routes the exchange, so a 64-bit collision cannot change results);
+- ``duplicate_lines_docs`` rides ONE line-keyed hash exchange; its
+  output is bounded by the number of repeated lines, not the corpus;
+- ``line_dedup_docs`` is two exchanges (line-keyed dup marking, then a
+  doc-keyed reassembly of per-doc counters) — no broadcast of the dup
+  set, so an adversarially repetitive corpus cannot blow the driver;
+- ``rolling_active_users`` turns the O(days x events) window into a
+  per-user interval-coverage sweep: distinct (user, day) partials per
+  batch, one user-keyed exchange emitting +-1 coverage deltas, a
+  day-keyed delta reduction, and an O(#days) driver cumsum — the only
+  driver-side structure is calendar-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.ops.groupapply import hash_group_apply, segments
+
+TOKENS_PER_LINE = 10
+DAY_US = 86_400_000_000
+
+
+def _explode_lines(b: pa.Table, tokens_per_line: int = TOKENS_PER_LINE,
+                   hasher=None) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, line, line_hash) with one row per
+    wrapped line. Pure Arrow/numpy: the wrapped lines tile the flat token
+    array exactly (within a doc, line i+1 starts where line i's 10-token
+    window ends), so ONE ListArray re-offset + binary_join builds every
+    line string with no per-row Python."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "line": pa.array([], pa.string()),
+                      "line_hash": pa.array([], pa.uint64())})
+    if b.num_rows == 0:
+        return empty
+    txt = b.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern(txt, pattern=" ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    tok_off = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    cnt = np.diff(tok_off)
+    # string_split('', ' ') = [''] in both engines, so cnt >= 1 always;
+    # ceil-divide gives the oracle's floor((len-1)/10)+1 line count.
+    n_lines = (cnt + tokens_per_line - 1) // tokens_per_line
+    total = int(n_lines.sum())
+    if total == 0:
+        return empty
+    n = b.num_rows
+    row = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+    first = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_lines, out=first[1:])
+    intra = np.arange(total, dtype=np.int64) - first[:-1][row]
+    line_start = tok_off[:-1][row] + intra * tokens_per_line
+    # lines tile the token space: offsets = every line start + global end
+    line_offsets = np.append(line_start, tok_off[-1]).astype(np.int32)
+    grouped = pa.ListArray.from_arrays(pa.array(line_offsets), flat)
+    lines = pc.binary_join(grouped, " ")
+    doc = b.column("doc_id").to_numpy(zero_copy_only=False)[row]
+    if hasher is None:
+        from nise_ray.ops.normalize import TokenHasher
+        hasher = TokenHasher()
+    enc = lines.dictionary_encode()
+    vocab_h = hasher.hash_vocab(enc.dictionary.to_pylist())
+    lh = vocab_h[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                     "line": lines,
+                     "line_hash": pa.array(lh, pa.uint64())})
+
+
+class _LineExploder:
+    """Actor-pool wrapper so the blake2b line-hash cache persists across
+    batches (stateful-stage pattern; repeated boilerplate lines hash once
+    per actor, not once per occurrence)."""
+
+    def __init__(self, tokens_per_line: int = TOKENS_PER_LINE) -> None:
+        from nise_ray.ops.normalize import TokenHasher
+        self._hasher = TokenHasher()
+        self._tpl = tokens_per_line
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        return _explode_lines(b, self._tpl, self._hasher)
+
+
+def _line_groups(b: pa.Table):
+    """Within a line_hash-partitioned block: order rows so equal LINE
+    STRINGS (not just equal hashes) are contiguous, and return
+    (order, seg_starts, seg_counts, n_docs_per_seg, doc, lines).
+
+    Grouping semantics use the actual string via an in-block dictionary
+    encode — two different lines colliding on the 64-bit hash land in the
+    same partition but form separate segments, so results are exact."""
+    lines = b.column("line")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    enc = lines.dictionary_encode()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    lh = b.column("line_hash").to_numpy(zero_copy_only=False)
+    doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, code, lh))
+    lh_s, code_s, doc_s = lh[order], code[order], doc[order]
+    # segment = one distinct line string
+    chg = np.empty(len(order), dtype=bool)
+    chg[0] = True
+    chg[1:] = (lh_s[1:] != lh_s[:-1]) | (code_s[1:] != code_s[:-1])
+    starts = np.flatnonzero(chg)
+    counts = np.diff(np.append(starts, len(order)))
+    # distinct docs per segment: doc is sorted within each segment
+    doc_chg = np.empty(len(order), dtype=bool)
+    doc_chg[0] = True
+    doc_chg[1:] = chg[1:] | (doc_s[1:] != doc_s[:-1])
+    n_docs = np.add.reduceat(doc_chg.astype(np.int64), starts)
+    return order, starts, counts, n_docs, doc_s, lines
+
+
+def duplicate_lines_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+    """Lines (10-token deterministic wrap, see module docstring) that
+    occur in >= ``min_docs`` DISTINCT documents. Returns
+    (line, n_docs, n_occurrences) — the C4-style "repeated line" census
+    that seeds line-level dedup.
+
+    Scale shape: stateless explode (actor pool for the hash cache), ONE
+    line-keyed hash exchange, vectorized per-block segment counting;
+    output is repetition-bounded, not corpus-bounded."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=(1, 8))
+
+    def per_group(b: pa.Table) -> pa.Table:
+        empty = pa.table({"line": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_occurrences": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        order, starts, counts, n_docs, _doc, lines = _line_groups(b)
+        keep = n_docs >= min_docs
+        if not keep.any():
+            return empty
+        first_idx = order[starts[keep]]
+        return pa.table({
+            "line": lines.take(pa.array(first_idx, pa.int64())),
+            "n_docs": pa.array(n_docs[keep], pa.int64()),
+            "n_occurrences": pa.array(counts[keep], pa.int64())})
+
+    return hash_group_apply(exploded, ["line_hash"], per_group)
+
+
+def line_dedup_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+    """RefinedWeb-style line-level dedup accounting: a line is DUP if it
+    occurs in >= ``min_docs`` distinct documents; every occurrence of a
+    dup line is dropped. Returns per-doc
+    (doc_id, n_lines, n_kept, kept_chars) where kept_chars sums the
+    utf8 length of the surviving lines.
+
+    Scale shape: explode -> line-keyed exchange marks each OCCURRENCE
+    with its line's doc-frequency verdict (output rows == input rows; the
+    dup set is never collected or broadcast) -> doc-keyed exchange folds
+    per-doc counters. Both exchanges are hash shuffles with vectorized
+    block kernels."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=(1, 8))
+
+    def mark(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "kept": pa.array([], pa.bool_()),
+                          "line_chars": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        order, starts, _counts, n_docs, doc_s, lines = _line_groups(b)
+        seg_of = np.zeros(len(order), dtype=np.int64)
+        seg_of[starts[1:]] = 1
+        np.cumsum(seg_of, out=seg_of)
+        kept = (n_docs < min_docs)[seg_of]
+        chars = pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        return pa.table({"doc_id": pa.array(doc_s, pa.int64()),
+                         "kept": pa.array(kept, pa.bool_()),
+                         "line_chars": pa.array(chars, pa.int64())})
+
+    marked = hash_group_apply(exploded, ["line_hash"], mark)
+
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_lines": pa.array([], pa.int64()),
+                          "n_kept": pa.array([], pa.int64()),
+                          "kept_chars": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = b.column("kept").to_numpy(zero_copy_only=False)
+        chars = b.column("line_chars").to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc_s = doc[order]
+        starts, counts = segments(doc_s)
+        kept_i = kept[order].astype(np.int64)
+        n_kept = np.add.reduceat(kept_i, starts)
+        kept_chars = np.add.reduceat(chars[order] * kept_i, starts)
+        # reduceat on an all-False tail still yields the right 0 sums
+        # because kept_i zeros the addends.
+        return pa.table({"doc_id": pa.array(doc_s[starts], pa.int64()),
+                         "n_lines": pa.array(counts, pa.int64()),
+                         "n_kept": pa.array(n_kept, pa.int64()),
+                         "kept_chars": pa.array(kept_chars, pa.int64())})
+
+    return hash_group_apply(marked, ["doc_id"], fold)
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """Rolling W-day distinct active users per day: for each day present
+    in events, the number of distinct user_ids with >= 1 event in
+    [day - (W-1), day]. Returns (day timestamp[us], wau int64), sorted.
+
+    Scale shape (the O(days x events) window rewritten as interval
+    coverage): per-batch distinct (user, day) combiner -> ONE user-keyed
+    exchange where each user's sorted active days become merged coverage
+    intervals [d, d+W-1] emitted as +-1 day deltas (a user in a merged
+    interval counts exactly once per covered day) -> day-keyed delta
+    reduction (calendar-sized) -> O(#days) driver cumsum restricted to
+    days actually present. No corpus-sized driver state."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // DAY_US
+        user = b.column("user_id").to_numpy(zero_copy_only=False)
+        combo = np.stack([user, day])
+        uniq = np.unique(combo, axis=1)
+        return pa.table({"user_id": pa.array(uniq[0], pa.int64()),
+                         "day": pa.array(uniq[1], pa.int64())})
+
+    # pairs feeds TWO consumers (delta exchange + present-day census);
+    # an unmaterialized dataset would duplicate the sub-DAG per consumer
+    # and can deadlock under hash-shuffle aggregator reservations, so pin
+    # the (user, day) distinct partials — combiner-reduced, far smaller
+    # than events — in the object store once.
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def deltas(b: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        user = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        # cross-batch duplicates of (user, day) survive the combiner;
+        # drop them here (same user+day from two partials)
+        first = np.empty(len(user), dtype=bool)
+        first[0] = True
+        first[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1])
+        user, day = user[first], day[first]
+        # interval [d, d+W-1]; runs merge while the next active day still
+        # touches the running coverage (gap <= W)
+        new_run = np.empty(len(user), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (user[1:] != user[:-1]) | \
+            (day[1:] - day[:-1] > window_days)
+        run_start = day[new_run]
+        # last day of each run
+        run_last = np.maximum.reduceat(day, np.flatnonzero(new_run))
+        run_end = run_last + window_days  # first uncovered day
+        d = np.concatenate([run_start, run_end])
+        v = np.concatenate([np.ones(len(run_start), dtype=np.int64),
+                            -np.ones(len(run_end), dtype=np.int64)])
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "delta": pa.array(v, pa.int64())})
+
+    delta_ds = hash_group_apply(pairs, ["user_id"], deltas)
+
+    def reduce_day(b: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        delta = b.column("delta").to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        day_s = day[order]
+        starts, _counts = segments(day_s)
+        sums = np.add.reduceat(delta[order], starts)
+        return pa.table({"day": pa.array(day_s[starts], pa.int64()),
+                         "delta": pa.array(sums, pa.int64())})
+
+    reduced = hash_group_apply(delta_ds, ["day"], reduce_day)
+
+    # calendar-sized driver finish: cumsum deltas over the full day range,
+    # then keep only days that actually appear in events
+    day_rows = pairs.map_batches(
+        lambda b: pa.table({"day": pa.array(
+            np.unique(b.column("day").to_numpy(zero_copy_only=False)),
+            pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not day_rows:
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
+                         "wau": pa.array([], pa.int64())})
+    present = np.unique(np.array([r["day"] for r in day_rows],
+                                 dtype=np.int64))
+    dt = reduced.take_all()
+    dd = np.array([r["day"] for r in dt], dtype=np.int64)
+    dv = np.array([r["delta"] for r in dt], dtype=np.int64)
+    order = np.argsort(dd, kind="stable")
+    dd, dv = dd[order], dv[order]
+    # run-end deltas land up to window_days past the last active day, so
+    # the calendar must span the DELTA day range, not just present days
+    lo, hi = int(dd.min()), int(max(dd.max(), present.max()))
+    cal = np.arange(lo, hi + 1, dtype=np.int64)
+    net = np.zeros(len(cal), dtype=np.int64)
+    np.add.at(net, dd - lo, dv)
+    cover = np.cumsum(net)
+    wau = cover[present - lo]
+    return pa.table({
+        "day": pa.array(present * DAY_US, pa.int64()).cast(
+            pa.timestamp("us")),
+        "wau": pa.array(wau, pa.int64())})
