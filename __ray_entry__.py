@@ -849,6 +849,16 @@ def _q_rolling_wau(sf_dir: str):
     return rolling_active_users(sf_dir)
 
 
+def _q_percent_rank(sf_dir: str):
+    from nise_ray.ops.analytics2 import percent_rank_docs
+    return percent_rank_docs(sf_dir)
+
+
+def _q_bigram_collocations(sf_dir: str):
+    from nise_ray.ops.analytics2 import bigram_collocations
+    return bigram_collocations(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -914,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_lines_docs": _q_duplicate_lines,
         "line_dedup_docs": _q_line_dedup,
         "rolling_wau": _q_rolling_wau,
+        "percent_rank_docs": _q_percent_rank,
+        "bigram_collocations": _q_bigram_collocations,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1788,6 +1800,41 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0 END), 0) AS BIGINT)
                      AS kept_chars
             FROM marked GROUP BY doc_id
+        """,
+        # rank fractions are exact int->double divisions; ties share both
+        # fractions so engine sort order within ties is immaterial.
+        "percent_rank_docs": """
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY lang
+                                     ORDER BY n_chars) AS cume_dist
+            FROM documents
+        """,
+        # lift = (n_ab*N)/(n_a*n_b) computed with exact int->double casts
+        # and ONE multiply/divide per side in the same order both engines
+        # — bit-exact with no rounding heal (PMI = ln(lift), left
+        # unlogged to avoid libm-vs-DuckDB ulp skew).
+        "bigram_collocations": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(
+                                     text, '[A-Za-z0-9_]+') AS t
+                          FROM documents),
+                 expl AS (SELECT t, unnest(generate_series(1, len(t)-1))
+                                   AS i
+                          FROM toks WHERE len(t) >= 2),
+                 big AS (SELECT t[i] AS tok_a, t[i+1] AS tok_b FROM expl),
+                 bc AS (SELECT tok_a, tok_b, count(*) AS n_ab
+                        FROM big GROUP BY 1, 2 HAVING count(*) >= 2),
+                 uni AS (SELECT unnest(t) AS tok FROM toks),
+                 uc AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+                 tot AS (SELECT count(*) AS n_total FROM uni)
+            SELECT tok_a, tok_b, n_ab,
+                   ua.n AS n_a, ub.n AS n_b,
+                   (CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+                   (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+            FROM bc JOIN uc ua ON ua.tok = bc.tok_a
+                    JOIN uc ub ON ub.tok = bc.tok_b, tot
         """,
         # rolling 7-day distinct active users; the engine's interval-
         # coverage sweep equals the correlated count-distinct window.
