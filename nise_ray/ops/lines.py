@@ -238,6 +238,37 @@ def line_dedup_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
     return hash_group_apply(marked, ["doc_id"], fold)
 
 
+def coverage_deltas(user: np.ndarray, day: np.ndarray,
+                    window_days: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-user interval-coverage deltas for (user, day) activity rows
+    (possibly with cross-batch duplicates): each user's active day d
+    covers window-end days [d, d+W-1]; overlapping/adjacent coverage runs
+    merge, and each merged run emits (+1 at run start, -1 at first
+    uncovered day). Returns (delta_days, delta_values); summing values
+    per day and prefix-summing over the calendar yields, for every day e,
+    the number of users active at least once in [e-W+1, e]."""
+    order = np.lexsort((day, user))
+    user, day = user[order], day[order]
+    first = np.empty(len(user), dtype=bool)
+    first[0] = True
+    first[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1])
+    user, day = user[first], day[first]
+    # interval [d, d+W-1]; runs merge while the next active day still
+    # touches the running coverage (gap <= W)
+    new_run = np.empty(len(user), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (user[1:] != user[:-1]) | \
+        (day[1:] - day[:-1] > window_days)
+    run_start = day[new_run]
+    # last day of each run (day is increasing within a run)
+    run_last = np.maximum.reduceat(day, np.flatnonzero(new_run))
+    run_end = run_last + window_days  # first uncovered day
+    d = np.concatenate([run_start, run_end])
+    v = np.concatenate([np.ones(len(run_start), dtype=np.int64),
+                        -np.ones(len(run_end), dtype=np.int64)])
+    return d, v
+
+
 def rolling_active_users(sf_dir: str, window_days: int = 7) -> pa.Table:
     """Rolling W-day distinct active users per day: for each day present
     in events, the number of distinct user_ids with >= 1 event in
@@ -281,27 +312,7 @@ def rolling_active_users(sf_dir: str, window_days: int = 7) -> pa.Table:
             return empty
         user = b.column("user_id").to_numpy(zero_copy_only=False)
         day = b.column("day").to_numpy(zero_copy_only=False)
-        order = np.lexsort((day, user))
-        user, day = user[order], day[order]
-        # cross-batch duplicates of (user, day) survive the combiner;
-        # drop them here (same user+day from two partials)
-        first = np.empty(len(user), dtype=bool)
-        first[0] = True
-        first[1:] = (user[1:] != user[:-1]) | (day[1:] != day[:-1])
-        user, day = user[first], day[first]
-        # interval [d, d+W-1]; runs merge while the next active day still
-        # touches the running coverage (gap <= W)
-        new_run = np.empty(len(user), dtype=bool)
-        new_run[0] = True
-        new_run[1:] = (user[1:] != user[:-1]) | \
-            (day[1:] - day[:-1] > window_days)
-        run_start = day[new_run]
-        # last day of each run
-        run_last = np.maximum.reduceat(day, np.flatnonzero(new_run))
-        run_end = run_last + window_days  # first uncovered day
-        d = np.concatenate([run_start, run_end])
-        v = np.concatenate([np.ones(len(run_start), dtype=np.int64),
-                            -np.ones(len(run_end), dtype=np.int64)])
+        d, v = coverage_deltas(user, day, window_days)
         return pa.table({"day": pa.array(d, pa.int64()),
                          "delta": pa.array(v, pa.int64())})
 

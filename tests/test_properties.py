@@ -236,3 +236,65 @@ def test_sliding_min_matches_windowed_view(n, w, seed):
         exp = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
     assert got.dtype == exp.dtype
     assert np.array_equal(got, exp)
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 40)),
+                min_size=1, max_size=120),
+       st.integers(1, 10), st.integers(0, 2**32))
+@settings(max_examples=80, deadline=None)
+def test_coverage_deltas_match_bruteforce(pairs, window, seed):
+    """coverage_deltas' merged-interval +-1 rows, prefix-summed over the
+    calendar, equal the brute-force 'distinct users active in
+    [e-W+1, e]' count on every day — including duplicate (user, day)
+    rows, adjacent runs, and gaps exactly equal to the window."""
+    import numpy as np
+
+    from nise_ray.ops.lines import coverage_deltas
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    arr = np.array(pairs, dtype=np.int64)
+    arr = arr[rng.permutation(len(arr))]  # order must not matter
+    user, day = arr[:, 0], arr[:, 1]
+    dd, dv = coverage_deltas(user, day, window)
+    lo, hi = int(min(day.min(), dd.min())), int(dd.max())
+    net = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(net, dd - lo, dv)
+    cover = np.cumsum(net)
+    active = {}
+    for u, d in pairs:
+        active.setdefault(u, set()).add(d)
+    for e in range(lo, hi + 1):
+        expect = sum(1 for ds_ in active.values()
+                     if any(e - window + 1 <= a <= e for a in ds_))
+        assert cover[e - lo] == expect, (e, cover[e - lo], expect)
+
+
+@given(st.lists(st.lists(st.sampled_from(["aa", "b", "c0", "_", "x"]),
+                         max_size=35), min_size=1, max_size=25),
+       st.integers(0, 2**32))
+@settings(max_examples=60, deadline=None)
+def test_explode_lines_tiles_text(token_lists, seed):
+    """The 10-token wrap tiles every document exactly: per doc,
+    re-joining its lines with single spaces reproduces the original
+    text, line count is ceil(n_tokens/10), and every line except the
+    doc-final one has exactly 10 tokens."""
+    import pyarrow as pa
+
+    from nise_ray.ops.lines import _explode_lines
+
+    texts = [" ".join(toks) for toks in token_lists]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _explode_lines(b)
+    docs = out.column("doc_id").to_pylist()
+    lines = out.column("line").to_pylist()
+    per_doc: dict[int, list[str]] = {}
+    for d, ln in zip(docs, lines):
+        per_doc.setdefault(d, []).append(ln)
+    for i, t in enumerate(texts):
+        n_tok = len(t.split(" "))  # '' splits to [''] -> 1, as both engines
+        got = per_doc[i]
+        assert len(got) == -(-n_tok // 10)
+        assert " ".join(got) == t
+        for ln in got[:-1]:
+            assert len(ln.split(" ")) == 10
