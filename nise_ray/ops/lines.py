@@ -37,7 +37,8 @@ import pyarrow as pa
 
 import ray
 
-from nise_ray.ops.groupapply import hash_group_apply, segments
+from nise_ray.ops.groupapply import (default_concurrency,
+                                     hash_group_apply, segments)
 
 TOKENS_PER_LINE = 10
 DAY_US = 86_400_000_000
@@ -152,7 +153,7 @@ def duplicate_lines_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
     exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
                               zero_copy_batch=True,
-                              concurrency=(1, 8))
+                              concurrency=default_concurrency())
 
     def per_group(b: pa.Table) -> pa.Table:
         empty = pa.table({"line": pa.array([], pa.string()),
@@ -191,7 +192,7 @@ def line_dedup_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
     exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
                               zero_copy_batch=True,
-                              concurrency=(1, 8))
+                              concurrency=default_concurrency())
 
     def mark(b: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
