@@ -18,11 +18,15 @@ Scale contracts:
   ListArray regroup by offset arithmetic → binary_join); no Python loop
   over rows; line identity for SEMANTICS is the line string (hash only
   routes the exchange, so a 64-bit collision cannot change results);
-- ``duplicate_lines_docs`` rides ONE line-keyed hash exchange; its
-  output is bounded by the number of repeated lines, not the corpus;
-- ``line_dedup_docs`` is two exchanges (line-keyed dup marking, then a
-  doc-keyed reassembly of per-doc counters) — no broadcast of the dup
-  set, so an adversarially repetitive corpus cannot blow the driver;
+- ``duplicate_lines_docs`` is the TWO-LEVEL distinct of
+  ``_dup_line_census``: stage A keys on (line_hash, doc_id) so a
+  boilerplate line in every document spreads uniformly instead of
+  hot-spotting one partition, stage B merges partition-count-bounded
+  partials; output is repetition-bounded, not corpus-bounded;
+- ``line_dedup_docs`` marks occurrences against the census via a
+  broadcast-gated string-confirmed probe (per-batch pre-fold, ONE
+  doc-keyed exchange of partials) with a no-broadcast line-keyed
+  exchange fallback past the gate;
 - ``rolling_active_users`` turns the O(days x events) window into a
   per-user interval-coverage sweep: distinct (user, day) partials per
   batch, one user-keyed exchange emitting +-1 coverage deltas, a
@@ -140,78 +144,222 @@ def _line_groups(b: pa.Table):
     return order, starts, counts, n_docs, doc_s, lines
 
 
+def _explode_docs(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(_LineExploder, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=default_concurrency())
+
+
+def _dup_line_census(exploded: "ray.data.Dataset",
+                     min_docs: int) -> "ray.data.Dataset":
+    """(line, line_hash, n_docs, n_occurrences) for lines in >= min_docs
+    distinct docs, as a TWO-LEVEL distinct aggregation so a boilerplate
+    line present in every document (the license-header case) cannot
+    hot-spot one partition:
+
+    - stage A keys the exchange on (line_hash, doc_id) — occurrences of
+      a hot line spread uniformly across partitions, and because a
+      (line, doc) pair hashes to exactly one partition, the per-partition
+      distinct-doc counts are exact global partials;
+    - stage B merges partials keyed on line_hash alone — per line it sees
+      at most one row PER STAGE-A PARTITION, so its worst-case group is
+      partition-count-sized, never corpus-sized."""
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"line": pa.array([], pa.string()),
+                          "line_hash": pa.array([], pa.uint64()),
+                          "n_docs_p": pa.array([], pa.int64()),
+                          "n_occ_p": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        order, starts, counts, n_docs, _doc, lines = _line_groups(b)
+        first_idx = pa.array(order[starts], pa.int64())
+        lh = b.column("line_hash").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "line": lines.take(first_idx),
+            "line_hash": pa.array(lh[order[starts]], pa.uint64()),
+            "n_docs_p": pa.array(n_docs, pa.int64()),
+            "n_occ_p": pa.array(counts, pa.int64())})
+
+    partials = hash_group_apply(exploded, ["line_hash", "doc_id"], partial)
+
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table({"line": pa.array([], pa.string()),
+                          "line_hash": pa.array([], pa.uint64()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_occurrences": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        lines = b.column("line")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        code = lines.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lh = b.column("line_hash").to_numpy(zero_copy_only=False)
+        ndp = b.column("n_docs_p").to_numpy(zero_copy_only=False)
+        nop = b.column("n_occ_p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, lh))
+        lh_s, code_s = lh[order], code[order]
+        chg = np.empty(len(order), dtype=bool)
+        chg[0] = True
+        chg[1:] = (lh_s[1:] != lh_s[:-1]) | (code_s[1:] != code_s[:-1])
+        starts = np.flatnonzero(chg)
+        n_docs = np.add.reduceat(ndp[order], starts)
+        n_occ = np.add.reduceat(nop[order], starts)
+        keep = n_docs >= min_docs
+        if not keep.any():
+            return empty
+        first_idx = pa.array(order[starts[keep]], pa.int64())
+        return pa.table({
+            "line": lines.take(first_idx),
+            "line_hash": pa.array(lh[order[starts[keep]]], pa.uint64()),
+            "n_docs": pa.array(n_docs[keep], pa.int64()),
+            "n_occurrences": pa.array(n_occ[keep], pa.int64())})
+
+    return hash_group_apply(partials, ["line_hash"], merge)
+
+
 def duplicate_lines_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
     """Lines (10-token deterministic wrap, see module docstring) that
     occur in >= ``min_docs`` DISTINCT documents. Returns
     (line, n_docs, n_occurrences) — the C4-style "repeated line" census
     that seeds line-level dedup.
 
-    Scale shape: stateless explode (actor pool for the hash cache), ONE
-    line-keyed hash exchange, vectorized per-block segment counting;
-    output is repetition-bounded, not corpus-bounded."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
-
-    def per_group(b: pa.Table) -> pa.Table:
-        empty = pa.table({"line": pa.array([], pa.string()),
-                          "n_docs": pa.array([], pa.int64()),
-                          "n_occurrences": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        order, starts, counts, n_docs, _doc, lines = _line_groups(b)
-        keep = n_docs >= min_docs
-        if not keep.any():
-            return empty
-        first_idx = order[starts[keep]]
-        return pa.table({
-            "line": lines.take(pa.array(first_idx, pa.int64())),
-            "n_docs": pa.array(n_docs[keep], pa.int64()),
-            "n_occurrences": pa.array(counts[keep], pa.int64())})
-
-    return hash_group_apply(exploded, ["line_hash"], per_group)
+    Scale shape: stateless explode (actor pool for the hash cache), then
+    the skew-proof two-level distinct of ``_dup_line_census`` (stage A
+    keyed on (line_hash, doc_id), stage B on partition-count-bounded
+    partials); output is repetition-bounded, not corpus-bounded."""
+    census = _dup_line_census(_explode_docs(sf_dir), min_docs)
+    return census.select_columns(["line", "n_docs", "n_occurrences"])
 
 
-def line_dedup_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
+def line_dedup_docs(sf_dir: str, min_docs: int = 2,
+                    dup_broadcast_max: int = 5_000_000,
+                    mark_mode: str = "auto") -> "ray.data.Dataset":
     """RefinedWeb-style line-level dedup accounting: a line is DUP if it
     occurs in >= ``min_docs`` distinct documents; every occurrence of a
     dup line is dropped. Returns per-doc
     (doc_id, n_lines, n_kept, kept_chars) where kept_chars sums the
     utf8 length of the surviving lines.
 
-    Scale shape: explode -> line-keyed exchange marks each OCCURRENCE
-    with its line's doc-frequency verdict (output rows == input rows; the
-    dup set is never collected or broadcast) -> doc-keyed exchange folds
-    per-doc counters. Both exchanges are hash shuffles with vectorized
-    block kernels."""
+    mark_mode "broadcast" (the default resolution while the dup census —
+    repetition-bounded by construction — fits ``dup_broadcast_max``):
+    the census ships once via ray.put as (sorted hash array + line
+    strings); each explode batch marks its occurrences with a
+    searchsorted probe, confirms hits BY STRING (a 64-bit collision
+    cannot misclassify), and pre-folds per-doc partial counters, so the
+    only corpus-sized exchange is the final doc-keyed partial sum.
+    mark_mode "exchange" is the no-broadcast fallback past the gate: a
+    line-keyed exchange marks occurrences in-group (its known caveat: a
+    single line present in nearly every document concentrates that
+    line's occurrences in one partition — prefer raising the gate or
+    pre-filtering such boilerplate). Both modes are parity-tested."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    exploded = ds.map_batches(_LineExploder, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
+    from nise_ray.util import collect_table
 
-    def mark(b: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "kept": pa.array([], pa.bool_()),
-                          "line_chars": pa.array([], pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        order, starts, _counts, n_docs, doc_s, lines = _line_groups(b)
-        seg_of = np.zeros(len(order), dtype=np.int64)
-        seg_of[starts[1:]] = 1
-        np.cumsum(seg_of, out=seg_of)
-        kept = (n_docs < min_docs)[seg_of]
-        chars = pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)[order]
-        return pa.table({"doc_id": pa.array(doc_s, pa.int64()),
-                         "kept": pa.array(kept, pa.bool_()),
-                         "line_chars": pa.array(chars, pa.int64())})
+    if mark_mode in ("auto", "broadcast"):
+        census = _dup_line_census(_explode_docs(sf_dir), min_docs) \
+            .materialize()
+        if mark_mode == "auto":
+            mark_mode = "broadcast" \
+                if census.count() <= dup_broadcast_max else "exchange"
 
-    marked = hash_group_apply(exploded, ["line_hash"], mark)
+    # explode is re-run for the mark pass rather than materializing the
+    # corpus-sized line table for two consumers (streaming rule)
+    exploded = _explode_docs(sf_dir)
+
+    if mark_mode == "broadcast":
+        ct = collect_table(census)
+        lh = ct.column("line_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(lh)
+        dup_lines = ct.column("line")
+        if isinstance(dup_lines, pa.ChunkedArray):
+            dup_lines = dup_lines.combine_chunks()
+        ref = ray.put((lh[order], dup_lines.take(pa.array(order,
+                                                          pa.int64()))))
+
+        def mark_fold(b: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n_lines": pa.array([], pa.int64()),
+                              "n_kept": pa.array([], pa.int64()),
+                              "kept_chars": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            keys, key_lines = ray.get(ref)
+            lines = b.column("line")
+            if isinstance(lines, pa.ChunkedArray):
+                lines = lines.combine_chunks()
+            hh = b.column("line_hash").to_numpy(zero_copy_only=False)
+            doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, hh), 0, len(keys) - 1)
+                hit = keys[pos] == hh
+                if hit.any():
+                    # confirm BY STRING — equal hash, different line is
+                    # NOT a dup (exactness survives hash collisions)
+                    same = pc.fill_null(pc.equal(
+                        lines, key_lines.take(pa.array(pos, pa.int64()))),
+                        False).to_numpy(zero_copy_only=False).astype(bool)
+                    is_dup = hit & same
+                else:
+                    is_dup = np.zeros(len(hh), dtype=bool)
+            else:
+                is_dup = np.zeros(len(hh), dtype=bool)
+            kept = (~is_dup).astype(np.int64)
+            chars = pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order_d = np.argsort(doc, kind="stable")
+            doc_s = doc[order_d]
+            starts, counts = segments(doc_s)
+            k_s = kept[order_d]
+            return pa.table({
+                "doc_id": pa.array(doc_s[starts], pa.int64()),
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_kept": pa.array(np.add.reduceat(k_s, starts),
+                                   pa.int64()),
+                "kept_chars": pa.array(
+                    np.add.reduceat(chars[order_d] * k_s, starts),
+                    pa.int64())})
+
+        partials = exploded.map_batches(mark_fold, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    elif mark_mode == "exchange":
+        def mark(b: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n_lines": pa.array([], pa.int64()),
+                              "n_kept": pa.array([], pa.int64()),
+                              "kept_chars": pa.array([], pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            order, starts, _counts, n_docs, doc_s, lines = _line_groups(b)
+            seg_of = np.zeros(len(order), dtype=np.int64)
+            seg_of[starts[1:]] = 1
+            np.cumsum(seg_of, out=seg_of)
+            kept = ((n_docs < min_docs)[seg_of]).astype(np.int64)
+            chars = pc.utf8_length(lines).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[order]
+            # pre-fold per doc inside the block before the doc exchange
+            order_d = np.argsort(doc_s, kind="stable")
+            doc_d = doc_s[order_d]
+            d_starts, d_counts = segments(doc_d)
+            k_d = kept[order_d]
+            return pa.table({
+                "doc_id": pa.array(doc_d[d_starts], pa.int64()),
+                "n_lines": pa.array(d_counts, pa.int64()),
+                "n_kept": pa.array(np.add.reduceat(k_d, d_starts),
+                                   pa.int64()),
+                "kept_chars": pa.array(
+                    np.add.reduceat(chars[order_d] * k_d, d_starts),
+                    pa.int64())})
+
+        # NOTE: a near-universal boilerplate line concentrates its
+        # occurrences in one partition here (see docstring); this mode
+        # exists for dup-set cardinalities past the broadcast gate.
+        partials = hash_group_apply(exploded, ["line_hash"], mark)
+    else:
+        raise ValueError(f"unknown mark_mode {mark_mode!r}")
 
     def fold(b: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -221,22 +369,22 @@ def line_dedup_docs(sf_dir: str, min_docs: int = 2) -> "ray.data.Dataset":
         if b.num_rows == 0:
             return empty
         doc = b.column("doc_id").to_numpy(zero_copy_only=False)
-        kept = b.column("kept").to_numpy(zero_copy_only=False)
-        chars = b.column("line_chars").to_numpy(zero_copy_only=False)
+        nl = b.column("n_lines").to_numpy(zero_copy_only=False)
+        nk = b.column("n_kept").to_numpy(zero_copy_only=False)
+        kc = b.column("kept_chars").to_numpy(zero_copy_only=False)
         order = np.argsort(doc, kind="stable")
         doc_s = doc[order]
-        starts, counts = segments(doc_s)
-        kept_i = kept[order].astype(np.int64)
-        n_kept = np.add.reduceat(kept_i, starts)
-        kept_chars = np.add.reduceat(chars[order] * kept_i, starts)
-        # reduceat on an all-False tail still yields the right 0 sums
-        # because kept_i zeros the addends.
-        return pa.table({"doc_id": pa.array(doc_s[starts], pa.int64()),
-                         "n_lines": pa.array(counts, pa.int64()),
-                         "n_kept": pa.array(n_kept, pa.int64()),
-                         "kept_chars": pa.array(kept_chars, pa.int64())})
+        starts, _counts = segments(doc_s)
+        return pa.table({
+            "doc_id": pa.array(doc_s[starts], pa.int64()),
+            "n_lines": pa.array(np.add.reduceat(nl[order], starts),
+                                pa.int64()),
+            "n_kept": pa.array(np.add.reduceat(nk[order], starts),
+                               pa.int64()),
+            "kept_chars": pa.array(np.add.reduceat(kc[order], starts),
+                                   pa.int64())})
 
-    return hash_group_apply(marked, ["doc_id"], fold)
+    return hash_group_apply(partials, ["doc_id"], fold)
 
 
 def coverage_deltas(user: np.ndarray, day: np.ndarray,

@@ -147,3 +147,42 @@ def test_rolling_wau_interval_merge_property(ray_session, tmp_path):
                      if any(d - 6 <= a <= d for a in ds))
         assert by_day[d] == expect, (d, by_day[d], expect)
     assert set(by_day) == {0, 3, 12}
+
+
+def test_line_dedup_mark_modes_parity(ray_session, tmp_path):
+    """Broadcast (string-confirmed probe) and exchange mark modes return
+    identical per-doc accounting on a planted corpus that includes a
+    near-universal boilerplate line (the skew case the two-level census
+    exists for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    header = " ".join(f"h{i}" for i in range(10))  # exactly one line
+    texts, ids = [], []
+    for d in range(40):
+        body = " ".join(f"w{d}_{j}" for j in range(13))
+        texts.append(header + " " + body)   # header + 2 more lines
+        ids.append(d)
+    texts.append("unique solo doc")  # no dup lines
+    ids.append(99)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts),
+                             "lang": pa.array(["py"] * len(ids)),
+                             "source": pa.array(["s"] * len(ids)),
+                             "n_chars": pa.array(
+                                 [len(t) for t in texts], pa.int64())}),
+                   tmp_path / "documents.parquet")
+    from nise_ray.ops.lines import duplicate_lines_docs, line_dedup_docs
+    got_b = line_dedup_docs(str(tmp_path), mark_mode="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got_e = line_dedup_docs(str(tmp_path), mark_mode="exchange") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, got_e)
+    # the header line (in all 40 docs) is the only dup line
+    census = duplicate_lines_docs(str(tmp_path)).to_pandas()
+    assert len(census) == 1 and census.iloc[0]["n_docs"] == 40
+    hdr_docs = got_b[got_b.doc_id < 99]
+    assert (hdr_docs["n_lines"] == 3).all()
+    assert (hdr_docs["n_kept"] == 2).all()
+    solo = got_b[got_b.doc_id == 99].iloc[0]
+    assert solo["n_lines"] == 1 and solo["n_kept"] == 1
