@@ -71,6 +71,16 @@ def _q_embedding_norms(sf_dir: str):
     return embedding_norms(sf_dir)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    from nise_ray.ops.linalg import embedding_covariance
+    return embedding_covariance(sf_dir)
+
+
+def _q_embedding_pca(sf_dir: str):
+    from nise_ray.ops.linalg import embedding_pca
+    return embedding_pca(sf_dir)
+
+
 def _q_ann_topk(sf_dir: str):
     from nise_ray.ops.ann import brute_force_topk
     return brute_force_topk(sf_dir, n_queries=5, k=10)
@@ -881,6 +891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_norms": _q_embedding_norms,
+        "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca": _q_embedding_pca,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,
@@ -1273,6 +1285,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 4) AS l2_norm
             FROM embeddings
+        """,
+        # population covariance of the 64 embedding dims, upper triangle;
+        # engine = mergeable (n, Σx, Σxxᵀ) combiner, one row per block
+        "embedding_covariance": """
+            WITH idx AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i),
+                 e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+                       FROM embeddings CROSS JOIN idx)
+            SELECT a.i AS i, b.i AS j,
+                   round(covar_pop(a.v, b.v), 6) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
