@@ -71,6 +71,18 @@ def _q_embedding_norms(sf_dir: str):
     return embedding_norms(sf_dir)
 
 
+def _q_export_tar_shards(sf_dir: str):
+    import os
+
+    from nise_ray.export import export_tar_shards
+    out = os.path.join("/tmp/nise_export",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    manifest = export_tar_shards(sf_dir, out, n_shards=16)
+    # sha256 is the integrity/resume token — not SQL-expressible, so the
+    # oracled surface is the (shard_id, n_docs, text_bytes) accounting
+    return manifest.select(["shard_id", "n_docs", "text_bytes"])
+
+
 def _q_embedding_covariance(sf_dir: str):
     from nise_ray.ops.linalg import embedding_covariance
     return embedding_covariance(sf_dir)
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_norms": _q_embedding_norms,
+        "export_tar_shards": _q_export_tar_shards,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1285,6 +1298,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 4) AS l2_norm
             FROM embeddings
+        """,
+        # manifest accounting of the tar-shard training export: the
+        # engine numbers come from the actual write path (bytes counted
+        # on the shard members), the oracle from plain SQL
+        "export_tar_shards": """
+            SELECT CAST(doc_id % 16 AS BIGINT) AS shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents GROUP BY 1
         """,
         # population covariance of the 64 embedding dims, upper triangle;
         # engine = mergeable (n, Σx, Σxxᵀ) combiner, one row per block
