@@ -93,6 +93,11 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(sf_dir)
 
 
+def _q_embedding_outliers(sf_dir: str):
+    from nise_ray.ops.linalg import embedding_outliers
+    return embedding_outliers(sf_dir)
+
+
 def _q_ann_topk(sf_dir: str):
     from nise_ray.ops.ann import brute_force_topk
     return brute_force_topk(sf_dir, n_queries=5, k=10)
@@ -906,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_tar_shards": _q_export_tar_shards,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
+        "embedding_outliers": _q_embedding_outliers,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,

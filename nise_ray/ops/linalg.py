@@ -63,11 +63,12 @@ def _gram_partials(sf_dir: str) -> pa.Table:
                                         zero_copy_batch=True))
 
 
-def _covariance_matrix(sf_dir: str) -> tuple[np.ndarray, int]:
-    """(d×d population covariance, n) from the merged partials."""
+def _covariance_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """(d×d population covariance, d mean vector, n) from the merged
+    partials."""
     t = _gram_partials(sf_dir)
     if t.num_rows == 0:
-        return np.zeros((0, 0)), 0
+        return np.zeros((0, 0)), np.zeros(0), 0
     n = int(np.sum(t.column("n").to_numpy(zero_copy_only=False)))
     s_col = t.column("s").combine_chunks()
     g_col = t.column("g").combine_chunks()
@@ -77,7 +78,7 @@ def _covariance_matrix(sf_dir: str) -> tuple[np.ndarray, int]:
     g = g_col.flatten().to_numpy(zero_copy_only=False) \
         .reshape(-1, d * d).sum(axis=0).reshape(d, d)
     mean = s / n
-    return g / n - np.outer(mean, mean), n
+    return g / n - np.outer(mean, mean), mean, n
 
 
 def embedding_covariance(sf_dir: str, round_to: int = 6) -> pa.Table:
@@ -85,7 +86,7 @@ def embedding_covariance(sf_dir: str, round_to: int = 6) -> pa.Table:
     upper triangle (i, j, cov) with 1-based dims (matching SQL list
     indexing). Output is d(d+1)/2 rows — model-constant, never
     corpus-sized. One map pass, no shuffle."""
-    cov, _n = _covariance_matrix(sf_dir)
+    cov, _mean, _n = _covariance_matrix(sf_dir)
     d = cov.shape[0]
     if d == 0:
         return pa.table({"i": pa.array([], pa.int64()),
@@ -106,7 +107,7 @@ def embedding_pca(sf_dir: str, top_k: int = 16,
     (eigenvalues are sign/rotation-free, unlike eigvectors — which is
     why the spectrum, not the loadings, is the reported surface).
     Driver cost is the d×d eigh only."""
-    cov, _n = _covariance_matrix(sf_dir)
+    cov, _mean, _n = _covariance_matrix(sf_dir)
     d = cov.shape[0]
     empty = pa.table({"component": pa.array([], pa.int64()),
                       "eigenvalue": pa.array([], pa.float64()),
@@ -125,3 +126,59 @@ def embedding_pca(sf_dir: str, top_k: int = 16,
                                   pa.float64()),
         "cum_explained_var": pa.array(
             np.round(np.cumsum(ratio)[:k], round_to), pa.float64())})
+
+
+def embedding_outliers(sf_dir: str, k: int = 20, ridge: float = 1e-6,
+                       round_to: int = 6) -> pa.Table:
+    """Top-k Mahalanobis outliers: the vectors farthest from the corpus
+    distribution under the fitted (mean, covariance) — the standard
+    embedding-space contamination/garbage detector for training data.
+
+    Two passes, both shuffle-free: (1) the Gram combiner fits
+    (mean, Σ) — block-count-sized reduction; (2) the driver inverts the
+    ridge-regularized d×d once, broadcasts (mean, Σ⁻¹) via ray.put, and
+    a stateless map scores each batch with one einsum, keeping only its
+    LOCAL top-k — the driver merges block-count × k candidate rows,
+    never the corpus. Ties broken by vec_id for determinism.
+    Returns (rank, vec_id, mahalanobis_sq) descending."""
+    cov, mean, n = _covariance_matrix(sf_dir)
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "mahalanobis_sq": pa.array([], pa.float64())})
+    d = cov.shape[0]
+    if d == 0 or n == 0:
+        return empty
+    prec = np.linalg.inv(cov + ridge * np.eye(d))
+    ref = ray.put((mean, prec))
+
+    class Scorer:
+        def __init__(self) -> None:
+            self.mean, self.prec = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "md2": pa.array([], pa.float64())})
+            x = _embedding_matrix(b) - self.mean
+            md2 = np.einsum("ij,jk,ik->i", x, self.prec, x)
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            top = np.argsort(-md2, kind="stable")[:k]
+            return pa.table({"vec_id": pa.array(vid[top], pa.int64()),
+                             "md2": pa.array(md2[top], pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    from nise_ray.ops.groupapply import default_concurrency
+    cand = collect_table(ds.map_batches(
+        Scorer, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()))
+    if cand.num_rows == 0:
+        return empty
+    md2 = cand.column("md2").to_numpy(zero_copy_only=False)
+    vid = cand.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -md2))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "vec_id": pa.array(vid[order], pa.int64()),
+        "mahalanobis_sq": pa.array(np.round(md2[order], round_to),
+                                   pa.float64())})

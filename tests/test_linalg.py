@@ -53,7 +53,33 @@ def test_pca_spectrum_matches_numpy(ray_session, tmp_path):
 
 
 def test_covariance_empty_table(ray_session, tmp_path):
-    from nise_ray.ops.linalg import embedding_covariance, embedding_pca
+    from nise_ray.ops.linalg import (embedding_covariance,
+                                     embedding_outliers, embedding_pca)
     sf = _write_embeddings(tmp_path, np.zeros((0, 4)))
     assert embedding_covariance(sf).num_rows == 0
     assert embedding_pca(sf).num_rows == 0
+    assert embedding_outliers(sf).num_rows == 0
+
+
+def test_mahalanobis_outliers_find_planted(ray_session, tmp_path):
+    """A planted far-away vector ranks #1; scores match a direct numpy
+    Mahalanobis computation on the same (float32-quantized) data."""
+    from nise_ray.ops.linalg import embedding_outliers
+    rng = np.random.Generator(np.random.PCG64(9))
+    x = rng.standard_normal((200, 5))
+    x[123] = 40.0  # the contamination vector
+    got = embedding_outliers(_write_embeddings(tmp_path, x),
+                             k=5, round_to=9).to_pandas()
+    assert got["vec_id"].iloc[0] == 123
+    assert list(got["rank"]) == [1, 2, 3, 4, 5]
+    xf = x.astype(np.float32).astype(np.float64)
+    mean = xf.mean(axis=0)
+    cov = np.cov(xf, rowvar=False, bias=True) + 1e-6 * np.eye(5)
+    prec = np.linalg.inv(cov)
+    c = xf - mean
+    ref = np.einsum("ij,jk,ik->i", c, prec, c)
+    top = got.iloc[0]
+    np.testing.assert_allclose(top["mahalanobis_sq"], ref[123],
+                               rtol=1e-6)
+    assert (got["mahalanobis_sq"].to_numpy()[:-1] >=
+            got["mahalanobis_sq"].to_numpy()[1:]).all()
