@@ -93,6 +93,11 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(sf_dir)
 
 
+def _q_skyline_parts(sf_dir: str):
+    from nise_ray.ops.skyline import skyline_parts
+    return skyline_parts(sf_dir)
+
+
 def _q_embedding_outliers(sf_dir: str):
     from nise_ray.ops.linalg import embedding_outliers
     return embedding_outliers(sf_dir)
@@ -912,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
         "embedding_outliers": _q_embedding_outliers,
+        "skyline_parts": _q_skyline_parts,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,
@@ -1304,6 +1310,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 4) AS l2_norm
             FROM embeddings
+        """,
+        # Pareto frontier (two-phase distributed skyline); NOT EXISTS
+        # dominance is the textbook SQL formulation
+        "skyline_parts": """
+            SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                   p_retailprice
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_size >= a.p_size
+                  AND b.p_retailprice >= a.p_retailprice
+                  AND (b.p_size > a.p_size
+                       OR b.p_retailprice > a.p_retailprice))
         """,
         # manifest accounting of the tar-shard training export: the
         # engine numbers come from the actual write path (bytes counted
