@@ -93,6 +93,11 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(sf_dir)
 
 
+def _q_hive_pruned_counts(sf_dir: str):
+    from nise_ray.ops.hive import hive_pruned_counts
+    return hive_pruned_counts(sf_dir, lang="en")
+
+
 def _q_skyline_parts(sf_dir: str):
     from nise_ray.ops.skyline import skyline_parts
     return skyline_parts(sf_dir)
@@ -918,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "embedding_outliers": _q_embedding_outliers,
         "skyline_parts": _q_skyline_parts,
+        "hive_pruned_counts": _q_hive_pruned_counts,
         "embedding_dup_pairs": _q_embedding_dups,
         "embedding_dup_pairs_exact": _q_embedding_dups_exact,
         "embedding_clusters": _q_embedding_clusters,
@@ -1310,6 +1316,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                                       x -> x * x))), 4) AS l2_norm
             FROM embeddings
+        """,
+        # hive-partitioned rewrite -> directory-pruned read -> aggregate;
+        # the oracle runs over the ORIGINAL table, so the round-trip
+        # losing or duplicating rows fails the gate
+        "hive_pruned_counts": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang = 'en' GROUP BY source
         """,
         # Pareto frontier (two-phase distributed skyline); NOT EXISTS
         # dominance is the textbook SQL formulation
