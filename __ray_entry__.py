@@ -93,6 +93,16 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(sf_dir)
 
 
+def _q_ann_topk_pq(sf_dir: str):
+    from nise_ray.ops.pq import pq_topk
+    return pq_topk(sf_dir, n_queries=5, k=10, rerank=50)
+
+
+def _q_pq_encode(sf_dir: str):
+    from nise_ray.ops.pq import pq_encode
+    return pq_encode(sf_dir)
+
+
 def _q_hive_pruned_counts(sf_dir: str):
     from nise_ray.ops.hive import hive_pruned_counts
     return hive_pruned_counts(sf_dir, lang="en")
@@ -917,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_pq": _q_ann_topk_pq,
+        "pq_encode_codes": _q_pq_encode,
         "embedding_norms": _q_embedding_norms,
         "export_tar_shards": _q_export_tar_shards,
         "embedding_covariance": _q_embedding_covariance,
