@@ -93,6 +93,11 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(sf_dir)
 
 
+def _q_label_centroids(sf_dir: str):
+    from nise_ray.ops.linalg import label_centroids
+    return label_centroids(sf_dir)
+
+
 def _q_ann_topk_pq(sf_dir: str):
     from nise_ray.ops.pq import pq_topk
     return pq_topk(sf_dir, n_queries=5, k=10, rerank=50)
@@ -934,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
         "embedding_outliers": _q_embedding_outliers,
+        "label_centroids": _q_label_centroids,
         "skyline_parts": _q_skyline_parts,
         "hive_pruned_counts": _q_hive_pruned_counts,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1336,6 +1342,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang = 'en' GROUP BY source
+        """,
+        # per-label mean embedding (grouped first-moment combiner)
+        "label_centroids": """
+            WITH idx AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i),
+                 e AS (SELECT CAST(label AS BIGINT) AS label, i,
+                              CAST(embedding[i] AS DOUBLE) AS v
+                       FROM embeddings CROSS JOIN idx)
+            SELECT label, i, round(avg(v), 6) AS centroid
+            FROM e GROUP BY label, i
         """,
         # Pareto frontier (two-phase distributed skyline); NOT EXISTS
         # dominance is the textbook SQL formulation

@@ -128,6 +128,64 @@ def embedding_pca(sf_dir: str, top_k: int = 16,
             np.round(np.cumsum(ratio)[:k], round_to), pa.float64())})
 
 
+def label_centroids(sf_dir: str, round_to: int = 6) -> pa.Table:
+    """Per-label mean embedding as (label, i, centroid) rows with
+    1-based dims — the grouped version of the Gram combiner's first
+    moment. Each block emits one (label, n, Σx) partial per label it
+    saw; ONE label-keyed exchange of label-count-sized partials merges
+    them (never corpus-sized). The output is labels × d rows — a model
+    constant. This is the k-means/IVF seeding and per-class drift
+    diagnostic over a labeled embedding table."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.list_(pa.float64()))})
+        if b.num_rows == 0:
+            return empty
+        x = _embedding_matrix(b)
+        lab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        starts, counts = segments(lab[order])
+        sums = np.add.reduceat(x[order], starts, axis=0)
+        return pa.table({
+            "label": pa.array(lab[order][starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.float64()))})
+
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "i": pa.array([], pa.int64()),
+                          "centroid": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        s_col = b.column("s").combine_chunks()
+        d = len(s_col[0])
+        s = s_col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+        order = np.argsort(lab, kind="stable")
+        starts, _counts = segments(lab[order])
+        tot_n = np.add.reduceat(n[order], starts)
+        tot_s = np.add.reduceat(s[order], starts, axis=0)
+        cent = tot_s / tot_n[:, None]
+        g = len(starts)
+        return pa.table({
+            "label": pa.array(np.repeat(lab[order][starts], d), pa.int64()),
+            "i": pa.array(np.tile(np.arange(1, d + 1), g), pa.int64()),
+            "centroid": pa.array(np.round(cent.ravel(), round_to),
+                                 pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return collect_table(hash_group_apply(partials, ["label"], merge,
+                                          0, sort=False))
+
+
 def embedding_outliers(sf_dir: str, k: int = 20, ridge: float = 1e-6,
                        round_to: int = 6) -> pa.Table:
     """Top-k Mahalanobis outliers: the vectors farthest from the corpus

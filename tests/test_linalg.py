@@ -61,6 +61,33 @@ def test_covariance_empty_table(ray_session, tmp_path):
     assert embedding_outliers(sf).num_rows == 0
 
 
+def test_label_centroids_match_numpy(ray_session, tmp_path):
+    """Per-label merged partials equal a direct per-label mean."""
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.linalg import label_centroids
+    rng = np.random.Generator(np.random.PCG64(13))
+    x = rng.standard_normal((123, 4))
+    labels = rng.integers(0, 3, 123).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(123), pa.int64()),
+        "embedding": pa.array(list(x.astype(np.float32)),
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = label_centroids(str(tmp_path), round_to=9).to_pandas() \
+        .sort_values(["label", "i"]).reset_index(drop=True)
+    assert len(got) == 3 * 4
+    xf = x.astype(np.float32).astype(np.float64)
+    for lab in range(3):
+        ref = xf[labels == lab].mean(axis=0)
+        sub = got[got["label"] == lab]
+        np.testing.assert_allclose(sub["centroid"].to_numpy(), ref,
+                                   rtol=0, atol=2e-9)
+        assert list(sub["i"]) == [1, 2, 3, 4]
+
+
 def test_mahalanobis_outliers_find_planted(ray_session, tmp_path):
     """A planted far-away vector ranks #1; scores match a direct numpy
     Mahalanobis computation on the same (float32-quantized) data."""
