@@ -98,6 +98,21 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(sf_dir)
 
 
+def _q_packed_docs(sf_dir: str):
+    from nise_ray.ops.packing import packed_docs
+    return packed_docs(sf_dir, capacity=2048)
+
+
+def _q_winsorized_doc_lengths(sf_dir: str):
+    from nise_ray.ops.analytics2 import winsorized_doc_lengths
+    return winsorized_doc_lengths(sf_dir)
+
+
+def _q_top_tokens_per_lang(sf_dir: str):
+    from nise_ray.ops.textstats import top_tokens_per_lang
+    return top_tokens_per_lang(sf_dir, k=10)
+
+
 def _q_ann_topk_pq(sf_dir: str):
     from nise_ray.ops.pq import pq_topk
     return pq_topk(sf_dir, n_queries=5, k=10, rerank=50)
@@ -940,6 +955,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "embedding_outliers": _q_embedding_outliers,
         "label_centroids": _q_label_centroids,
+        "packed_docs": _q_packed_docs,
+        "winsorized_doc_lengths": _q_winsorized_doc_lengths,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "skyline_parts": _q_skyline_parts,
         "hive_pruned_counts": _q_hive_pruned_counts,
         "embedding_dup_pairs": _q_embedding_dups,
@@ -1351,6 +1369,55 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings CROSS JOIN idx)
             SELECT label, i, round(avg(v), 6) AS centroid
             FROM e GROUP BY label, i
+        """,
+        # sequence packing = exclusive running token sum over the global
+        # doc_id order, split at capacity boundaries (all exact ints)
+        "packed_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS excl
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(excl // 2048 AS BIGINT) AS bin_id,
+                   CAST(excl % 2048 AS BIGINT) AS start_off
+            FROM s
+        """,
+        # winsorization: clamp to the per-lang interpolated quantile
+        # band; bounds rounded to 4dp on both engines (the proven
+        # quantile_cont portability contract)
+        "winsorized_doc_lengths": """
+            WITH q AS (SELECT lang,
+                              round(quantile_cont(n_chars, 0.05), 4) AS lo,
+                              round(quantile_cont(n_chars, 0.95), 4) AS hi
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   greatest(q.lo, least(q.hi,
+                       CAST(d.n_chars AS DOUBLE))) AS w_chars
+            FROM documents d JOIN q USING (lang)
+        """,
+        # grouped heavy hitters: top-10 tokens per language, ties on
+        # token text (same tokenizer contract as top_tokens)
+        "top_tokens_per_lang": r"""
+            WITH tok AS (SELECT lang,
+                                unnest(regexp_extract_all(
+                                    text, '[A-Za-z0-9_]+')) AS token
+                         FROM documents),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY lang, token),
+            r AS (SELECT lang, token, n,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY n DESC, token) AS rnk
+                  FROM c)
+            SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, n
+            FROM r WHERE rnk <= 10
         """,
         # Pareto frontier (two-phase distributed skyline); NOT EXISTS
         # dominance is the textbook SQL formulation

@@ -342,3 +342,87 @@ def bigram_collocations(sf_dir: str, min_count: int = 2,
 
     return collect_table(j2.map_batches(finish, batch_format="pyarrow",
                                         zero_copy_batch=True))
+
+
+def winsorized_doc_lengths(sf_dir: str, lo_q: float = 0.05,
+                           hi_q: float = 0.95) -> "ray.data.Dataset":
+    """WINSORIZATION: clamp each document's n_chars to its language's
+    [lo_q, hi_q] interpolated quantile band — the robust-statistics
+    outlier treatment applied before training-mix length statistics.
+
+    Scale shape: the per-lang bounds ride the SAME one-exchange
+    closed-form interpolated-quantile kernel as
+    lang_length_quantiles_cont (a lang's value vector fits one block;
+    swap in the DDSketch combiner for pathological skew), producing a
+    #langs-row table collected to the driver and broadcast ONCE via
+    ray.put; the clamp itself is a stateless vectorized map over the
+    corpus — no second exchange, output streams. Bounds are rounded to
+    4dp on BOTH engines (the proven-portable quantile_cont contract)
+    so the clamp compares identical doubles."""
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        lang = batch.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        starts, counts = segments(sc)
+
+        def q_cont(q: float) -> np.ndarray:
+            h = q * (counts - 1)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            hi = np.minimum(lo + 1, counts - 1)
+            v = sv[starts + lo] + (sv[starts + hi] - sv[starts + lo]) * frac
+            return np.round(v, 4)
+
+        langs = lang.dictionary.take(pa.array(sc[starts]))
+        return pa.table({"lang": langs.cast(pa.string()),
+                         "lo": pa.array(q_cont(lo_q), pa.float64()),
+                         "hi": pa.array(q_cont(hi_q), pa.float64())})
+
+    bt = collect_table(hash_group_apply(ds, ["lang"], bounds, 0,
+                                        sort=False))
+    lut = {l: (lo, hi) for l, lo, hi in
+           zip(bt.column("lang").to_pylist(),
+               bt.column("lo").to_numpy(zero_copy_only=False),
+               bt.column("hi").to_numpy(zero_copy_only=False))}
+    lut_ref = ray.put(lut)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def clamp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "w_chars": pa.array([], pa.float64())})
+        table = ray.get(lut_ref)
+        lang = b.column("lang").combine_chunks().dictionary_encode()
+        codes = lang.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dvoc = lang.dictionary.to_pylist()
+        los = np.asarray([table[v][0] for v in dvoc], np.float64)[codes]
+        his = np.asarray([table[v][1] for v in dvoc], np.float64)[codes]
+        x = b.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # greatest(lo, least(hi, x)) — same nesting as the oracle
+        w = np.maximum(los, np.minimum(his, x))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+            "w_chars": pa.array(w, pa.float64()),
+        })
+
+    return docs.map_batches(clamp, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1025,3 +1025,110 @@ def gopher_quality(sf_dir: str) -> "ray.data.Dataset":
     gopher_batch.__name__ = "GopherQuality"
     return ds.map_batches(gopher_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 10) -> pa.Table:
+    """GROUPED heavy hitters: the k most frequent tokens WITHIN each
+    language (rank, token, count) — the per-group top-N over a derived
+    (tokenized) table, the shape a contamination or vocabulary audit
+    runs per language slice.
+
+    Scale shape: per-batch (lang, token) partial counts (the shared
+    tokenize kernel + one np.unique over lang×token combos — the
+    combiner, so the first exchange moves per-batch-vocabulary-sized
+    rows, not token instances); exchange 1 hash-merges exact counts on
+    (lang, token) and immediately pre-top-ks per lang WITHIN the
+    partition (safe: counts are exact after the merge, and each
+    partition's per-lang top-k is a superset contributor to the global
+    top-k); exchange 2 moves only (#partitions × #langs × k) rows to
+    per-lang final blocks. Ties break on token text ascending — the
+    cross-engine-deterministic contract top_tokens pins."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        row, codes, vocab = _doc_token_stream(b)
+        if len(codes) == 0:
+            return empty
+        lenc = b.column("lang").combine_chunks().dictionary_encode()
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[row]
+        combo = lcodes * np.int64(len(vocab)) + codes
+        uniq, counts = np.unique(combo, return_counts=True)
+        return pa.table({
+            "lang": lenc.dictionary.take(
+                pa.array(uniq // len(vocab))).cast(pa.string()),
+            "token": pa.array(vocab[uniq % len(vocab)], pa.string()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _group_sum(b: pa.Table):
+        lenc = b.column("lang").combine_chunks().dictionary_encode()
+        tenc = b.column("token").combine_chunks().dictionary_encode()
+        lc = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = b.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tc, lc))
+        combo = lc[order] * np.int64(len(tenc.dictionary)) + tc[order]
+        starts, _ = segments(combo)
+        sums = np.add.reduceat(nv[order], starts)
+        return (lc[order][starts], tc[order][starts], sums,
+                np.asarray(lenc.dictionary.to_pylist(), dtype=object),
+                np.asarray(tenc.dictionary.to_pylist(), dtype=object))
+
+    def _per_lang_topk(lc, tc, sums, lvoc, tvoc):
+        toks = tvoc[tc]
+        order = np.lexsort((toks, -sums, lc))
+        slc, stoks, ssums = lc[order], toks[order], sums[order]
+        starts, counts = segments(slc)
+        pos = np.arange(len(slc), dtype=np.int64) - \
+            np.repeat(starts, counts)
+        keep = pos < k
+        return (lvoc[slc[keep]], stoks[keep], ssums[keep], pos[keep] + 1)
+
+    def merge(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        lc, tc, sums, lvoc, tvoc = _group_sum(b)
+        langs, toks, ns, _ = _per_lang_topk(lc, tc, sums, lvoc, tvoc)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "token": pa.array(toks, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    mid = hash_group_apply(partials, ["lang", "token"], merge, sort=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "rnk": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        # rows are already exact-count uniques: each (lang, token) lives
+        # on exactly one exchange-1 partition, so no re-sum is needed
+        lc_enc = b.column("lang").combine_chunks().dictionary_encode()
+        lc = lc_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = np.asarray(b.column("token").to_pylist(), dtype=object)
+        ns = b.column("n").to_numpy(zero_copy_only=False)
+        lvoc = np.asarray(lc_enc.dictionary.to_pylist(), dtype=object)
+        langs, stoks, ssums, rnk = _per_lang_topk(
+            lc, np.arange(len(toks), dtype=np.int64), ns, lvoc, toks)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "rnk": pa.array(rnk, pa.int64()),
+                         "token": pa.array(stoks, pa.string()),
+                         "n": pa.array(ssums, pa.int64())})
+
+    return collect_table(hash_group_apply(mid, ["lang"], final, 0,
+                                          sort=False))
