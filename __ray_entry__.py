@@ -916,6 +916,11 @@ def _q_rolling_wau(sf_dir: str):
     return rolling_active_users(sf_dir)
 
 
+def _q_dup_ngram_coverage(sf_dir: str):
+    from nise_ray.ops.ngramcov import dup_ngram_coverage
+    return dup_ngram_coverage(sf_dir)
+
+
 def _q_percent_rank(sf_dir: str):
     from nise_ray.ops.analytics2 import percent_rank_docs
     return percent_rank_docs(sf_dir)
@@ -1003,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_lines_docs": _q_duplicate_lines,
         "line_dedup_docs": _q_line_dedup,
         "rolling_wau": _q_rolling_wau,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         "percent_rank_docs": _q_percent_rank,
         "bigram_collocations": _q_bigram_collocations,
         "sliding_windows": _q_sliding_windows,
@@ -1978,6 +1984,43 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE 0 END), 0) AS BIGINT)
                      AS kept_chars
             FROM marked GROUP BY doc_id
+        """,
+        # Lee et al. 2022 duplicate-40-gram coverage: dup = total gram
+        # occurrences >= 2 anywhere (incl. within one doc); per-doc
+        # covered chars = interval union of [p, p+40) via the lag-window
+        # run-grouping trick. Corpus is ASCII, so char offsets here equal
+        # the engine's byte offsets (asserted per batch engine-side).
+        "dup_ngram_coverage": """
+            WITH pos AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+                     substr(text, CAST(u.i + 1 AS BIGINT), 40) AS gram
+              FROM documents, unnest(range(0, length(text) - 39)) AS u(i)
+              WHERE length(text) >= 40),
+            dup AS (SELECT gram FROM pos GROUP BY gram
+                    HAVING count(*) >= 2),
+            dp AS (SELECT p.doc_id, p.p FROM pos p JOIN dup USING (gram)),
+            runs AS (SELECT doc_id, p,
+                     CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                                ORDER BY p) <= 40
+                          THEN 0 ELSE 1 END AS new_run FROM dp),
+            grp AS (SELECT doc_id, p,
+                           sum(new_run) OVER (PARTITION BY doc_id
+                                              ORDER BY p
+                                              ROWS UNBOUNDED PRECEDING)
+                             AS g
+                    FROM runs),
+            cov AS (SELECT doc_id,
+                           CAST(sum(mx - mn + 40) AS BIGINT) AS covered
+                    FROM (SELECT doc_id, g, min(p) AS mn, max(p) AS mx
+                          FROM grp GROUP BY doc_id, g)
+                    GROUP BY doc_id)
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+                   CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_chars,
+                   CASE WHEN length(d.text) = 0 THEN 0.0
+                        ELSE coalesce(c.covered, 0) /
+                             CAST(length(d.text) AS DOUBLE)
+                   END AS dup_cov
+            FROM documents d LEFT JOIN cov c USING (doc_id)
         """,
         # rank fractions are exact int->double divisions; ties share both
         # fractions so engine sort order within ties is immaterial.
