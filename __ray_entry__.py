@@ -931,6 +931,21 @@ def _q_bigram_collocations(sf_dir: str):
     return bigram_collocations(sf_dir)
 
 
+def _q_time_window_stats(sf_dir: str):
+    from nise_ray.ops.analytics3 import time_window_stats
+    return time_window_stats(sf_dir, hours=1)
+
+
+def _q_daily_counts_filled(sf_dir: str):
+    from nise_ray.ops.analytics3 import daily_counts_filled
+    return daily_counts_filled(sf_dir)
+
+
+def _q_dup_graph_degrees(sf_dir: str):
+    from nise_ray.ops.graph import dup_graph_degrees
+    return dup_graph_degrees(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -1011,6 +1026,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "percent_rank_docs": _q_percent_rank,
         "bigram_collocations": _q_bigram_collocations,
+        "time_window_stats": _q_time_window_stats,
+        "daily_counts_filled": _q_daily_counts_filled,
+        "dup_graph_degrees": _q_dup_graph_degrees,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -2056,6 +2074,53 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
             FROM bc JOIN uc ua ON ua.tok = bc.tok_a
                     JOIN uc ub ON ub.tok = bc.tok_b, tot
+        """,
+        # RANGE-interval window frame: exact-int metric so the trailing
+        # sum is accumulation-order-free and hashes bit-exact; win_avg
+        # is one double division of the exact ints on both sides.
+        "time_window_stats": """
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS win_cnt,
+                   CAST(sum(length(props)) OVER w AS BIGINT) AS win_sum,
+                   CAST(sum(length(props)) OVER w AS DOUBLE)
+                     / count(*) OVER w AS win_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # dense calendar: every (day, type) between corpus min/max day,
+        # zero-filled — generate_series dimension generation.
+        "daily_counts_filled": """
+            WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                              date_trunc('day', max(ts)) AS hi
+                       FROM events),
+                 days AS (SELECT unnest(generate_series(lo, hi,
+                                        INTERVAL 1 DAY)) AS day FROM b),
+                 types AS (SELECT DISTINCT event_type FROM events),
+                 c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT d.day, t.event_type,
+                   COALESCE(c.n, 0) AS n_events
+            FROM days d CROSS JOIN types t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        """,
+        # degree per vector in the exact cosine-dup graph, isolated
+        # vectors included with degree 0.
+        "dup_graph_degrees": """
+            WITH e AS MATERIALIZED (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 4) >= 0.3),
+                 arcs AS (SELECT u AS vec_id FROM e
+                          UNION ALL SELECT v FROM e),
+                 d AS (SELECT vec_id, count(*) AS degree
+                       FROM arcs GROUP BY vec_id)
+            SELECT emb.vec_id, COALESCE(d.degree, 0) AS degree
+            FROM embeddings emb LEFT JOIN d USING (vec_id)
         """,
         # rolling 7-day distinct active users; the engine's interval-
         # coverage sweep equals the correlated count-distinct window.

@@ -1,0 +1,200 @@
+"""Third analytics batch (round 4, session 6): the two time-dimension
+shapes the inventory still lacked —
+
+- ``time_window_stats``: a VALUE-BASED (RANGE) window frame. Every
+  prior windowed op here is either row-positional (ROWS frames:
+  moving_event_stats), tumbling/sliding bucketed (windowed_events,
+  sliding_windows) or unbounded (window_running_stats). A RANGE frame
+  bounded by a time INTERVAL — "everything this user did in the hour
+  ending at this event" — is the per-entity trailing-context feature
+  every behavioral ML pipeline computes, and its peer semantics (rows
+  that tie on the ORDER BY key share one frame, including peers that
+  sort AFTER the current row) are exactly what a ROWS frame cannot
+  express.
+
+- ``daily_counts_filled``: dimension GENERATION + gap fill. Every
+  grouped aggregate so far only emits keys that occur in the data; a
+  dense calendar (every day between corpus min and max × every event
+  type, zero-filled) is the contract a downstream forecaster or
+  anomaly detector actually consumes — missing rows, not zeros, are
+  what break them. SQL-side this is generate_series + cross join +
+  left join; engine-side the aggregate is combiner-shaped and the
+  densification happens on the calendar-sized result, never on the
+  event stream.
+
+Scale contracts:
+
+- ``time_window_stats`` rides ONE user_id hash exchange; the per-block
+  kernel is a lexsort plus two global searchsorteds over a
+  (segment, timestamp) encoding that answers every user's frame bounds
+  at once (no per-user loop). The frame metric is an exact int64
+  (props length) so the trailing sum is accumulation-order-free and
+  the DuckDB comparison hashes bit-exact; the avg is one double
+  division. The encoding needs seg_count * ts_span to fit int64; the
+  kernel checks and falls back to a per-segment searchsorted sweep if
+  a block ever exceeds it (cannot happen at sane partition widths —
+  the guard is there so the op degrades instead of corrupting).
+- ``daily_counts_filled`` is combiner-shaped: per-batch (day, type, n)
+  partials (one np.unique per block over day*K+type codes), one
+  calendar-×-type-sized hash exchange to merge, then a driver-side
+  dense grid fill — the result is bounded by days × types regardless
+  of corpus size, so the driver step is O(output), never O(events).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.ops.groupapply import hash_group_apply, segments
+
+US_PER_DAY = 86_400_000_000
+
+
+def time_window_stats(sf_dir: str, hours: int = 1) -> "ray.data.Dataset":
+    """Per event: COUNT(*) and SUM(length(props)) over the frame
+
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL `hours` HOUR PRECEDING AND CURRENT ROW
+
+    with SQL RANGE-frame peer semantics: the frame holds every event of
+    the same user with ts in [cur_ts - interval, cur_ts] — rows tying
+    on ts share one frame even if they sort after the current row.
+    Output: (user_id, event_id, win_cnt, win_sum, win_avg)."""
+    import pyarrow.compute as pc
+
+    gap_us = np.int64(hours) * 3_600_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "props"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "win_cnt": pa.array([], pa.int64()),
+                             "win_sum": pa.array([], pa.int64()),
+                             "win_avg": pa.array([], pa.float64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        m = pc.utf8_length(batch.column("props")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, m = uid[order], ts[order], eid[order], m[order]
+        starts, counts = segments(uid)
+        seg_of = np.zeros(len(order), dtype=np.int64)
+        seg_of[starts[1:]] = 1
+        np.cumsum(seg_of, out=seg_of)
+        tmin = ts.min()
+        rel = ts - tmin
+        span = np.int64(rel.max()) + gap_us + 2
+        if len(starts) and span < np.iinfo(np.int64).max // max(len(starts), 1):
+            # one encoding, two global searchsorteds answer all segments
+            enc = seg_of * span + rel
+            base = seg_of * span
+            hi = np.searchsorted(enc, enc, side="right")
+            lo = np.searchsorted(enc, np.maximum(enc - gap_us, base),
+                                 side="left")
+        else:  # degenerate-width guard: per-segment sweep, same result
+            hi = np.empty(len(order), dtype=np.int64)
+            lo = np.empty(len(order), dtype=np.int64)
+            for s, c in zip(starts, counts):
+                seg = rel[s:s + c]
+                hi[s:s + c] = s + np.searchsorted(seg, seg, side="right")
+                lo[s:s + c] = s + np.searchsorted(
+                    seg, np.maximum(seg - gap_us, 0), side="left")
+        ext = np.concatenate(([0], np.cumsum(m, dtype=np.int64)))
+        win_sum = ext[hi] - ext[lo]
+        win_cnt = hi - lo
+        win_avg = win_sum.astype(np.float64) / win_cnt
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "event_id": pa.array(eid, pa.int64()),
+                         "win_cnt": pa.array(win_cnt, pa.int64()),
+                         "win_sum": pa.array(win_sum, pa.int64()),
+                         "win_avg": pa.array(win_avg, pa.float64())})
+
+    return hash_group_apply(ds, ["user_id"], window, 0, sort=False)
+
+
+def daily_counts_filled(sf_dir: str) -> pa.Table:
+    """Dense daily event counts: one row for EVERY (day, event_type)
+    combination between the corpus's min and max event day — days with
+    no events of a type emit n_events = 0 instead of being absent.
+    Output: (day timestamp[us] midnight, event_type, n_events),
+    calendar-sized."""
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // US_PER_DAY
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        combo = day * k + code
+        uniq, n = np.unique(combo, return_counts=True)
+        return pa.table({
+            "day": pa.array(uniq // k, pa.int64()),
+            "event_type": enc.dictionary.take(pa.array(uniq % k)),
+            "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        combo = day * k + code
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(combo, kind="stable")
+        starts, _ = segments(combo[order])
+        sel = order[starts]
+        return pa.table({
+            "day": pa.array(day[sel], pa.int64()),
+            "event_type": enc.dictionary.take(pa.array(code[sel])),
+            "n": pa.array(np.add.reduceat(n[order], starts), pa.int64())})
+
+    sparse = collect_table(hash_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day", "event_type"], merge, 0, sort=False))
+
+    # densify on the CALENDAR-sized result (days x types), driver-side
+    day = sparse.column("day").to_numpy(zero_copy_only=False)
+    et = sparse.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    enc = et.dictionary_encode()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = sparse.column("n").to_numpy(zero_copy_only=False)
+    types = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    torder = np.argsort(types)
+    trank = np.empty(len(types), dtype=np.int64)
+    trank[torder] = np.arange(len(types))
+    lo_d, hi_d = int(day.min()), int(day.max())
+    n_days, k = hi_d - lo_d + 1, len(types)
+    grid = np.zeros(n_days * k, dtype=np.int64)
+    grid[(day - lo_d) * k + trank[code]] = n
+    all_days = np.repeat(np.arange(lo_d, hi_d + 1, dtype=np.int64), k)
+    all_types = types[torder][np.tile(np.arange(k), n_days)]
+    return pa.table({
+        "day": pa.array(all_days * US_PER_DAY, pa.timestamp("us")),
+        "event_type": pa.array(all_types, pa.string()),
+        "n_events": pa.array(grid, pa.int64())})

@@ -124,3 +124,47 @@ def pagerank_dup_graph(sf_dir: str, threshold: float = 0.3,
     return pa.table({"vec_id": pa.array(nodes, pa.int64()),
                      "rank": pa.array(np.round(rank, round_to),
                                       pa.float64())})
+
+
+def dup_graph_degrees(sf_dir: str, threshold: float = 0.3,
+                      round_to: int = 4,
+                      broadcast_max: int = 1_000_000) -> pa.Table:
+    """Degree of every vector in the exact cosine-duplicate pair graph,
+    INCLUDING isolated vectors (degree 0) — the basic graph health
+    readout (degree distribution tails reveal boilerplate hubs long
+    before component sizes blow up) and the SQL-oracled complement to
+    the rows-only PageRank: (vec_id, degree).
+
+    Scale shape: the pair set symmetrizes into (src, dst) arcs, one
+    hash exchange on src sums per-node arc counts (here the pair set is
+    the gated exact path so the oracle is deterministic; at corpus
+    scale the same exchange consumes the LSH pair Dataset), and the
+    zero-degree fill is a searchsorted scatter over the node universe —
+    node-count-sized, never pair-count-sized driver state beyond the
+    gated edge set itself."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    edges_t, nodes = _undirected_edges(sf_dir, threshold,
+                                       round_to=round_to,
+                                       broadcast_max=broadcast_max)
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    if edges_t.num_rows:
+        def count(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            order = np.argsort(s, kind="stable")
+            starts, counts = segments(s[order])
+            return pa.table({"src": pa.array(s[order][starts], pa.int64()),
+                             "n": pa.array(counts, pa.int64())})
+
+        got = collect_table(hash_group_apply(
+            ray.data.from_arrow(edges_t), ["src"], count, 0, sort=False))
+        if got.num_rows:
+            pos = np.searchsorted(
+                nodes, got.column("src").to_numpy(zero_copy_only=False))
+            deg[pos] = got.column("n").to_numpy(zero_copy_only=False)
+    return pa.table({"vec_id": pa.array(nodes, pa.int64()),
+                     "degree": pa.array(deg, pa.int64())})
