@@ -946,6 +946,21 @@ def _q_dup_graph_degrees(sf_dir: str):
     return dup_graph_degrees(sf_dir)
 
 
+def _q_clone_group_representatives(sf_dir: str):
+    from nise_ray.ops.dedupx import clone_group_representatives
+    return clone_group_representatives(sf_dir)
+
+
+def _q_dsir_weights(sf_dir: str):
+    from nise_ray.ops.dsir import dsir_weights
+    return dsir_weights(sf_dir, target_lang="en")
+
+
+def _q_perplexity_buckets(sf_dir: str):
+    from nise_ray.ops.dsir import perplexity_buckets
+    return perplexity_buckets(sf_dir, n_buckets=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup family (SURVEY §3) ---------------------------------
@@ -1000,6 +1015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "weighted_sample_docs": _q_weighted_sample,
         "unigram_logprob": _q_unigram_logprob,
+        "dsir_weights": _q_dsir_weights,
+        "perplexity_buckets": _q_perplexity_buckets,
         "token_entropy": _q_token_entropy,
         "prepare_training_docs": _q_prepare_training_docs,
         "length_histogram": _q_length_histogram,
@@ -1063,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": _q_volume_shipping,
         "containment_pairs_docs": _q_containment_pairs,
         "type2_clone_groups": _q_type2_clone_groups,
+        "clone_group_representatives": _q_clone_group_representatives,
         "retention_cohorts": _q_retention_cohorts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "event_anomaly_days": _q_event_anomaly_days,
@@ -1556,6 +1574,66 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_tokens, 0) AS n_tokens,
                    COALESCE(p.lp, 0.0) AS logprob_mean
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # DSIR importance ratio: per-token diff is two ln's in the SAME
+        # IEEE op order as the engine (add-one smoothing over the shared
+        # vocab); the per-doc mean is rounded (summation-order heal, as
+        # unigram_logprob).
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT d.doc_id, d.lang, u.t AS token
+                FROM documents d,
+                     unnest(regexp_extract_all(d.text,
+                                               '[A-Za-z0-9_]+')) AS u(t)
+                WHERE u.t <> ''
+            ),
+            freq AS (SELECT token, count(*) AS c,
+                            count(*) FILTER (WHERE lang = 'en') AS ct
+                     FROM tok GROUP BY token),
+            consts AS (SELECT CAST(count(*) AS DOUBLE) AS v,
+                              CAST(sum(c) AS DOUBLE) AS t_raw,
+                              CAST(sum(ct) AS DOUBLE) AS t_tgt
+                       FROM freq),
+            diff AS (SELECT token,
+                            ln((CAST(ct AS DOUBLE) + 1.0) / (t_tgt + v))
+                          - ln((CAST(c AS DOUBLE) + 1.0) / (t_raw + v))
+                            AS d
+                     FROM freq, consts),
+            per_doc AS (SELECT t.doc_id,
+                               CAST(count(*) AS BIGINT) AS n_tokens,
+                               round(sum(f.d) / count(*), 4) AS lr
+                        FROM tok t JOIN diff f USING (token)
+                        GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.lr, 0.0) AS logratio_mean
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # CCNet head/middle/tail: NTILE(3) per lang over the SAME
+        # rounded unigram log-prob as unigram_logprob (rounding makes
+        # the ordering key identical cross-engine; doc_id breaks ties).
+        "perplexity_buckets": """
+            WITH tok AS (SELECT doc_id, u.t AS token
+                         FROM documents,
+                              unnest(regexp_extract_all(
+                                  text, '[A-Za-z0-9_]+')) AS u(t)
+                         WHERE u.t <> ''),
+            freq AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM freq),
+            per_doc AS (SELECT t.doc_id,
+                               round(sum(ln(f.c / tot.s)) / count(*), 4)
+                                 AS lp
+                        FROM tok t JOIN freq f USING (token), tot
+                        GROUP BY t.doc_id),
+            scored AS (SELECT d.doc_id, d.lang,
+                              COALESCE(p.lp, 0.0) AS logprob_mean
+                       FROM documents d LEFT JOIN per_doc p
+                       USING (doc_id))
+            SELECT doc_id, lang, logprob_mean,
+                   CAST(ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY logprob_mean DESC,
+                                                doc_id)
+                        AS BIGINT) AS bucket
+            FROM scored
         """,
         # stepwise funnel: step k's completion time = min event time of
         # that type strictly after the user's step-(k-1) completion
@@ -2358,6 +2436,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # type-2 clone detection: exact dup AFTER identifier/number
         # normalization (renamed-variable copies group together)
+        # keep-best policy over the same clone groups: rep = most raw
+        # chars, ties by min doc_id; clone_id stays min doc_id.
+        "clone_group_representatives": """
+            WITH n AS (
+              SELECT doc_id, n_chars,
+                     regexp_replace(
+                       regexp_replace(text, '[A-Za-z_][A-Za-z0-9_]*',
+                                      'ID', 'g'),
+                       '[0-9]+', 'N', 'g') AS nt
+              FROM documents),
+            r AS (
+              SELECT nt, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY nt
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rn,
+                     min(doc_id) OVER (PARTITION BY nt) AS clone_id,
+                     count(*) OVER (PARTITION BY nt) AS group_size
+              FROM n)
+            SELECT clone_id, doc_id AS rep_doc_id,
+                   CAST(group_size AS BIGINT) AS group_size
+            FROM r WHERE rn = 1 AND group_size >= 2
+        """,
         "type2_clone_groups": """
             WITH n AS (
               SELECT doc_id,

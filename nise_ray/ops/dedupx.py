@@ -463,6 +463,29 @@ def chunk_dedup_docs(sf_dir: str, size: int = 48) -> "ray.data.Dataset":
     return hash_group_apply(merged, ["doc_id"], reassemble, 0, sort=False)
 
 
+def _type2_hash_col(txt) -> np.ndarray:
+    """blake2b-8 of the type-2-normalized text column (identifiers ->
+    ID, integer literals -> N): two Arrow RE2 kernels, then each
+    DISTINCT normalized form hashed once via the dictionary indices
+    (normalization collapses duplicates aggressively)."""
+    import pyarrow.compute as pc
+
+    from nise_ray.hashing import blake2b64
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    nt = pc.replace_substring_regex(
+        txt, pattern=r"[A-Za-z_][A-Za-z0-9_]*", replacement="ID")
+    nt = pc.replace_substring_regex(nt, pattern=r"[0-9]+",
+                                    replacement="N")
+    enc = nt.dictionary_encode()
+    uniq = np.fromiter(
+        (blake2b64(s.encode("utf-8", errors="surrogatepass"))
+         for s in enc.dictionary.to_pylist()),
+        dtype=U64, count=len(enc.dictionary))
+    return uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
     """Type-2 clone detection over the documents corpus: exact-duplicate
     grouping AFTER identifier/literal normalization — every identifier
@@ -489,20 +512,8 @@ def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
         if b.num_rows == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64())})
-        nt = pc.replace_substring_regex(
-            b.column("text").combine_chunks(),
-            pattern=r"[A-Za-z_][A-Za-z0-9_]*", replacement="ID")
-        nt = pc.replace_substring_regex(nt, pattern=r"[0-9]+",
-                                        replacement="N")
-        # normalization collapses duplicates aggressively — hash each
-        # DISTINCT normalized form once via the dictionary indices
-        enc = nt.dictionary_encode()
-        uniq = np.fromiter(
-            (blake2b64(s.encode("utf-8", errors="surrogatepass"))
-             for s in enc.dictionary.to_pylist()),
-            dtype=U64, count=len(enc.dictionary))
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        return pa.table({"h": pa.array(uniq[codes], pa.uint64()),
+        return pa.table({"h": pa.array(_type2_hash_col(b.column("text")),
+                                       pa.uint64()),
                          "doc_id": b.column("doc_id")})
 
     norm_hash.__name__ = "Type2NormHash"
@@ -534,6 +545,67 @@ def type2_clone_groups(sf_dir: str) -> "ray.data.Dataset":
 
     group_batch.__name__ = "Type2CloneGroups"
     return hash_group_apply(hashed, ["h"], group_batch, sort=False)
+
+
+def clone_group_representatives(sf_dir: str) -> "ray.data.Dataset":
+    """KEEP-BEST representative selection over type-2 clone groups: for
+    every group of >= 2 renamed-variable copies, pick the copy to KEEP
+    — the one with the most raw characters (richer identifiers), ties
+    broken by min doc_id — instead of the blind min-doc_id rule. This
+    is the policy step a curation pipeline runs after clone detection:
+    (clone_id, rep_doc_id, group_size). clone_id stays min doc_id so
+    group identity is join-stable with type2_clone_groups.
+
+    Scale shape: identical to type2_clone_groups (per-block RE2
+    normalize + dictionary hash, ONE 24-byte/row hash exchange); the
+    argmax is a per-segment reduceat sweep — group-count-sized output,
+    no driver state."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "n_chars"])
+
+    def norm_hash(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(_type2_hash_col(b.column("text")),
+                                       pa.uint64()),
+                         "doc_id": b.column("doc_id"),
+                         "n_chars": b.column("n_chars")})
+
+    norm_hash.__name__ = "Type2NormHashChars"
+    hashed = docs.map_batches(norm_hash, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"clone_id": pa.array([], pa.int64()),
+                          "rep_doc_id": pa.array([], pa.int64()),
+                          "group_size": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        # sort groups by (h, -n_chars, doc_id): the first row of each
+        # segment IS the keep-best pick; a second (h, doc_id) ordering
+        # is avoided by taking min(ids) per segment via reduceat
+        order = np.lexsort((ids, -nc, h))
+        h, ids, nc = h[order], ids[order], nc[order]
+        starts, counts = segments(h)
+        multi = counts >= 2
+        if not multi.any():
+            return empty
+        clone_id = np.minimum.reduceat(ids, starts)
+        return pa.table({
+            "clone_id": pa.array(clone_id[multi], pa.int64()),
+            "rep_doc_id": pa.array(ids[starts][multi], pa.int64()),
+            "group_size": pa.array(counts[multi], pa.int64()),
+        })
+
+    pick.__name__ = "CloneKeepBest"
+    return hash_group_apply(hashed, ["h"], pick, sort=False)
 
 
 def dedup_recall_report(sf_dir: str, tau: float = 0.7,

@@ -651,34 +651,15 @@ def bigram_repetition_batch(b: pa.Table) -> pa.Table:
     })
 
 
-def unigram_logprob(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
-    """CCNet-style unigram language-model scoring (Wenzek et al. 2020,
-    arXiv:1911.00359 — perplexity filtering is the standard quality gate
-    of a web-scale training-data pipeline; here the LM is the corpus's
-    own unigram distribution): per document, the mean token log
-    probability  sum(tf_t * ln(count_t / total)) / n_tokens  under the
-    global unigram frequencies. Low (very negative) scores = documents
-    full of corpus-rare tokens; near-zero scores = documents of only
-    common tokens.
-
-    Two passes, both combiner-shaped (same bounds as top_doc_terms):
-      1. global token counts — per-batch (token, n) partials via the
-         shared tokenize kernel, one vocabulary-sized hash exchange,
-         broadcast once via ray.put (vocab-bounded, never corpus-bounded);
-      2. one stateless map: per-(doc, token) tf from _doc_token_counts,
-         vectorized searchsorted lookup into the broadcast (token -> ln
-         prob) table, one reduceat per doc. Zero-token docs emit
-         n_tokens=0, logprob_mean=0.0.
-
-    The final mean is rounded (the per-doc sum order differs between the
-    engine's reduceat and the SQL oracle's aggregate, so low bits carry
-    FP noise; round(round_to) heals it — the values themselves are FP-
-    noisy so half-way round ties are not a cross-engine hazard here)."""
-    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+def unigram_lnp_ref(ds: "ray.data.Dataset") -> "ray.ObjectRef":
+    """Global unigram-LM table of a (doc_id, text) Dataset: ray.put ref
+    of (sorted token array, ln(count/total)) — the combiner-shaped freq
+    pass shared by unigram_logprob and the CCNet-style perplexity
+    bucketing in ops/dsir.py. Vocabulary-bounded, never corpus-bounded:
+    per-batch (token, n) partials, ONE token-keyed exchange, broadcast
+    once."""
+    from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.util import collect_table
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
 
     def count_partial(b: pa.Table) -> pa.Table:
         _, codes, vocab = _doc_token_stream(b, need_row=False)
@@ -705,8 +686,38 @@ def unigram_logprob(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
     total = float(cnts.sum())
     order = np.argsort(toks)
     # ln(count/total) precomputed once — workers only ever gather from it
-    lm_ref = ray.put((toks[order],
-                      np.log(cnts[order] / total) if total else cnts[order]))
+    return ray.put((toks[order],
+                    np.log(cnts[order] / total) if total else cnts[order]))
+
+
+def unigram_logprob(sf_dir: str, round_to: int = 4) -> "ray.data.Dataset":
+    """CCNet-style unigram language-model scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 — perplexity filtering is the standard quality gate
+    of a web-scale training-data pipeline; here the LM is the corpus's
+    own unigram distribution): per document, the mean token log
+    probability  sum(tf_t * ln(count_t / total)) / n_tokens  under the
+    global unigram frequencies. Low (very negative) scores = documents
+    full of corpus-rare tokens; near-zero scores = documents of only
+    common tokens.
+
+    Two passes, both combiner-shaped (same bounds as top_doc_terms):
+      1. global token counts — per-batch (token, n) partials via the
+         shared tokenize kernel, one vocabulary-sized hash exchange,
+         broadcast once via ray.put (vocab-bounded, never corpus-bounded);
+      2. one stateless map: per-(doc, token) tf from _doc_token_counts,
+         vectorized searchsorted lookup into the broadcast (token -> ln
+         prob) table, one reduceat per doc. Zero-token docs emit
+         n_tokens=0, logprob_mean=0.0.
+
+    The final mean is rounded (the per-doc sum order differs between the
+    engine's reduceat and the SQL oracle's aggregate, so low bits carry
+    FP noise; round(round_to) heals it — the values themselves are FP-
+    noisy so half-way round ties are not a cross-engine hazard here)."""
+    from nise_ray.ops.groupapply import default_concurrency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    lm_ref = unigram_lnp_ref(ds)
 
     class Score:
         def __init__(self) -> None:

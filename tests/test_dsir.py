@@ -1,0 +1,47 @@
+"""DSIR importance weights + CCNet perplexity buckets vs DuckDB at
+sf0.001, plus semantic sanity checks (target-language docs must score
+higher on average; NTILE bucket sizes differ by at most one)."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_dsir_weights_target_separation(ray_session):
+    from nise_ray.ops.dsir import dsir_weights
+    got = dsir_weights(SF, target_lang="en").to_pandas()
+    assert len(got) == 500
+    lang = _con().execute(
+        "SELECT doc_id, lang FROM documents").fetchdf()
+    j = got.merge(lang, on="doc_id")
+    en = j[j["lang"] == "en"]["logratio_mean"].mean()
+    rest = j[j["lang"] != "en"]["logratio_mean"].mean()
+    # the whole point of DSIR: target-slice docs score higher
+    assert en > rest
+
+
+def test_perplexity_buckets_sizes(ray_session):
+    from nise_ray.ops.dsir import perplexity_buckets
+    got = perplexity_buckets(SF, n_buckets=3).to_pandas()
+    assert len(got) == 500
+    sizes = got.groupby(["lang", "bucket"]).size()
+    for lang, grp in got.groupby("lang"):
+        s = grp.groupby("bucket").size()
+        assert set(s.index) <= {1, 2, 3}
+        assert s.max() - s.min() <= 1  # NTILE balance
+    # head bucket has the highest mean logprob per lang
+    for lang, grp in got.groupby("lang"):
+        m = grp.groupby("bucket")["logprob_mean"].mean()
+        assert m.loc[1] >= m.loc[3]
