@@ -946,6 +946,11 @@ def _q_dup_graph_degrees(sf_dir: str):
     return dup_graph_degrees(sf_dir)
 
 
+def _q_curate_corpus(sf_dir: str):
+    from nise_ray.ops.curate import curate_corpus
+    return curate_corpus(sf_dir)
+
+
 def _q_clone_group_representatives(sf_dir: str):
     from nise_ray.ops.dedupx import clone_group_representatives
     return clone_group_representatives(sf_dir)
@@ -1019,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "token_entropy": _q_token_entropy,
         "prepare_training_docs": _q_prepare_training_docs,
+        "curate_corpus": _q_curate_corpus,
         "length_histogram": _q_length_histogram,
         "lang_distribution": _q_lang_distribution,
         "language_id": _q_language_id,
@@ -1574,6 +1580,63 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_tokens, 0) AS n_tokens,
                    COALESCE(p.lp, 0.0) AS logprob_mean
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # composed curation chain: Gopher pass -> exact dedup keep-min
+        # -> unigram LM over the SURVIVORS -> NTILE(3) per lang, tail
+        # bucket dropped. Each stage mirrors its standalone oracle.
+        "curate_corpus": r"""
+            WITH sig AS (
+              SELECT doc_id, lang, text,
+                     CAST(length(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_words,
+                     CAST(length(text)
+                          - length(regexp_extract_all(text, '\s'))
+                          AS BIGINT) AS n_wordchars,
+                     CAST(length(regexp_extract_all(
+                          text, '[^\s]*[A-Za-z][^\s]*')) AS BIGINT)
+                       AS n_alpha_words,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          AS BIGINT) AS n_hash,
+                     CAST((length(text)
+                           - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS n_ellipsis,
+                     CAST(length(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|in|is|that|it|for|was)\b'))
+                          AS BIGINT) AS n_stopwords
+              FROM documents),
+            q AS (
+              SELECT doc_id, lang, text FROM sig
+              WHERE n_words BETWEEN 50 AND 100000
+                AND CAST(n_wordchars AS DOUBLE) / n_words
+                    BETWEEN 3.0 AND 10.0
+                AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1
+                AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+                AND n_stopwords >= 2),
+            keepids AS (SELECT min(doc_id) AS doc_id FROM q
+                        GROUP BY text),
+            kept AS (SELECT q.* FROM q JOIN keepids USING (doc_id)),
+            tok AS (SELECT doc_id, u.t AS token
+                    FROM kept,
+                         unnest(regexp_extract_all(
+                             text, '[A-Za-z0-9_]+')) AS u(t)
+                    WHERE u.t <> ''),
+            freq AS (SELECT token, count(*) AS c FROM tok
+                     GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS s FROM freq),
+            per_doc AS (SELECT t.doc_id,
+                               round(sum(ln(f.c / tot.s)) / count(*), 4)
+                                 AS lp
+                        FROM tok t JOIN freq f USING (token), tot
+                        GROUP BY t.doc_id),
+            scored AS (SELECT k.doc_id, k.lang,
+                              COALESCE(p.lp, 0.0) AS logprob_mean
+                       FROM kept k LEFT JOIN per_doc p USING (doc_id)),
+            tiled AS (SELECT doc_id, lang, logprob_mean,
+                             CAST(ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY logprob_mean DESC, doc_id)
+                                  AS BIGINT) AS bucket
+                      FROM scored)
+            SELECT * FROM tiled WHERE bucket <= 2
         """,
         # DSIR importance ratio: per-token diff is two ln's in the SAME
         # IEEE op order as the engine (add-one smoothing over the shared

@@ -179,6 +179,18 @@ def perplexity_buckets(sf_dir: str, n_buckets: int = 3,
                             zero_copy_batch=True,
                             concurrency=default_concurrency())
 
+    return hash_group_apply(scored, ["lang"],
+                            perplexity_tiles_kernel(n_buckets), 0,
+                            sort=False)
+
+
+def perplexity_tiles_kernel(n_buckets: int):
+    """Per-block NTILE kernel over complete lang groups of a
+    (doc_id, lang, logprob_mean) table: ANSI NTILE(n_buckets) ordered
+    by (logprob_mean DESC, doc_id) within each lang — shared by
+    perplexity_buckets and the composed curate_corpus pipeline."""
+    from nise_ray.ops.groupapply import segments
+
     def tiles(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -209,4 +221,4 @@ def perplexity_buckets(sf_dir: str, n_buckets: int = 3,
             "logprob_mean": pa.array(lp, pa.float64()),
             "bucket": pa.array(tile, pa.int64())})
 
-    return hash_group_apply(scored, ["lang"], tiles, 0, sort=False)
+    return tiles

@@ -45,3 +45,15 @@ def test_perplexity_buckets_sizes(ray_session):
     for lang, grp in got.groupby("lang"):
         m = grp.groupby("bucket")["logprob_mean"].mean()
         assert m.loc[1] >= m.loc[3]
+
+
+def test_curate_corpus_composition(ray_session):
+    from nise_ray.ops.curate import curate_corpus
+    got = curate_corpus(SF).to_pandas()
+    # every kept doc passed the gate, survived dedup, and sits in a
+    # head/middle bucket
+    assert (got["bucket"] <= 2).all()
+    assert got["doc_id"].is_unique
+    # tail bucket dropped: roughly a third of survivors are gone
+    from nise_ray.ops.dsir import perplexity_buckets  # sanity only
+    assert 0 < len(got) < 500
