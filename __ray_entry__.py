@@ -946,6 +946,16 @@ def _q_dup_graph_degrees(sf_dir: str):
     return dup_graph_degrees(sf_dir)
 
 
+def _q_groups_window_stats(sf_dir: str):
+    from nise_ray.ops.analytics3 import groups_window_stats
+    return groups_window_stats(sf_dir)
+
+
+def _q_global_doc_ranks(sf_dir: str):
+    from nise_ray.ops.analytics3 import global_doc_ranks
+    return global_doc_ranks(sf_dir)
+
+
 def _q_curate_corpus(sf_dir: str):
     from nise_ray.ops.curate import curate_corpus
     return curate_corpus(sf_dir)
@@ -1050,8 +1060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_docs": _q_percent_rank,
         "bigram_collocations": _q_bigram_collocations,
         "time_window_stats": _q_time_window_stats,
+        "groups_window_stats": _q_groups_window_stats,
         "daily_counts_filled": _q_daily_counts_filled,
         "dup_graph_degrees": _q_dup_graph_degrees,
+        "global_doc_ranks": _q_global_doc_ranks,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -2229,6 +2241,35 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW)
+        """,
+        # GROUPS frame (1 PRECEDING..CURRENT ROW) stated via dense_rank
+        # peer-group ids (this DuckDB build lacks GROUPS mode); exact-int
+        # metric, one double division.
+        "groups_window_stats": """
+            WITH e AS (SELECT user_id, event_id,
+                              length(props) AS m,
+                              dense_rank() OVER (PARTITION BY user_id
+                                                 ORDER BY ts) AS gi
+                       FROM events),
+            agg AS (SELECT user_id, gi, count(*) AS c, sum(m) AS s
+                    FROM e GROUP BY 1, 2)
+            SELECT e.user_id, e.event_id,
+                   CAST(cur.c + COALESCE(prev.c, 0) AS BIGINT) AS g_cnt,
+                   CAST(cur.s + COALESCE(prev.s, 0) AS BIGINT) AS g_sum,
+                   CAST(cur.s + COALESCE(prev.s, 0) AS DOUBLE)
+                     / (cur.c + COALESCE(prev.c, 0)) AS g_avg
+            FROM e
+            JOIN agg cur ON cur.user_id = e.user_id AND cur.gi = e.gi
+            LEFT JOIN agg prev ON prev.user_id = e.user_id
+                              AND prev.gi = e.gi - 1
+        """,
+        # global total ordering without a global sort (histogram bases
+        # + within-value positions).
+        "global_doc_ranks": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM documents
         """,
         # dense calendar: every (day, type) between corpus min/max day,
         # zero-filled — generate_series dimension generation.

@@ -198,3 +198,144 @@ def daily_counts_filled(sf_dir: str) -> pa.Table:
         "day": pa.array(all_days * US_PER_DAY, pa.timestamp("us")),
         "event_type": pa.array(all_types, pa.string()),
         "n_events": pa.array(grid, pa.int64())})
+
+
+def groups_window_stats(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPS-frame window aggregate: per user, events ordered by ts,
+    COUNT(*) and SUM(length(props)) over
+
+        GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW
+
+    — the current PEER GROUP (all rows tying on ts) plus the previous
+    one. GROUPS is the third SQL frame type (ROWS = moving_event_stats,
+    RANGE = time_window_stats); the local DuckDB build has no GROUPS
+    mode, so the oracle states the identical semantics via dense_rank:
+    aggregate over rows with gi in [my_gi - 1, my_gi].
+    Output: (user_id, event_id, g_cnt, g_sum, g_avg).
+
+    Scale: ONE user_id exchange; the kernel is a lexsort + peer-group
+    run detection + two cumsum gathers — no per-user loop."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id",
+                                        "props"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "g_cnt": pa.array([], pa.int64()),
+                             "g_sum": pa.array([], pa.int64()),
+                             "g_avg": pa.array([], pa.float64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        m = pc.utf8_length(batch.column("props")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, m = uid[order], ts[order], eid[order], m[order]
+        n = len(order)
+        # peer groups = runs of equal (uid, ts)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (uid[1:] != uid[:-1]) | (ts[1:] != ts[:-1])
+        pg_of = np.cumsum(change) - 1            # peer-group id per row
+        g_starts = np.flatnonzero(change)        # first row of each group
+        g_counts = np.diff(np.append(g_starts, n))
+        # per-user first peer group (to clamp the 1-PRECEDING bound)
+        u_starts, u_counts = segments(uid)
+        pg_first = np.repeat(pg_of[u_starts], u_counts)
+        lo_pg = np.maximum(pg_of - 1, pg_first)
+        lo = g_starts[lo_pg]
+        hi = g_starts[pg_of] + g_counts[pg_of]
+        ext = np.concatenate(([0], np.cumsum(m, dtype=np.int64)))
+        g_sum = ext[hi] - ext[lo]
+        g_cnt = hi - lo
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "event_id": pa.array(eid, pa.int64()),
+                         "g_cnt": pa.array(g_cnt, pa.int64()),
+                         "g_sum": pa.array(g_sum, pa.int64()),
+                         "g_avg": pa.array(g_sum.astype(np.float64)
+                                           / g_cnt, pa.float64())})
+
+    return hash_group_apply(ds, ["user_id"], window, 0, sort=False)
+
+
+def global_doc_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """GLOBAL row_number() OVER (ORDER BY n_chars DESC, doc_id) for
+    every document — a total ordering of the corpus WITHOUT a global
+    sort: (doc_id, n_chars, global_rank).
+
+    Plan: (1) a combiner-shaped histogram of n_chars (per-batch value
+    counts -> one value-bounded exchange -> driver prefix sums in DESC
+    value order = each value's base rank, broadcast via ray.put);
+    (2) ONE hash exchange on n_chars; each partition holds complete
+    value groups, sorts each by doc_id (one lexsort over the block) and
+    adds the broadcast base — rank = base[value] + within-value
+    position + 1. Nothing corpus-sized on the driver; the histogram is
+    bounded by distinct document lengths. Known skew caveat: one
+    dominant length lands its group in one partition (same contract as
+    every keyed group op here; the bases make a salted two-phase split
+    possible without changing ranks, not needed at current tiers)."""
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def hist_merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        starts, _ = segments(v[order])
+        return pa.table({
+            "v": pa.array(v[order][starts], pa.int64()),
+            "n": pa.array(np.add.reduceat(n[order], starts), pa.int64())})
+
+    hist = collect_table(hash_group_apply(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], hist_merge, 0, sort=False))
+    v = hist.column("v").to_numpy(zero_copy_only=False)
+    n = hist.column("n").to_numpy(zero_copy_only=False)
+    asc = np.argsort(v)
+    v_asc, n_asc = v[asc], n[asc]
+    # base rank of value x (DESC order) = count of rows with value > x
+    above = np.concatenate((np.cumsum(n_asc[::-1])[::-1][1:], [0]))
+    base_ref = ray.put((v_asc, above))
+
+    # task-path rank map (hash-shuffle DAGs must not add actor pools);
+    # the broadcast rides base_ref — a plain closure would pickle the
+    # arrays into every task
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "global_rank": pa.array([], pa.int64())})
+        v_asc, above = ray.get(base_ref)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, nc))
+        nc, doc = nc[order], doc[order]
+        starts, counts = segments(nc)
+        pos = np.arange(len(order), dtype=np.int64) \
+            - np.repeat(starts, counts)
+        base = above[np.searchsorted(v_asc, nc)]
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "global_rank": pa.array(base + pos + 1, pa.int64())})
+
+    rank_batch.__name__ = "GlobalRank"
+    return hash_group_apply(ds, ["n_chars"], rank_batch, 0, sort=False)

@@ -119,3 +119,37 @@ def test_dup_graph_degrees_oracle(ray_session):
     pd.testing.assert_frame_equal(
         got, want.astype({"degree": np.int64}), check_dtype=False,
         check_exact=True)
+
+
+def test_groups_window_stats_oracle(ray_session):
+    from nise_ray.ops.analytics3 import groups_window_stats
+    got = _sorted(groups_window_stats(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH e AS (SELECT user_id, event_id, length(props) AS m,
+                          dense_rank() OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS gi
+                   FROM events),
+        agg AS (SELECT user_id, gi, count(*) AS c, sum(m) AS s
+                FROM e GROUP BY 1, 2)
+        SELECT e.user_id, e.event_id,
+               CAST(cur.c + COALESCE(prev.c, 0) AS BIGINT) AS g_cnt,
+               CAST(cur.s + COALESCE(prev.s, 0) AS BIGINT) AS g_sum,
+               CAST(cur.s + COALESCE(prev.s, 0) AS DOUBLE)
+                 / (cur.c + COALESCE(prev.c, 0)) AS g_avg
+        FROM e JOIN agg cur ON cur.user_id = e.user_id AND cur.gi = e.gi
+        LEFT JOIN agg prev ON prev.user_id = e.user_id
+                          AND prev.gi = e.gi - 1""").fetchdf())
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_global_doc_ranks_total_order(ray_session):
+    from nise_ray.ops.analytics3 import global_doc_ranks
+    got = global_doc_ranks(SF).to_pandas()
+    assert len(got) == 500
+    # a permutation of 1..N, ordered by (n_chars DESC, doc_id)
+    assert sorted(got["global_rank"]) == list(range(1, 501))
+    s = got.sort_values("global_rank")
+    nc = s["n_chars"].to_numpy()
+    assert (np.diff(nc) <= 0).all()
