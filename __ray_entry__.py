@@ -956,6 +956,16 @@ def _q_global_doc_ranks(sf_dir: str):
     return global_doc_ranks(sf_dir)
 
 
+def _q_length_deciles(sf_dir: str):
+    from nise_ray.ops.analytics3 import length_deciles
+    return length_deciles(sf_dir)
+
+
+def _q_event_type_affinity(sf_dir: str):
+    from nise_ray.ops.analytics3 import event_type_affinity
+    return event_type_affinity(sf_dir)
+
+
 def _q_curate_corpus(sf_dir: str):
     from nise_ray.ops.curate import curate_corpus
     return curate_corpus(sf_dir)
@@ -1064,6 +1074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_counts_filled": _q_daily_counts_filled,
         "dup_graph_degrees": _q_dup_graph_degrees,
         "global_doc_ranks": _q_global_doc_ranks,
+        "length_deciles": _q_length_deciles,
+        "event_type_affinity": _q_event_type_affinity,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -2262,6 +2274,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN agg cur ON cur.user_id = e.user_id AND cur.gi = e.gi
             LEFT JOIN agg prev ON prev.user_id = e.user_id
                               AND prev.gi = e.gi - 1
+        """,
+        # global equi-depth boundaries from the exact value histogram
+        # (quantile_disc: 0-based rank ceil(q*n) - 1).
+        "length_deciles": """
+            WITH l AS (SELECT quantile_disc(n_chars,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                           AS q
+                       FROM documents)
+            SELECT CAST(u.i AS BIGINT) AS decile,
+                   CAST(q[u.i] AS BIGINT) AS n_chars_q
+            FROM l, unnest(generate_series(1, 9)) AS u(i)
+        """,
+        # market-basket support: distinct users holding BOTH event
+        # types, unordered pair (a < b).
+        "event_type_affinity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         # global total ordering without a global sort (histogram bases
         # + within-value positions).

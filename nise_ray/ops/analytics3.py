@@ -262,32 +262,18 @@ def groups_window_stats(sf_dir: str) -> "ray.data.Dataset":
     return hash_group_apply(ds, ["user_id"], window, 0, sort=False)
 
 
-def global_doc_ranks(sf_dir: str) -> "ray.data.Dataset":
-    """GLOBAL row_number() OVER (ORDER BY n_chars DESC, doc_id) for
-    every document — a total ordering of the corpus WITHOUT a global
-    sort: (doc_id, n_chars, global_rank).
-
-    Plan: (1) a combiner-shaped histogram of n_chars (per-batch value
-    counts -> one value-bounded exchange -> driver prefix sums in DESC
-    value order = each value's base rank, broadcast via ray.put);
-    (2) ONE hash exchange on n_chars; each partition holds complete
-    value groups, sorts each by doc_id (one lexsort over the block) and
-    adds the broadcast base — rank = base[value] + within-value
-    position + 1. Nothing corpus-sized on the driver; the histogram is
-    bounded by distinct document lengths. Known skew caveat: one
-    dominant length lands its group in one partition (same contract as
-    every keyed group op here; the bases make a salted two-phase split
-    possible without changing ranks, not needed at current tiers)."""
+def _value_histogram(ds: "ray.data.Dataset", col: str):
+    """Exact global value histogram of an int64 column: (values_asc,
+    counts) on the driver — combiner-shaped (per-batch np.unique
+    partials, ONE value-bounded exchange), shared by global_doc_ranks
+    and length_deciles. Driver state is O(distinct values)."""
     from nise_ray.util import collect_table
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "n_chars"])
 
     def hist_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"v": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        v = b.column(col).to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(uniq, pa.int64()),
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
@@ -310,7 +296,160 @@ def global_doc_ranks(sf_dir: str) -> "ray.data.Dataset":
     v = hist.column("v").to_numpy(zero_copy_only=False)
     n = hist.column("n").to_numpy(zero_copy_only=False)
     asc = np.argsort(v)
-    v_asc, n_asc = v[asc], n[asc]
+    return v[asc], n[asc]
+
+
+def length_deciles(sf_dir: str) -> pa.Table:
+    """GLOBAL equi-depth boundaries: the nine deciles of document
+    length as exact discrete quantiles (DuckDB quantile_disc semantics:
+    element at 0-based rank ceil(q*n) - 1 of the sorted values),
+    computed from the value histogram — no global sort, no per-group
+    value vectors; driver work is O(distinct lengths).
+    Output: (decile 1..9, n_chars_q)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    v_asc, n_asc = _value_histogram(ds, "n_chars")
+    total = int(n_asc.sum())
+    qs = np.arange(1, 10, dtype=np.int64)
+    if total == 0:
+        return pa.table({"decile": pa.array([], pa.int64()),
+                         "n_chars_q": pa.array([], pa.int64())})
+    ranks = np.ceil(np.round(qs * 0.1 * total, 9)).astype(np.int64)
+    cum = np.cumsum(n_asc)
+    vals = v_asc[np.searchsorted(cum, ranks, side="left")]
+    return pa.table({"decile": pa.array(qs, pa.int64()),
+                     "n_chars_q": pa.array(vals, pa.int64())})
+
+
+def event_type_affinity(sf_dir: str) -> "ray.data.Dataset":
+    """MARKET-BASKET co-occurrence over event types: for every
+    unordered pair of types (type_a < type_b), how many distinct users
+    produced BOTH — the support counts an association-rule or
+    recommendation pass starts from. Output: (type_a, type_b, n_users).
+
+    Scale shape: per-batch distinct (user, type) partials cut the
+    stream to at most |users|x|types| rows before ONE user_id exchange;
+    each partition re-distincts its complete user groups and explodes
+    per-user type pairs (bounded by C(|types|,2) per user — the type
+    vocabulary is small by definition for this op); per-block pair
+    counts then ride a tiny (type,type)-keyed combiner exchange."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(enc.dictionary), 1)
+        uniq = np.unique(uid * k + code)
+        return pa.table({
+            "user_id": pa.array(uniq // k, pa.int64()),
+            "event_type": enc.dictionary.take(pa.array(uniq % k))
+            .cast(pa.string())})
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # type codes sorted by their STRING so pair order is (a < b)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        rank_of = np.empty(len(vocab), dtype=np.int64)
+        rank_of[np.argsort(vocab)] = np.arange(len(vocab))
+        k = max(len(vocab), 1)
+        uniq = np.unique(uid * k + code)          # distinct across batches
+        u, c = uniq // k, rank_of[uniq % k]
+        order = np.lexsort((c, u))
+        u, c = u[order], c[order]
+        starts, counts = segments(u)
+        # explode within-user pairs: for each user with m types, all
+        # C(m,2) (c_i, c_j) i<j — vectorized over all users at once
+        m = counts
+        npairs = m * (m - 1) // 2
+        if npairs.sum() == 0:
+            return empty
+        # row index arithmetic: for each user segment, pair p -> (i, j)
+        seg_id = np.repeat(np.arange(len(starts)), npairs)
+        p = np.arange(int(npairs.sum()), dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(npairs)[:-1])),
+                        npairs)
+        mm = m[seg_id].astype(np.float64)
+        # i = smallest i with p < i*m - i(i+1)/2 boundary; closed form
+        i = np.floor((2 * mm - 1 - np.sqrt((2 * mm - 1) ** 2 - 8 * p))
+                     / 2).astype(np.int64)
+        off = i * (2 * m[seg_id] - i - 1) // 2
+        j = (p - off) + i + 1
+        gi = starts[seg_id]
+        ca, cb = c[gi + i], c[gi + j]
+        srt = np.argsort(vocab)
+        combo = ca * k + cb
+        uq, cnt = np.unique(combo, return_counts=True)
+        return pa.table({
+            "type_a": pa.array(vocab[srt][uq // k], pa.string()),
+            "type_b": pa.array(vocab[srt][uq % k], pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(
+            batch.column("type_a").cast(pa.string()),
+            batch.column("type_b").cast(pa.string()), "\x1f")
+        enc = key.combine_chunks().dictionary_encode() \
+            if isinstance(key, pa.ChunkedArray) else key.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(code, kind="stable")
+        starts, _ = segments(code[order])
+        sel = order[starts]
+        return pa.table({
+            "type_a": batch.column("type_a").take(pa.array(sel)),
+            "type_b": batch.column("type_b").take(pa.array(sel)),
+            "n_users": pa.array(np.add.reduceat(n[order], starts),
+                                pa.int64())})
+
+    pre = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    pairs = hash_group_apply(pre, ["user_id"], pair_partial, 0, sort=False)
+    return hash_group_apply(pairs, ["type_a", "type_b"], merge, 0,
+                            sort=False)
+
+
+def global_doc_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """GLOBAL row_number() OVER (ORDER BY n_chars DESC, doc_id) for
+    every document — a total ordering of the corpus WITHOUT a global
+    sort: (doc_id, n_chars, global_rank).
+
+    Plan: (1) a combiner-shaped histogram of n_chars (per-batch value
+    counts -> one value-bounded exchange -> driver prefix sums in DESC
+    value order = each value's base rank, broadcast via ray.put);
+    (2) ONE hash exchange on n_chars; each partition holds complete
+    value groups, sorts each by doc_id (one lexsort over the block) and
+    adds the broadcast base — rank = base[value] + within-value
+    position + 1. Nothing corpus-sized on the driver; the histogram is
+    bounded by distinct document lengths. Known skew caveat: one
+    dominant length lands its group in one partition (same contract as
+    every keyed group op here; the bases make a salted two-phase split
+    possible without changing ranks, not needed at current tiers)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    v_asc, n_asc = _value_histogram(ds, "n_chars")
     # base rank of value x (DESC order) = count of rows with value > x
     above = np.concatenate((np.cumsum(n_asc[::-1])[::-1][1:], [0]))
     base_ref = ray.put((v_asc, above))

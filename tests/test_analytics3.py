@@ -153,3 +153,27 @@ def test_global_doc_ranks_total_order(ray_session):
     s = got.sort_values("global_rank")
     nc = s["n_chars"].to_numpy()
     assert (np.diff(nc) <= 0).all()
+
+
+def test_length_deciles_monotone(ray_session):
+    from nise_ray.ops.analytics3 import length_deciles
+    got = length_deciles(SF).to_pandas()
+    assert list(got["decile"]) == list(range(1, 10))
+    assert (np.diff(got["n_chars_q"].to_numpy()) >= 0).all()
+
+
+def test_event_type_affinity_bounds(ray_session):
+    from nise_ray.ops.analytics3 import event_type_affinity
+    got = event_type_affinity(SF).to_pandas()
+    want = _con().execute("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+        GROUP BY 1, 2""").fetchdf()
+    g = _sorted(got)
+    w = _sorted(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=True)
+    assert (g["type_a"] < g["type_b"]).all()
