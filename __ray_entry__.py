@@ -956,6 +956,16 @@ def _q_global_doc_ranks(sf_dir: str):
     return global_doc_ranks(sf_dir)
 
 
+def _q_data_quality_report(sf_dir: str):
+    from nise_ray.ops.relational4 import data_quality_report
+    return data_quality_report(sf_dir)
+
+
+def _q_denormalized_orders(sf_dir: str):
+    from nise_ray.ops.relational4 import denormalized_orders
+    return denormalized_orders(sf_dir)
+
+
 def _q_length_deciles(sf_dir: str):
     from nise_ray.ops.analytics3 import length_deciles
     return length_deciles(sf_dir)
@@ -1076,6 +1086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_doc_ranks": _q_global_doc_ranks,
         "length_deciles": _q_length_deciles,
         "event_type_affinity": _q_event_type_affinity,
+        "data_quality_report": _q_data_quality_report,
+        "denormalized_orders": _q_denormalized_orders,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -2274,6 +2286,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN agg cur ON cur.user_id = e.user_id AND cur.gi = e.gi
             LEFT JOIN agg prev ON prev.user_id = e.user_id
                               AND prev.gi = e.gi - 1
+        """,
+        # integrity audit: one row per rule, mixed zero and non-zero
+        # counts; referential rules ride one tagged orderkey co-group.
+        "data_quality_report": """
+            SELECT 'orphan_lineitems' AS rule, CAST((
+                SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+            UNION ALL SELECT 'childless_orders', CAST((
+                SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT)
+            UNION ALL SELECT 'shipped_before_order', CAST((
+                SELECT count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+            UNION ALL SELECT 'negative_acctbal', CAST((
+                SELECT count(*) FROM customer WHERE c_acctbal < 0)
+                AS BIGINT)
+            UNION ALL SELECT 'high_tax', CAST((
+                SELECT count(*) FROM lineitem WHERE l_tax > 0.06)
+                AS BIGINT)
+            UNION ALL SELECT 'duplicate_orderkeys', CAST((
+                SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+        """,
+        # row-preserving star-schema widening; attribute passthrough
+        # only, so doubles compare exactly.
+        "denormalized_orders": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment,
+                   n_name, r_name
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
         """,
         # global equi-depth boundaries from the exact value histogram
         # (quantile_disc: 0-based rank ceil(q*n) - 1).

@@ -413,3 +413,228 @@ def source_vocab_jaccard(sf_dir: str) -> pa.Table:
         "n_shared": pa.array(shared, pa.int64()),
         "jaccard": pa.array(shared.astype(np.float64) / union,
                             pa.float64())})
+
+
+def data_quality_report(sf_dir: str) -> pa.Table:
+    """DATA-VALIDATION AUDIT: one row per integrity rule with its
+    violation count over the orders/lineitem/customer tables —
+
+      orphan_lineitems      lineitem rows whose l_orderkey has no order
+      childless_orders      orders with zero lineitems
+      shipped_before_order  lineitems with l_shipdate < o_orderdate
+      negative_acctbal      customers with c_acctbal < 0
+      high_tax              lineitems with l_tax > 0.06
+      duplicate_orderkeys   order rows beyond the first per o_orderkey
+
+    The referential rules (orphans / childless / shipped-before / dup
+    keys) all ride ONE tagged-union orderkey exchange (order rows carry
+    o_orderdate, lineitem rows carry l_shipdate): each partition sees
+    complete key groups and emits six scalar partials, so the driver
+    merge is partition-count-sized. The scan rules are per-block
+    combiner counts with no exchange. Mixed zero and non-zero counts by
+    construction, so the oracle comparison is discriminative."""
+    from nise_ray.util import collect_table
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate",
+                                        "l_tax"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_acctbal"])
+
+    # --- scan rules: per-block combiner counts, no exchange ----------
+    def scan_tax(b: pa.Table) -> pa.Table:
+        t = b.column("l_tax").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((t > 0.06).sum())],
+                                       pa.int64())})
+
+    def scan_bal(b: pa.Table) -> pa.Table:
+        a = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([int((a < 0).sum())], pa.int64())})
+
+    n_tax = int(collect_table(
+        li.map_batches(scan_tax, batch_format="pyarrow",
+                       zero_copy_batch=True)).column("n").to_numpy().sum())
+    n_bal = int(collect_table(
+        cust.map_batches(scan_bal, batch_format="pyarrow",
+                         zero_copy_batch=True)).column("n").to_numpy().sum())
+
+    # --- referential rules: one tagged orderkey co-group exchange ----
+    def tag_li(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": b.column("l_orderkey"),
+            "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "ts": b.column("l_shipdate").cast(pa.int64()),
+        })
+
+    def tag_o(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": b.column("o_orderkey"),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "ts": b.column("o_orderdate").cast(pa.int64()),
+        })
+
+    tag_li.__name__, tag_o.__name__ = "TagLineitemDQ", "TagOrdersDQ"
+    both = li.map_batches(tag_li, batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        orders.map_batches(tag_o, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def audit(b: pa.Table) -> pa.Table:
+        cols = ["orphan", "childless", "early_ship", "dup_keys"]
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+        okey = b.column("okey").to_numpy(zero_copy_only=False)
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, okey))       # orders first per key
+        okey, kind, ts = okey[order], kind[order], ts[order]
+        starts, counts = segments(okey)
+        gid = np.repeat(np.arange(len(starts)), counts)
+        is_o = kind == 0
+        n_o = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(n_o, gid[is_o], 1)
+        n_l = counts - n_o
+        orphan = int(n_l[n_o == 0].sum())
+        childless = int(n_o[n_l == 0].sum())   # row semantics, like SQL
+        dup = int(np.maximum(n_o - 1, 0).sum())
+        # per-key order date = first row of the group when it IS an
+        # order (kind sorts orders first); keys with n_o == 0 excluded
+        odate = ts[starts]
+        valid = (n_o > 0)[gid] & ~is_o
+        early = int((valid & (ts < odate[gid])).sum())
+        return pa.table({"orphan": pa.array([orphan], pa.int64()),
+                         "childless": pa.array([childless], pa.int64()),
+                         "early_ship": pa.array([early], pa.int64()),
+                         "dup_keys": pa.array([dup], pa.int64())})
+
+    audit.__name__ = "OrderKeyAudit"
+    parts = collect_table(hash_group_apply(both, ["okey"], audit, 0,
+                                           sort=False))
+    tot = {c: int(parts.column(c).to_numpy().sum())
+           for c in parts.column_names}
+    rules = ["orphan_lineitems", "childless_orders",
+             "shipped_before_order", "negative_acctbal", "high_tax",
+             "duplicate_orderkeys"]
+    vals = [tot["orphan"], tot["childless"], tot["early_ship"],
+            n_bal, n_tax, tot["dup_keys"]]
+    return pa.table({"rule": pa.array(rules, pa.string()),
+                     "n_violations": pa.array(vals, pa.int64())})
+
+
+def denormalized_orders(sf_dir: str, broadcast_max: int = 1_000_000,
+                        mode: str = "auto") -> "ray.data.Dataset":
+    """ROW-PRESERVING star-schema denormalization — the wide-table
+    export a BI/feature store consumes: every order joined to its
+    customer, nation and region attributes with NO aggregation:
+    (o_orderkey, o_totalprice, c_name, c_mktsegment, n_name, r_name).
+
+    Scale shape: nation x region (25 x 5) resolve driver-side into one
+    nationkey-indexed map; the customer attach is broadcast-gated —
+    under the gate a (sorted custkey, attrs) table rides ONE ray.put
+    and the whole export is a zero-exchange task-path map over orders;
+    past the gate (customer is corpus-scale at 100 TB) it degrades to
+    ONE distributed hash join, with the dimension maps still broadcast.
+    mode: auto | broadcast | join (parity-tested)."""
+    from nise_ray.util import collect_table
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name",
+                                          "c_mktsegment", "c_nationkey"])
+
+    nat = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet"))
+    reg = collect_table(ray.data.read_parquet(
+        f"{sf_dir}/region.parquet"))
+    rkeys = reg.column("r_regionkey").to_numpy(zero_copy_only=False)
+    rnames = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    rpos = np.argsort(rkeys)
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    norder = np.argsort(nkeys)
+    nkeys = nkeys[norder]
+    nnames = np.asarray(nat.column("n_name").to_pylist(),
+                        dtype=object)[norder]
+    nregion = nat.column("n_regionkey").to_numpy(
+        zero_copy_only=False)[norder]
+    nrnames = rnames[rpos][np.searchsorted(rkeys[rpos], nregion)]
+    dim_ref = ray.put((nkeys, nnames, nrnames))
+
+    use_broadcast = mode == "broadcast" or (
+        mode == "auto" and cust.count() <= broadcast_max)
+
+    if use_broadcast:
+        t = collect_table(cust)
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        corder = np.argsort(ck)
+        cust_ref = ray.put((
+            ck[corder],
+            t.column("c_name").take(pa.array(corder)),
+            t.column("c_mktsegment").take(pa.array(corder)),
+            t.column("c_nationkey").to_numpy(
+                zero_copy_only=False)[corder]))
+
+        def widen(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "c_name": pa.array([], pa.string()),
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_name": pa.array([], pa.string()),
+                    "r_name": pa.array([], pa.string())})
+            ck, cn, cs, cnat = ray.get(cust_ref)
+            nk, nn, nr = ray.get(dim_ref)
+            if len(ck) == 0:            # empty dimension: inner join -> 0
+                return widen(b.slice(0, 0))
+            key = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ck, key), 0, len(ck) - 1)
+            found = np.flatnonzero(ck[pos] == key)
+            b = b.take(pa.array(found))
+            pos = pos[found]
+            npos = np.searchsorted(nk, cnat[pos])
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "o_totalprice": b.column("o_totalprice"),
+                "c_name": cn.take(pa.array(pos)),
+                "c_mktsegment": cs.take(pa.array(pos)),
+                "n_name": pa.array(nn[npos], pa.string()),
+                "r_name": pa.array(nr[npos], pa.string())})
+
+        widen.__name__ = "DenormalizeOrders"
+        return orders.map_batches(widen, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # distributed path: ONE hash join on custkey, dims still broadcast
+    from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+    _hash_shuffle_on(orders, cust)
+    joined = orders.join(cust, join_type="inner",
+                         on=("o_custkey",), right_on=("c_custkey",),
+                         num_partitions=_join_partitions())
+
+    def attach_dims(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "c_name": pa.array([], pa.string()),
+                "c_mktsegment": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "r_name": pa.array([], pa.string())})
+        nk, nn, nr = ray.get(dim_ref)
+        npos = np.searchsorted(
+            nk, b.column("c_nationkey").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_totalprice": b.column("o_totalprice"),
+            "c_name": b.column("c_name"),
+            "c_mktsegment": b.column("c_mktsegment"),
+            "n_name": pa.array(nn[npos], pa.string()),
+            "r_name": pa.array(nr[npos], pa.string())})
+
+    attach_dims.__name__ = "AttachDims"
+    return joined.map_batches(attach_dims, batch_format="pyarrow",
+                              zero_copy_batch=True)

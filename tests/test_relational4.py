@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["lineitem", "documents"]:
+    for t in ["lineitem", "documents", "orders"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -183,3 +183,26 @@ def test_source_vocab_jaccard_matches_duckdb(ray_session):
     assert len(got) > 0
     assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1)).all()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_data_quality_report_discriminative(ray_session):
+    from nise_ray.ops.relational4 import data_quality_report
+    got = data_quality_report(SF).to_pandas().set_index("rule")
+    # clean referential rules are zero, planted signals are not — the
+    # report must separate them (an all-zeros engine would fail here)
+    assert got.loc["orphan_lineitems", "n_violations"] == 0
+    assert got.loc["duplicate_orderkeys", "n_violations"] == 0
+    assert got.loc["shipped_before_order", "n_violations"] > 0
+    assert got.loc["high_tax", "n_violations"] > 0
+
+
+def test_denormalized_orders_mode_parity(ray_session):
+    from nise_ray.ops.relational4 import denormalized_orders
+    got_b = _sorted(denormalized_orders(SF, mode="broadcast").to_pandas())
+    got_j = _sorted(denormalized_orders(SF, mode="join").to_pandas())
+    pd.testing.assert_frame_equal(got_b, got_j, check_dtype=False,
+                                  check_exact=True)
+    # row-preserving: one row per order (all orders have customers)
+    n_orders = _con().execute(
+        "SELECT count(*) FROM orders").fetchone()[0]
+    assert len(got_b) == n_orders
