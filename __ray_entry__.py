@@ -956,6 +956,16 @@ def _q_global_doc_ranks(sf_dir: str):
     return global_doc_ranks(sf_dir)
 
 
+def _q_user_decay_scores(sf_dir: str):
+    from nise_ray.ops.analytics3 import user_decay_scores
+    return user_decay_scores(sf_dir, half_life_days=7)
+
+
+def _q_source_lang_kl(sf_dir: str):
+    from nise_ray.ops.analytics3 import source_lang_kl
+    return source_lang_kl(sf_dir)
+
+
 def _q_data_quality_report(sf_dir: str):
     from nise_ray.ops.relational4 import data_quality_report
     return data_quality_report(sf_dir)
@@ -984,6 +994,11 @@ def _q_curate_corpus(sf_dir: str):
 def _q_clone_group_representatives(sf_dir: str):
     from nise_ray.ops.dedupx import clone_group_representatives
     return clone_group_representatives(sf_dir)
+
+
+def _q_near_dedup_keep_best(sf_dir: str):
+    from nise_ray.ops.dedupx import near_dedup_keep_best
+    return near_dedup_keep_best(sf_dir)
 
 
 def _q_dsir_weights(sf_dir: str):
@@ -1088,6 +1103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": _q_event_type_affinity,
         "data_quality_report": _q_data_quality_report,
         "denormalized_orders": _q_denormalized_orders,
+        "user_decay_scores": _q_user_decay_scores,
+        "source_lang_kl": _q_source_lang_kl,
         "sliding_windows": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "event_type_pivot": _q_event_type_pivot,
@@ -1123,6 +1140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_docs": _q_containment_pairs,
         "type2_clone_groups": _q_type2_clone_groups,
         "clone_group_representatives": _q_clone_group_representatives,
+        # rows-only: near-dup clustering is not SQL-expressible; keep
+        # policy invariants are tested (one keep per cluster, max chars)
+        "near_dedup_keep_best": _q_near_dedup_keep_best,
         "retention_cohorts": _q_retention_cohorts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "event_anomaly_days": _q_event_anomaly_days,
@@ -2286,6 +2306,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN agg cur ON cur.user_id = e.user_id AND cur.gi = e.gi
             LEFT JOIN agg prev ON prev.user_id = e.user_id
                               AND prev.gi = e.gi - 1
+        """,
+        # recency-weighted engagement over a 28-day trailing window:
+        # every term is cents * 2^(3 - age//7) — an INTEGER-valued
+        # double — so partial sums are exact and accumulation-order-
+        # free; the one final /800 divides identical exact operands in
+        # both engines (bit-exact WITHOUT any rounding heal).
+        "user_decay_scores": """
+            WITH m AS (SELECT date_trunc('day', max(ts)) AS md
+                       FROM events),
+                 e AS (SELECT user_id, value,
+                              date_diff('day', date_trunc('day', ts),
+                                        m.md) AS age
+                       FROM events, m)
+            SELECT user_id,
+                   sum(round(value * 100) * power(2.0, 3 - age // 7))
+                     / 800.0 AS decay_score
+            FROM e
+            WHERE age < 28
+            GROUP BY user_id
+        """,
+        # language-mix drift per source: KL(source || corpus), per-term
+        # op order identical (share divisions then one ln, one multiply).
+        "source_lang_kl": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+                 s AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+                 l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1),
+                 t AS (SELECT sum(n) AS nt FROM c)
+            SELECT c.source, CAST(s.ns AS BIGINT) AS n_docs,
+                   round(sum((CAST(c.n AS DOUBLE) / s.ns)
+                             * ln((CAST(c.n AS DOUBLE) / s.ns)
+                                  / (CAST(l.nl AS DOUBLE) / t.nt))), 4)
+                     AS kl
+            FROM c JOIN s USING (source) JOIN l USING (lang), t
+            GROUP BY c.source, s.ns
         """,
         # integrity audit: one row per rule, mixed zero and non-zero
         # counts; referential rules ride one tagged orderkey co-group.

@@ -478,3 +478,176 @@ def global_doc_ranks(sf_dir: str) -> "ray.data.Dataset":
 
     rank_batch.__name__ = "GlobalRank"
     return hash_group_apply(ds, ["n_chars"], rank_batch, 0, sort=False)
+
+
+def user_decay_scores(sf_dir: str, half_life_days: int = 7,
+                      window_days: int = 28) -> "ray.data.Dataset":
+    """TIME-DECAYED engagement score per user over a TRAILING WINDOW:
+    sum of event values weighted by 0.5^k, k = age_days // half_life,
+    over events at most window_days old (age relative to the corpus
+    max day) — the recency-weighted feature a ranking/churn model
+    consumes. Output: (user_id, decay_score).
+
+    Cross-engine FP contract (no rounding needed): values are cents
+    (round(value*100) — exact small integers), each term is
+    cents * 2^(K - k) with K = (window_days-1)//half_life, i.e. an
+    INTEGER-valued double, so partial sums are exact and
+    accumulation-order-free (< 2^53 headroom: K <= 3 here leaves room
+    for ~10^11 max-value events per user); the final
+    / (100 * 2^K) is ONE division of identical exact operands in both
+    engines — bit-exact by construction. A first attempt weighted by
+    0.5^k directly and healed with round(4): the terms are multiples
+    of 0.01 * 2^-k, so sums land EXACTLY on 4-decimal halfway points
+    and the two engines' summation orders round them apart (16/150
+    users at sf0.01). The window is what bounds K — an unbounded decay
+    over a years-long corpus would need 2^K factors past the 2^53
+    integer range.
+
+    Scale shape: a scalar max-ts combiner pass, then per-block partial
+    (user, sum) combiners -> ONE user-bounded hash exchange -> merge.
+    Nothing event-sized leaves the blocks after the first map."""
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(ts.max())], pa.int64())})
+
+    mt = collect_table(ds.map_batches(max_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    max_day = int(mt.column("m").to_numpy().max()) // US_PER_DAY
+    hl = int(half_life_days)
+    win = int(window_days)
+    kmax = (win - 1) // hl
+    denom = 100.0 * float(np.ldexp(1.0, kmax))
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        age = max_day - ts // US_PER_DAY
+        m = age < win
+        if not m.any():
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        uid, age, v = uid[m], age[m], v[m]
+        cents = np.rint(v * 100.0)
+        term = cents * np.ldexp(1.0, (kmax - age // hl).astype(np.int64))
+        order = np.argsort(uid, kind="stable")
+        starts, _ = segments(uid[order])
+        return pa.table({
+            "user_id": pa.array(uid[order][starts], pa.int64()),
+            "s": pa.array(np.add.reduceat(term[order], starts),
+                          pa.float64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "decay_score": pa.array([], pa.float64())})
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        starts, _ = segments(uid[order])
+        return pa.table({
+            "user_id": pa.array(uid[order][starts], pa.int64()),
+            "decay_score": pa.array(
+                np.add.reduceat(s[order], starts) / denom,
+                pa.float64())})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return hash_group_apply(pre, ["user_id"], merge, 0, sort=False)
+
+
+def source_lang_kl(sf_dir: str, round_to: int = 4) -> pa.Table:
+    """Per-source language-mix drift: KL(source || corpus) over the
+    language distribution — sum_l p_l * ln(p_l / q_l) with p = the
+    source's lang shares and q = the corpus's, summed over the
+    source's OWN languages only (p_l > 0; q_l > 0 whenever p_l > 0 by
+    construction). The mix-shift monitor a multi-source ingestion
+    pipeline alarms on. Output: (source, n_docs, kl).
+
+    Scale shape: ONE (source x lang)-bounded combiner exchange; the KL
+    arithmetic runs on the collected group-count-sized table (sources x
+    langs), never on the corpus. Per-term op order matches the SQL
+    exactly; the per-source sum is rounded (summation-order heal)."""
+    from nise_ray.util import collect_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(b.column("source"),
+                                          b.column("lang"), "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(code, return_counts=True)
+        import pyarrow.compute as pc2
+        parts = pc2.split_pattern(enc.dictionary.take(pa.array(uniq)),
+                                  pattern="\x1f")
+        flat = parts.flatten()
+        return pa.table({
+            "source": flat.take(pa.array(np.arange(0, 2 * len(uniq), 2))),
+            "lang": flat.take(pa.array(np.arange(1, 2 * len(uniq), 2))),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        import pyarrow.compute as pc
+        key = pc.binary_join_element_wise(
+            batch.column("source").cast(pa.string()),
+            batch.column("lang").cast(pa.string()), "\x1f")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(code, kind="stable")
+        starts, _ = segments(code[order])
+        sel = order[starts]
+        return pa.table({
+            "source": batch.column("source").take(pa.array(sel)),
+            "lang": batch.column("lang").take(pa.array(sel)),
+            "n": pa.array(np.add.reduceat(n[order], starts), pa.int64())})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    t = collect_table(hash_group_apply(pre, ["source", "lang"], merge, 0,
+                                       sort=False))
+    src = np.asarray(t.column("source").to_pylist(), dtype=object)
+    lng = np.asarray(t.column("lang").to_pylist(), dtype=object)
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n.sum()
+    # corpus lang shares q_l
+    lorder = np.argsort(lng, kind="stable")
+    lstarts, _ = segments(lng[lorder])
+    lkeys = lng[lorder][lstarts]
+    lsum = np.add.reduceat(n[lorder], lstarts)
+    q = lsum / total
+    qv = q[np.searchsorted(lkeys, lng)]
+    # per-source totals and shares p_l
+    sorder = np.argsort(src, kind="stable")
+    sstarts, scounts = segments(src[sorder])
+    stot = np.add.reduceat(n[sorder], sstarts)
+    p = n[sorder] / np.repeat(stot, scounts)
+    terms = p * np.log(p / qv[sorder])
+    kl = np.round(np.add.reduceat(terms, sstarts), round_to)
+    return pa.table({
+        "source": pa.array(src[sorder][sstarts], pa.string()),
+        "n_docs": pa.array(stot.astype(np.int64), pa.int64()),
+        "kl": pa.array(kl, pa.float64())})

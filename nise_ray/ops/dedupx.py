@@ -661,3 +661,107 @@ def dedup_recall_report(sf_dir: str, tau: float = 0.7,
         "n_hit": pa.array([hit], pa.int64()),
         "recall": pa.array([round(recall, 4)], pa.float64()),
     })
+
+
+def near_dedup_keep_best(sf_dir: str,
+                         cfg: DedupConfig | None = None
+                         ) -> "ray.data.Dataset":
+    """KEEP-BEST policy over NEAR-dup clusters (the minhash pipeline's
+    connected components): every document labeled with its cluster,
+    cluster size, and keep = 1 on the single representative — the
+    member with the most characters, ties broken by min doc_id. This is
+    the selection step a curation pipeline runs after near-dup
+    clustering (keep the richest copy, drop the rest); the exact-dup
+    variant is clone_group_representatives. Rows-only surface
+    (clustering is not SQL-expressible); invariants are tested instead:
+    exactly one keep per cluster, keep maximizes (n_chars, -doc_id).
+
+    Scale shape: the flagship pipeline produces assignments; n_chars
+    attaches via a tagged-union co-group on doc_id (both sides are
+    doc-sized Datasets — no broadcast); the policy pass is ONE
+    cluster_id exchange with a per-segment lexsort pick."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    cfg = cfg or DedupConfig()
+    corpus = corpus_from_documents(sf_dir)
+    res = dedup_pipeline(corpus, cfg)
+    assigns = res.assignments.select_columns(["doc_id", "cluster_id"])
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    # cluster_id is a uint64 min-doc_key hash — NEVER cast to int64
+    # (overflows past 2^63); an explicit side tag orders the co-group
+    # instead of a value sentinel.
+    def tag_a(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "cluster_id": b.column("cluster_id")
+                         .cast(pa.uint64()),
+                         "n_chars": pa.array(
+                             np.zeros(b.num_rows, np.int64), pa.int64()),
+                         "side": pa.array(
+                             np.ones(b.num_rows, np.int64), pa.int64())})
+
+    def tag_d(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "cluster_id": pa.array(
+                             np.zeros(b.num_rows, np.uint64),
+                             pa.uint64()),
+                         "n_chars": b.column("n_chars").cast(pa.int64()),
+                         "side": pa.array(
+                             np.zeros(b.num_rows, np.int64), pa.int64())})
+
+    tag_a.__name__, tag_d.__name__ = "TagAssign", "TagChars"
+    both = assigns.map_batches(tag_a, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        docs.map_batches(tag_d, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    def attach(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.uint64()),
+                          "n_chars": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        side = b.column("side").to_numpy(zero_copy_only=False)
+        # per doc_id group: side=0 is the docs row (n_chars), side=1
+        # the assignment row (cluster_id) — sorted LAST in each pair
+        order = np.lexsort((side, did))
+        did, cl, nc = did[order], cl[order], nc[order]
+        starts, counts = segments(did)
+        if not (counts == 2).all():
+            raise AssertionError("near_dedup_keep_best: doc_id must "
+                                 "appear exactly once per side")
+        return pa.table({
+            "doc_id": pa.array(did[starts], pa.int64()),
+            "cluster_id": pa.array(cl[starts + 1], pa.uint64()),
+            "n_chars": pa.array(nc[starts], pa.int64())})
+
+    attach.__name__ = "AttachChars"
+    labeled = hash_group_apply(both, ["doc_id"], attach, 0, sort=False)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.uint64()),
+                             "cluster_size": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.int64())})
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, cl))
+        did, cl, nc = did[order], cl[order], nc[order]
+        starts, counts = segments(cl)
+        keep = np.zeros(len(order), dtype=np.int64)
+        keep[starts] = 1
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "cluster_id": pa.array(cl, pa.uint64()),
+            "cluster_size": pa.array(np.repeat(counts, counts),
+                                     pa.int64()),
+            "keep": pa.array(keep, pa.int64())})
+
+    pick.__name__ = "ClusterKeepBest"
+    return hash_group_apply(labeled, ["cluster_id"], pick, 0, sort=False)

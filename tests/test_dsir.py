@@ -57,3 +57,23 @@ def test_curate_corpus_composition(ray_session):
     # tail bucket dropped: roughly a third of survivors are gone
     from nise_ray.ops.dsir import perplexity_buckets  # sanity only
     assert 0 < len(got) < 500
+
+
+def test_near_dedup_keep_best_invariants(ray_session):
+    from nise_ray.ops.dedupx import near_dedup_keep_best
+    got = near_dedup_keep_best(SF).to_pandas()
+    assert len(got) == 500                       # every doc labeled
+    per = got.groupby("cluster_id")
+    assert (per["keep"].sum() == 1).all()        # one keep per cluster
+    # the keep row maximizes (n_chars, -doc_id) within its cluster
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, n_chars FROM read_parquet("
+        f"'{SF}/documents.parquet')").fetchdf()
+    j = got.merge(docs, on="doc_id")
+    for cid, grp in j.groupby("cluster_id"):
+        best = grp.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True]).iloc[0]
+        kept = grp[j.loc[grp.index, "keep"] == 1].iloc[0]
+        assert kept["doc_id"] == best["doc_id"]
+    assert (got.groupby("cluster_id")["cluster_size"].first()
+            == per.size()).all()
