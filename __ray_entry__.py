@@ -1001,6 +1001,26 @@ def _q_near_dedup_keep_best(sf_dir: str):
     return near_dedup_keep_best(sf_dir)
 
 
+def _q_cross_dedup_docs(sf_dir: str):
+    from nise_ray.ops.dedupx import cross_dedup_docs
+    return cross_dedup_docs(sf_dir, prefix_chars=200)
+
+
+def _q_urgent_items_bloom(sf_dir: str):
+    from nise_ray.ops.bloom import urgent_items_by_flag
+    return urgent_items_by_flag(sf_dir, use_bloom=True)
+
+
+def _q_hard_negatives(sf_dir: str):
+    from nise_ray.ops.ann import hard_negatives
+    return hard_negatives(sf_dir, n_queries=5, k=10)
+
+
+def _q_blocklist_filter(sf_dir: str):
+    from nise_ray.ops.textstats import blocklist_filter_docs
+    return blocklist_filter_docs(sf_dir)
+
+
 def _q_dsir_weights(sf_dir: str):
     from nise_ray.ops.dsir import dsir_weights
     return dsir_weights(sf_dir, target_lang="en")
@@ -1143,6 +1163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: near-dup clustering is not SQL-expressible; keep
         # policy invariants are tested (one keep per cluster, max chars)
         "near_dedup_keep_best": _q_near_dedup_keep_best,
+        "cross_dedup_docs": _q_cross_dedup_docs,
+        "urgent_items_bloom": _q_urgent_items_bloom,
+        "hard_negatives": _q_hard_negatives,
+        "blocklist_filter_docs": _q_blocklist_filter,
         "retention_cohorts": _q_retention_cohorts,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "event_anomaly_days": _q_event_anomaly_days,
@@ -2325,6 +2349,61 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WHERE age < 28
             GROUP BY user_id
+        """,
+        # cross-corpus dedup: candidate split (odd doc_id) marked when
+        # its 200-char prefix exists in the reference split (even).
+        "cross_dedup_docs": """
+            SELECT d.doc_id,
+                   CAST(EXISTS (SELECT 1 FROM documents r
+                                WHERE r.doc_id % 2 = 0
+                                  AND substr(r.text, 1, 200)
+                                      = substr(d.text, 1, 200))
+                        AS BIGINT) AS in_reference
+            FROM documents d
+            WHERE d.doc_id % 2 = 1
+        """,
+        # bloom-prefiltered semi-join: the bloom stage only shrinks the
+        # confirm exchange, so the plain EXISTS oracle hashes bit-exact
+        # (quantities are integer-valued doubles -> order-free sums).
+        "urgent_items_bloom": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey
+                            AND o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        # C4-style blocklist content gate: integer counts, hash-exact.
+        "blocklist_filter_docs": """
+            SELECT doc_id,
+                   CAST(length(list_filter(
+                       regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                       t -> t IN ('dup', 'deadlock'))) AS BIGINT)
+                     AS n_blocked,
+                   CAST(length(list_filter(
+                       regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                       t -> t IN ('dup', 'deadlock'))) > 0 AS BIGINT)
+                     AS blocked
+            FROM documents
+        """,
+        # contrastive hard-negative mining: top-k most-similar vectors
+        # with a DIFFERENT label; same rounding contract as ann_topk.
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 5)
+            SELECT q.qid AS query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cosine
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+            QUALIFY row_number() OVER (
+                PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                         e.vec_id) <= 10
         """,
         # language-mix drift per source: KL(source || corpus), per-term
         # op order identical (share divisions then one ln, one multiply).

@@ -149,6 +149,68 @@ def _merge_topk(partial: pa.Table, k: int, round_to: int,
     })
 
 
+def hard_negatives(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   round_to: int = 4) -> pa.Table:
+    """Hard-negative mining for embedding-model training: for each query
+    vector (first n_queries by vec_id), the k most-similar vectors with a
+    DIFFERENT label — the near-miss negatives a contrastive trainer
+    wants. Exact cosine, same broadcast-matmul shape as brute_force_topk
+    (query matrix + labels ray.put ONCE, per-batch matmul with the
+    same-label columns masked to -inf before the per-batch pre-top-k);
+    the driver merge stays |queries| x k rows per block at any corpus
+    size. Returns (query_id, vec_id, cosine)."""
+    from nise_ray.ops.groupapply import default_concurrency
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    head = _query_head(ds, n_queries)
+    q_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    q_labels = head.column("label").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_embedding_matrix(head))
+    ref = ray.put((q_ids, q_labels, q_mat))
+
+    class NegScorer:
+        def __init__(self) -> None:
+            self.q_ids, self.q_labels, self.q_mat = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_embedding_matrix(b))
+            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = b.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            sims = m @ self.q_mat.T  # n x q
+            # same-label rows can never be negatives for that query
+            sims[labels[:, None] == self.q_labels[None, :]] = -np.inf
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(self.q_ids)):
+                col = sims[:, j]
+                ok = np.flatnonzero(np.isfinite(col))
+                if len(ok) == 0:
+                    continue
+                keep = ok[np.argpartition(-col[ok],
+                                          min(k, len(ok)) - 1)[:k]] \
+                    if len(ok) > k else ok
+                out_q.append(np.full(len(keep), self.q_ids[j],
+                                     dtype=np.int64))
+                out_v.append(vec_ids[keep])
+                out_s.append(col[keep])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    partial = ds.map_batches(NegScorer, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             concurrency=default_concurrency())
+    return _merge_topk(collect_table(partial), k, round_to,
+                       exclude_self=True)
+
+
 def _srp_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Sign-random-projection bucket codes: one uint64 per (row, table)."""
     bits = (m @ planes.reshape(-1, planes.shape[-1]).T) > 0  # n x (T*B)

@@ -663,6 +663,67 @@ def dedup_recall_report(sf_dir: str, tau: float = 0.7,
     })
 
 
+def cross_dedup_docs(sf_dir: str,
+                     prefix_chars: int = 200) -> "ray.data.Dataset":
+    """CROSS-CORPUS dedup by document-prefix fingerprint: mark every
+    candidate-split document (odd doc_id) whose first ``prefix_chars``
+    characters already appear in the reference split (even doc_id) —
+    the dedup-a-fresh-crawl-against-the-existing-corpus step (CCNet-
+    style prefix keying), which must NOT re-dedup the reference
+    internally. Output: (doc_id, in_reference) for every candidate doc.
+
+    Scale shape: both splits ride ONE exchange keyed on the 64-bit
+    sha256 prefix of the sliced text (the text itself never shuffles);
+    within each block a digest lexsort finds equal-prefix runs and
+    candidates inherit "reference present in my run" vectorized. Split
+    membership derives from doc_id parity, so no side tag is shipped."""
+    from nise_ray.ops.groupapply import hash_group_apply
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def slice_prefix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pa.compute.utf8_slice_codeunits(
+                b.column("text"), start=0, stop=prefix_chars)})
+
+    slice_prefix.__name__ = "PrefixSlice"
+    prepped = ds.map_batches(slice_prefix, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .map_batches(_sha_prep_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "in_reference": pa.array([], pa.int64())})
+        d = [batch.column(c).to_numpy(zero_copy_only=False).astype(U64)
+             for c in ("d0", "d1", "d2", "d3")]
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d[3], d[2], d[1], d[0]))
+        sd = [x[order] for x in d]
+        sids = ids[order]
+        n = len(order)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.logical_or.reduce([x[1:] != x[:-1] for x in sd],
+                             out=change[1:])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        is_ref = (sids % 2 == 0)
+        has_ref = np.repeat(
+            np.add.reduceat(is_ref, starts) > 0, counts)
+        cand = ~is_ref
+        return pa.table({
+            "doc_id": pa.array(sids[cand], pa.int64()),
+            "in_reference": pa.array(
+                has_ref[cand].astype(np.int64), pa.int64())})
+
+    mark.__name__ = "CrossDedupMark"
+    return hash_group_apply(prepped, ["d0"], mark, 0, sort=False)
+
+
 def near_dedup_keep_best(sf_dir: str,
                          cfg: DedupConfig | None = None
                          ) -> "ray.data.Dataset":

@@ -1143,3 +1143,55 @@ def top_tokens_per_lang(sf_dir: str, k: int = 10) -> pa.Table:
 
     return collect_table(hash_group_apply(mid, ["lang"], final, 0,
                                           sort=False))
+
+
+def blocklist_filter_docs(sf_dir: str,
+                          blocklist: tuple[str, ...] = ("dup", "deadlock")
+                          ) -> "ray.data.Dataset":
+    """C4-style blocklist filter: per document, how many tokens hit the
+    blocklist and whether the doc would be dropped — the wordlist-based
+    content gate every web-scale curation pipeline runs first. Output:
+    (doc_id, n_blocked, blocked), tokens = [A-Za-z0-9_]+ runs on RAW
+    text (case-sensitive, same tokenizer as the oracle).
+
+    Scale shape: a stateless vectorized map, ZERO exchange — the
+    blocklist membership test runs once per UNIQUE token in the batch
+    (dictionary encode), then a bincount scatters hits back to rows.
+    The blocklist itself is a closure constant (a few KB); a
+    million-word list would ride ray.put the same way the decontam
+    gram sets do."""
+    import pyarrow.compute as pc
+
+    blocked_set = frozenset(blocklist)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_blocked": pa.array([], pa.int64()),
+                             "blocked": pa.array([], pa.int64())})
+        arr = b.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        lists = pc.split_pattern_regex(arr, pattern=r"[^A-Za-z0-9_]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+        enc = flat.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        hit = np.fromiter((v in blocked_set for v in vocab),
+                          dtype=bool, count=len(vocab))
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        nb = np.bincount(row[hit[idx]], minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_blocked": pa.array(nb, pa.int64()),
+            "blocked": pa.array((nb > 0).astype(np.int64), pa.int64())})
+
+    score.__name__ = "BlocklistFilter"
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
