@@ -471,6 +471,26 @@ def _q_cube_doc_counts(sf_dir: str):
     return cube_doc_counts(sf_dir)
 
 
+def _q_grouping_sets_doc_counts(sf_dir: str):
+    from nise_ray.ops.analytics import grouping_sets_doc_counts
+    return grouping_sets_doc_counts(sf_dir)
+
+
+def _q_redact_docs(sf_dir: str):
+    from nise_ray.ops.analytics4 import redact_docs
+    return redact_docs(sf_dir)
+
+
+def _q_lang_token_char_regression(sf_dir: str):
+    from nise_ray.ops.analytics4 import lang_token_char_regression
+    return lang_token_char_regression(sf_dir)
+
+
+def _q_last_touch_attribution(sf_dir: str):
+    from nise_ray.ops.analytics4 import last_touch_attribution
+    return last_touch_attribution(sf_dir)
+
+
 def _q_lang_char_moments(sf_dir: str):
     from nise_ray.ops.analytics import lang_char_moments
     return lang_char_moments(sf_dir)
@@ -1131,6 +1151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "rollup_doc_counts": _q_rollup_doc_counts,
         "cube_doc_counts": _q_cube_doc_counts,
+        "grouping_sets_doc_counts": _q_grouping_sets_doc_counts,
+        "redact_docs": _q_redact_docs,
+        "lang_token_char_regression": _q_lang_token_char_regression,
+        "last_touch_attribution": _q_last_touch_attribution,
         "lang_char_moments": _q_lang_char_moments,
         "lang_char_skewkurt": _q_lang_char_skewkurt,
         "lang_doc_share": _q_lang_doc_share,
@@ -1979,6 +2003,76 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY CUBE(documents.lang, documents.source)
             ORDER BY 1, 2
+        """,
+        # the two marginals only — a set selection ROLLUP/CUBE cannot
+        # express; grp_id = SQL GROUPING(lang, source) bit mask
+        "grouping_sets_doc_counts": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS grp_id
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source))
+            ORDER BY 1, 2
+        """,
+        # same RE2 engine on both sides (pyarrow.compute and DuckDB both
+        # embed RE2), so rewrites and hit counts agree byte-for-byte
+        "redact_docs": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '[0-9]{4,}',
+                                                 '<NUM>', 'g'),
+                                  '\\bkey\\b', '<KEY>', 'g') AS clean_text,
+                   CAST(length(regexp_extract_all(text, '[0-9]{4,}'))
+                        AS BIGINT) AS n_num,
+                   CAST(length(regexp_extract_all(text, '\\bkey\\b'))
+                        AS BIGINT) AS n_key
+            FROM documents
+        """,
+        # normal equations over EXACT integer moments; floating point
+        # enters at exactly one CAST each for numerator / denominator
+        # (engine mirrors: float(num)/float(den), both correctly
+        # rounded int->double), so the fit hashes bit-exact
+        "lang_token_char_regression": """
+            WITH d AS (SELECT lang,
+                              CAST(length(regexp_extract_all(
+                                  text, '[A-Za-z0-9_]+')) AS BIGINT) AS x,
+                              n_chars AS y
+                       FROM documents),
+                 s AS (SELECT lang, count(*) AS n, sum(x) AS sx,
+                              sum(y) AS sy, sum(x * y) AS sxy,
+                              sum(x * x) AS sxx
+                       FROM d GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n_docs,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                     AS intercept
+            FROM s
+        """,
+        # LEFT-outer as-of SELF-join with NOT-EXISTS tie semantics:
+        # most recent strictly-earlier click, ties broken by max
+        # event_id; purchases with no prior click keep NULLs
+        "last_touch_attribution": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                       FROM events WHERE event_type = 'click'),
+                 ranked AS (
+                    SELECT p.purchase_id, c.click_id, c.cts,
+                           row_number() OVER (
+                               PARTITION BY p.purchase_id
+                               ORDER BY c.cts DESC, c.click_id DESC) AS rn
+                    FROM p JOIN c ON c.user_id = p.user_id
+                                 AND c.cts < p.ts)
+            SELECT p.purchase_id, p.user_id, b.click_id,
+                   CAST(epoch_us(p.ts) - epoch_us(b.cts) AS BIGINT)
+                     AS gap_us
+            FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+                 USING (purchase_id)
         """,
         "lang_char_moments": """
             SELECT lang, count(*) AS n_docs,

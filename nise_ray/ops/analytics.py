@@ -259,6 +259,27 @@ def cube_doc_counts(sf_dir: str) -> pa.Table:
         [("lang", "ascending"), ("source", "ascending")])
 
 
+def grouping_sets_doc_counts(sf_dir: str) -> pa.Table:
+    """GROUPING SETS aggregate — GROUP BY GROUPING SETS ((lang),
+    (source)): the two marginals WITHOUT the finest level or the grand
+    total, a set selection neither ROLLUP nor CUBE can express. grp_id
+    carries SQL's GROUPING(lang, source) bit mask (1 = source
+    aggregated away, 2 = lang aggregated away) so a consumer can tell
+    the levels apart without sniffing sentinels. Derived from the same
+    single group-count-sized finest exchange as ROLLUP/CUBE — arbitrary
+    grouping sets cost ONE corpus pass regardless of how many sets are
+    requested."""
+    finest = _finest_lang_source(sf_dir)
+
+    def with_id(t: pa.Table, gid: int) -> pa.Table:
+        return t.append_column("grp_id",
+                               pa.array([gid] * t.num_rows, pa.int64()))
+
+    return pa.concat_tables([with_id(_coarsen(finest, "lang"), 1),
+                             with_id(_coarsen(finest, "source"), 2)]) \
+        .sort_by([("lang", "ascending"), ("source", "ascending")])
+
+
 def _lang_moments_raw(sf_dir: str) -> pa.Table:
     """Merged per-language moment sums (lang, n, s1, s2) over n_chars —
     the shared first pass of lang_char_moments and doc_zscores. Each

@@ -1,0 +1,188 @@
+"""Round-4 analytics batch 4 vs DuckDB at sf0.001: regex redaction
+(RE2 parity both engines), grouped OLS via exact integer moments,
+GROUPING SETS marginals, and the LEFT-outer as-of self-join
+(last-touch attribution with strict-< and max-event_id tie-breaks)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_redact_docs_bitexact(ray_session):
+    from nise_ray.ops.analytics4 import redact_docs
+    got = _sorted(redact_docs(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '[0-9]{4,}',
+                                             '<NUM>', 'g'),
+                              '\\bkey\\b', '<KEY>', 'g') AS clean_text,
+               CAST(length(regexp_extract_all(text, '[0-9]{4,}'))
+                    AS BIGINT) AS n_num,
+               CAST(length(regexp_extract_all(text, '\\bkey\\b'))
+                    AS BIGINT) AS n_key
+        FROM documents""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    # the keyword rule must actually fire on this corpus
+    assert got["n_key"].sum() > 0
+    assert got.loc[got["n_key"] > 0, "clean_text"] \
+        .str.contains("<KEY>").all()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_redact_word_boundary():
+    """\\bkey\\b must not fire inside larger tokens ('monkey', 'keys')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = pa.array(["key", "monkey keys key", "donkey"])
+    n = pc.count_substring_regex(arr, r"\bkey\b").to_pylist()
+    assert n == [1, 1, 0]
+
+
+def test_lang_token_char_regression_bitexact(ray_session):
+    from nise_ray.ops.analytics4 import lang_token_char_regression
+    got = _sorted(lang_token_char_regression(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH d AS (SELECT lang,
+                          CAST(length(regexp_extract_all(
+                              text, '[A-Za-z0-9_]+')) AS BIGINT) AS x,
+                          n_chars AS y
+                   FROM documents),
+             s AS (SELECT lang, count(*) AS n, sum(x) AS sx,
+                          sum(y) AS sy, sum(x * y) AS sxy,
+                          sum(x * x) AS sxx
+                   FROM d GROUP BY lang)
+        SELECT lang, CAST(n AS BIGINT) AS n_docs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        FROM s""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    # bit-exact, not tolerance: the whole point of the int-moment design
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # sanity: chars-per-token slope is positive and plausible
+    assert (got["slope"] > 0).all()
+
+
+def test_grouping_sets_doc_counts(ray_session):
+    from nise_ray.ops.analytics import grouping_sets_doc_counts
+    got = _sorted(grouping_sets_doc_counts(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang, source) AS BIGINT) AS grp_id
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source))""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    # exactly the two marginals, no finest level, no grand total
+    assert set(got["grp_id"].unique()) == {1, 2}
+    assert not ((got["lang"] == "ALL") & (got["source"] == "ALL")).any()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_last_touch_attribution_bitexact(ray_session):
+    from nise_ray.ops.analytics4 import last_touch_attribution
+    got = _sorted(last_touch_attribution(SF).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+             ranked AS (
+                SELECT p.purchase_id, c.click_id, c.cts,
+                       row_number() OVER (
+                           PARTITION BY p.purchase_id
+                           ORDER BY c.cts DESC, c.click_id DESC) AS rn
+                FROM p JOIN c ON c.user_id = p.user_id AND c.cts < p.ts)
+        SELECT p.purchase_id, p.user_id, b.click_id,
+               CAST(epoch_us(p.ts) - epoch_us(b.cts) AS BIGINT) AS gap_us
+        FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+             USING (purchase_id)""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_last_touch_tie_and_null_semantics(ray_session):
+    """Crafted stream: a click AT the purchase ts must NOT attribute
+    (strict <); two clicks tying on ts attribute to the larger
+    event_id; a purchase with no prior click keeps NULLs."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics4 import last_touch_attribution
+    us = 1_000_000
+    rows = [
+        # user 1: tie on ts=5s between clicks 11/12 -> attribute 12
+        (10, 5 * us, 1, "click"), (11, 5 * us, 1, "click"),
+        (12, 5 * us, 1, "click"), (13, 9 * us, 1, "purchase"),
+        # user 2: click exactly AT purchase ts -> no attribution
+        (20, 7 * us, 2, "click"), (21, 7 * us, 2, "purchase"),
+        # user 3: purchase with no clicks at all
+        (30, 1 * us, 3, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = last_touch_attribution(d).to_pandas() \
+            .set_index("purchase_id").sort_index()
+    assert got.loc[13, "click_id"] == 12
+    assert got.loc[13, "gap_us"] == 4 * us
+    assert pd.isna(got.loc[21, "click_id"])
+    assert pd.isna(got.loc[30, "click_id"])
+
+
+def test_last_touch_fallback_parity():
+    """The narrow-encoding fast path and the per-user fallback sweep
+    must produce identical attributions on the same block (ties on ts
+    included) — kernel-level, no Ray needed."""
+    import pyarrow as pa
+
+    from nise_ray.ops.analytics4 import _attribute_block
+
+    rng = np.random.default_rng(7)
+    n = 400
+    batch = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n) * 1_000_000,
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            rng.choice(["click", "purchase"], n).tolist(), pa.string()),
+    })
+    fast = _attribute_block(batch).to_pandas()
+    slow = _attribute_block(batch, _headroom=1).to_pandas()
+    key = ["purchase_id"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert len(fast) > 0 and fast["click_id"].notna().sum() > 0
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)
