@@ -392,6 +392,21 @@ def _q_token_jaccard(sf_dir: str):
     return token_jaccard_pairs(sf_dir, tau=0.5)
 
 
+def _q_weighted_jaccard(sf_dir: str):
+    from nise_ray.ops.weightedjoin import weighted_jaccard_pairs
+    return weighted_jaccard_pairs(sf_dir, tau=0.5)
+
+
+def _q_weighted_minhash(sf_dir: str):
+    from nise_ray.ops.weightedjoin import weighted_minhash_pairs
+    return weighted_minhash_pairs(sf_dir, tau=0.5)
+
+
+def _q_weighted_recall_report(sf_dir: str):
+    from nise_ray.ops.weightedjoin import weighted_recall_report
+    return weighted_recall_report(sf_dir, tau=0.5)
+
+
 def _q_source_overlap(sf_dir: str):
     from nise_ray.ops.simjoin import source_overlap_pairs
     return source_overlap_pairs(sf_dir, tau=0.5)
@@ -1062,6 +1077,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment_docs": _q_substring_containment,
         "substring_pairs_sa": _q_substring_pairs_sa,
         "token_jaccard_pairs_docs": _q_token_jaccard,
+        "weighted_jaccard_pairs_docs": _q_weighted_jaccard,
+        # rows-only: probabilistic CWS-LSH candidates (exact verify, so
+        # no false positives; recall measured by weighted_recall_report)
+        "weighted_minhash_pairs": _q_weighted_minhash,
+        "weighted_recall_report": _q_weighted_recall_report,
         "source_overlap_pairs": _q_source_overlap,
         "decontaminate_docs": _q_decontaminate,
         "dedup_flagship": _q_dedup_flagship,
@@ -1288,6 +1308,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz su ON su.doc_id = u
             JOIN sz sv ON sv.doc_id = v
             WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
+            ORDER BY 1, 2
+        """,
+        # WEIGHTED (term-frequency multiset) Jaccard self-join — the
+        # TF-sensitive sibling of token_jaccard_pairs_docs. jw is ONE
+        # double division of exact int64s in both engines, so even the
+        # float column hashes bit-exact
+        "weighted_jaccard_pairs_docs": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS w
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               text, '[A-Za-z0-9_]+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tot
+                  FROM tf GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                         CAST(sum(least(a.w, b.w)) AS BIGINT) AS m
+                  FROM tf a JOIN tf b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT i.u AS doc_id_u, i.v AS doc_id_v, i.m AS w_inter,
+                   su.tot + sv.tot - i.m AS w_union,
+                   CAST(i.m AS DOUBLE)
+                     / CAST(su.tot + sv.tot - i.m AS DOUBLE) AS jw
+            FROM i JOIN s su ON su.doc_id = i.u
+                   JOIN s sv ON sv.doc_id = i.v
+            WHERE CAST(i.m AS DOUBLE)
+                    / CAST(su.tot + sv.tot - i.m AS DOUBLE) >= 0.5
             ORDER BY 1, 2
         """,
         # fork/source-overlap detection: the token-Jaccard near-dup pairs

@@ -1,0 +1,594 @@
+"""WEIGHTED (TF-multiset) similarity self-join family over `documents`.
+
+The unweighted token-Jaccard join (ops/simjoin.py) treats a token that
+appears 40 times the same as one that appears once — wrong for code
+corpora, where boilerplate files differ exactly in how often the same
+identifiers repeat. Weighted Jaccard over term frequencies,
+
+    J_w(a, b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))
+              = m / (S_a + S_b - m),   m = Σ min,  S = Σ tf  (doc length),
+
+is the standard fix (and what weighted-MinHash sketches estimate).
+
+Three operators:
+
+- ``weighted_jaccard_pairs``: EXACT, fully oracled. The prefix-filter
+  theorem generalizes: J_w >= tau implies m >= tau*S_a (proof:
+  m(1+tau) >= tau(S_a+S_b) >= tau(S_a+m) since S_b >= m), so if two
+  docs share no token in a's WEIGHT-prefix — the shortest rarest-first
+  token run whose cumulative weight reaches S_a - ceil(tau*S_a) + 1,
+  leaving suffix weight < tau*S_a — the pair cannot qualify. Plan
+  mirrors simjoin: one vocab-sized df exchange (broadcast/join/auto
+  mode-gated), weight-prefix explode, per-token candidate buckets with
+  the size filter min(S) >= tau*max(S), (u,v) distinct, distributed
+  exact multiset verify. Output (doc_id_u, doc_id_v, w_inter, w_union,
+  jw) — the int columns are exact and jw is ONE double division of
+  exact ints, so the DuckDB oracle hashes bit-exact.
+
+- ``weighted_minhash_pairs``: the probabilistic 100-TB path — Ioffe's
+  Consistent Weighted Sampling (ICDM 2010): per hash k each token
+  draws (r, c, beta) from splitmix64-derived uniforms, the doc samples
+  argmin_t c/(y*e^r) with y = e^(r*(floor(ln w/r + beta) - beta)), and
+  Pr[sample_a == sample_b] = J_w exactly. Signatures band into LSH
+  buckets exactly like the MinHash path; candidates are verified with
+  the SAME exact multiset verifier, so output pairs are never false
+  positives — recall is the only probabilistic quantity.
+
+- ``weighted_recall_report``: measured recall of the CWS-LSH path
+  against the exact join — the same falsification surface as
+  ann_recall_report / dedup_recall_report.
+
+Scale contracts: df pass is combiner-shaped (vocab-sized exchange, no
+token instances); the prefix explode moves O((1-tau) * corpus weight)
+rows; hot boilerplate tokens have high df and rarely enter a prefix, so
+the inverted-index skew is filtered by construction; the verify state
+is bounded by the PAIR set, not the corpus. CWS signing is one actor
+pool doing K vectorized passes per batch — no exchange until the band
+explode, which is the one keyed shuffle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from nise_ray.hashing import U64, band_keys, splitmix64
+from nise_ray.ops.normalize import TokenHasher, batch_token_hashes
+from nise_ray.ops.simjoin import _DfPartial, _df_merge_batch, _ranges
+
+_EMPTY_WPAIRS = pa.schema([
+    ("doc_id_u", pa.int64()), ("doc_id_v", pa.int64()),
+    ("w_inter", pa.int64()), ("w_union", pa.int64()),
+    ("jw", pa.float64()),
+])
+
+
+def _row_token_tf(col, hasher: TokenHasher):
+    """text column -> per-row (distinct token hashes, tf per entry,
+    offsets, total weight per row). Raw-text tokenization to match the
+    oracle; one batched split+hash, one lexsort — no per-row Python."""
+    flat_h, offs, _ = batch_token_hashes(col, hasher, normalize=False)
+    n = len(offs) - 1
+    tot = np.diff(offs)  # S per row = token instances
+    if len(flat_h) == 0:
+        return (np.empty(0, U64), np.empty(0, np.int64),
+                np.zeros(n + 1, np.int64), tot)
+    row = np.repeat(np.arange(n, dtype=np.int64), tot)
+    order = np.lexsort((flat_h, row))
+    f, r = flat_h[order], row[order]
+    new = np.ones(len(f), dtype=bool)
+    new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, len(f)))
+    uf, urow = f[starts], r[starts]
+    ucnt = np.bincount(urow, minlength=n).astype(np.int64)
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ucnt, out=uoffs[1:])
+    return uf, tf.astype(np.int64), uoffs, tot.astype(np.int64)
+
+
+def _wprefix_targets(tot: np.ndarray, tau: float) -> np.ndarray:
+    """Required prefix WEIGHT per row: S - ceil(tau*S) + 1 (suffix then
+    weighs <= ceil(tau*S) - 1 < tau*S). 0 for empty rows."""
+    t = tot - np.ceil(np.round(tau * tot, 9)).astype(np.int64) + 1
+    return np.where(tot > 0, t, 0)
+
+
+def _wprefix_select(uf, tf, dfv, uoffs, ucnt, tot, tau):
+    """Weight-prefix selection, one batch-wide lexsort: per row keep the
+    shortest (df asc, tok asc)-ordered run whose cumulative tf reaches
+    the target. Returns (flat indices into row-major order, row ids)."""
+    n = len(ucnt)
+    row = np.repeat(np.arange(n, dtype=np.int64), ucnt)
+    order = np.lexsort((uf, dfv, row))
+    tfo = tf[order]
+    cw_ex = np.cumsum(tfo) - tfo  # exclusive, global
+    safe = np.minimum(uoffs[:-1], max(len(cw_ex) - 1, 0))
+    base = cw_ex[safe] if len(cw_ex) else np.zeros(n, np.int64)
+    ex_in_row = cw_ex - np.repeat(base, ucnt)
+    keep = ex_in_row < np.repeat(_wprefix_targets(tot, tau), ucnt)
+    return order[keep], row[keep]
+
+
+class _WDfPartial(_DfPartial):
+    """df combiner over the weighted path's distinct-token extraction —
+    df counts DOCS containing a token (weights don't change df)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        uf, _, _, _ = _row_token_tf(b.column("text"), self.hasher)
+        if len(uf) == 0:
+            return pa.table({"tok": pa.array([], pa.uint64()),
+                             "df": pa.array([], pa.int64())})
+        uniq, counts = np.unique(uf, return_counts=True)
+        return pa.table({"tok": pa.array(uniq, pa.uint64()),
+                         "df": pa.array(counts, pa.int64())})
+
+
+_PREFIX_SCHEMA = pa.schema([("tok", pa.uint64()), ("doc_id", pa.int64()),
+                            ("s_tot", pa.int64())])
+
+
+class _WPrefixExplodeBroadcast:
+    """Weight-prefix explode with the broadcast (tok -> df) map."""
+
+    def __init__(self, df_ref, tau: float) -> None:
+        self.toks, self.dfs = ray.get(df_ref)
+        self.tau = tau
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        uf, tf, uoffs, tot = _row_token_tf(b.column("text"), self.hasher)
+        if len(uf) == 0:
+            return _PREFIX_SCHEMA.empty_table()
+        ucnt = np.diff(uoffs)
+        dfv = self.dfs[np.searchsorted(self.toks, uf)]
+        sel, rk = _wprefix_select(uf, tf, dfv, uoffs, ucnt, tot, self.tau)
+        return pa.table({"tok": pa.array(uf[sel], pa.uint64()),
+                         "doc_id": pa.array(ids[rk], pa.int64()),
+                         "s_tot": pa.array(tot[rk], pa.int64())})
+
+
+class _WExplodeAllTokens:
+    """(doc_id, text) -> (tok, tf, doc_id, s_tot) per DISTINCT token;
+    feeds the distributed df join path."""
+
+    def __init__(self) -> None:
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        uf, tf, uoffs, tot = _row_token_tf(b.column("text"), self.hasher)
+        ucnt = np.diff(uoffs)
+        row = np.repeat(np.arange(len(ucnt), dtype=np.int64), ucnt)
+        return pa.table({"tok": pa.array(uf, pa.uint64()),
+                         "tf": pa.array(tf, pa.int64()),
+                         "doc_id": pa.array(ids[row], pa.int64()),
+                         "s_tot": pa.array(tot[row], pa.int64())})
+
+
+def _wexplode_all_task(b: pa.Table) -> pa.Table:
+    """Task-path _WExplodeAllTokens (join pools + actor pools deadlock
+    small clusters — same rationale as simjoin._explode_all_tokens_task)."""
+    return _WExplodeAllTokens()(b)
+
+
+def _wprefix_regroup_batch(tau: float):
+    """Block fn for the df-join path: complete doc_id groups of
+    (doc_id, tok, tf, s_tot, df) rows -> weight-prefix per doc."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PREFIX_SCHEMA.empty_table()
+        from nise_ray.ops.groupapply import segments
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        st = batch.column("s_tot").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        o = np.argsort(ids, kind="stable")
+        ids, toks, tf, st, dfv = ids[o], toks[o], tf[o], st[o], dfv[o]
+        starts, ucnt = segments(ids)
+        uoffs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(ucnt, out=uoffs[1:])
+        tot = st[starts]
+        sel, rk = _wprefix_select(toks, tf, dfv, uoffs, ucnt, tot, tau)
+        return pa.table({"tok": pa.array(toks[sel], pa.uint64()),
+                         "doc_id": pa.array(ids[starts][rk], pa.int64()),
+                         "s_tot": pa.array(tot[rk], pa.int64())})
+
+    return fn
+
+
+def _pair_gen_weighted(tau: float):
+    """Candidate pairs per token bucket with the weighted size filter
+    min(S_u, S_v) >= tau * max(S_u, S_v) (follows from m >= tau*S and
+    m <= min(S))."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from nise_ray.ops.groupapply import segments
+        if batch.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        st = batch.column("s_tot").to_numpy(zero_copy_only=False)
+        starts, counts = segments(tok)
+        us, vs = [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            gid, gst = ids[s:s + c], st[s:s + c]
+            o = np.argsort(gid)
+            gid, gst = gid[o], gst[o]
+            ii, jj = np.triu_indices(len(gid), k=1)
+            lo = np.minimum(gst[ii], gst[jj])
+            hi = np.maximum(gst[ii], gst[jj])
+            keep = lo.astype(np.float64) >= tau * hi
+            if keep.any():
+                us.append(gid[ii[keep]])
+                vs.append(gid[jj[keep]])
+        if not us:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    return fn
+
+
+def _distinct_uv(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (u[order][1:] != u[order][:-1]) | \
+                (v[order][1:] != v[order][:-1])
+    return batch.take(pa.array(order[first]))
+
+
+class _VerifyWeighted:
+    """Distributed exact multiset verification: per batch of candidate
+    pairs, gather both endpoints' (tok, tf) lists from the broadcast
+    needed-docs map; m = Σ min(tf) over shared tokens via ONE lexsort +
+    adjacent-duplicate scan (each (pair, tok) run has exactly two
+    entries when shared — per-doc tokens are distinct)."""
+
+    def __init__(self, map_ref, tau: float) -> None:
+        (self.ids, self.flat_tok, self.flat_tf,
+         self.offs, self.tot) = ray.get(map_ref)
+        self.tau = tau
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_WPAIRS.empty_table()
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        hi = max(len(self.ids) - 1, 0)
+        iu = np.clip(np.searchsorted(self.ids, u), 0, hi)
+        iv = np.clip(np.searchsorted(self.ids, v), 0, hi)
+        if not ((self.ids[iu] == u).all() and (self.ids[iv] == v).all()):
+            raise AssertionError("pair endpoint missing from tf map")
+        cu = self.offs[iu + 1] - self.offs[iu]
+        cv = self.offs[iv + 1] - self.offs[iv]
+        npair = len(u)
+        pair_idx = np.arange(npair, dtype=np.int64)
+        a_idx = _ranges(self.offs[iu], cu)
+        b_idx = _ranges(self.offs[iv], cv)
+        all_pair = np.concatenate([np.repeat(pair_idx, cu),
+                                   np.repeat(pair_idx, cv)])
+        all_tok = np.concatenate([self.flat_tok[a_idx],
+                                  self.flat_tok[b_idx]])
+        all_tf = np.concatenate([self.flat_tf[a_idx], self.flat_tf[b_idx]])
+        order = np.lexsort((all_tok, all_pair))
+        ps, hs, ws = all_pair[order], all_tok[order], all_tf[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        contrib = np.minimum(ws[1:], ws[:-1])
+        m = np.bincount(ps[1:][dup], weights=contrib[dup],
+                        minlength=npair).astype(np.int64)
+        su, sv = self.tot[iu], self.tot[iv]
+        w_union = su + sv - m
+        # ONE double division of exact ints — identical to the SQL
+        jw = np.divide(m.astype(np.float64), w_union.astype(np.float64))
+        keep = jw >= self.tau
+        return pa.table({
+            "doc_id_u": pa.array(u[keep], pa.int64()),
+            "doc_id_v": pa.array(v[keep], pa.int64()),
+            "w_inter": pa.array(m[keep], pa.int64()),
+            "w_union": pa.array(w_union[keep], pa.int64()),
+            "jw": pa.array(jw[keep], pa.float64()),
+        })
+
+
+def _gather_tf_map(docs: "ray.data.Dataset", needed: np.ndarray):
+    """Broadcast (doc_id-sorted ids, flat toks, flat tfs, offsets,
+    totals) for the needed docs — bounded by the pair set, not the
+    corpus."""
+    from nise_ray.ops.groupapply import default_concurrency
+    from nise_ray.util import collect_table
+
+    needed_ref = ray.put(needed)
+
+    class Gather:
+        def __init__(self) -> None:
+            self.needed = ray.get(needed_ref)
+            self.hasher = TokenHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.needed, ids), 0,
+                          max(len(self.needed) - 1, 0))
+            rows = np.flatnonzero(self.needed[pos] == ids)
+            if len(rows) == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "toks": pa.array([], pa.large_list(pa.uint64())),
+                    "tfs": pa.array([], pa.large_list(pa.int64())),
+                    "tot": pa.array([], pa.int64())})
+            sel = b.take(pa.array(rows))
+            uf, tf, uoffs, tot = _row_token_tf(sel.column("text"),
+                                               self.hasher)
+            return pa.table({
+                "doc_id": sel.column("doc_id"),
+                "toks": pa.LargeListArray.from_arrays(
+                    pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
+                "tfs": pa.LargeListArray.from_arrays(
+                    pa.array(uoffs, pa.int64()), pa.array(tf, pa.int64())),
+                "tot": pa.array(tot, pa.int64())})
+
+    got = collect_table(docs.map_batches(
+        Gather, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()))
+    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
+    tl = got.column("toks").combine_chunks()
+    fl = got.column("tfs").combine_chunks()
+    g_tok = tl.flatten().to_numpy(zero_copy_only=False).astype(U64)
+    g_tf = fl.flatten().to_numpy(zero_copy_only=False)
+    g_offs = np.asarray(tl.offsets, dtype=np.int64) - tl.offset
+    order = np.argsort(gids)
+    cnts = np.diff(g_offs)[order]
+    rng = _ranges(g_offs[:-1][order], cnts)
+    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs_sorted[1:])
+    tot = got.column("tot").to_numpy(zero_copy_only=False)[order]
+    return ray.put((gids[order], g_tok[rng], g_tf[rng], offs_sorted,
+                    tot.astype(np.int64)))
+
+
+def _verify_pairs_ds(docs, pairs_ds, tau: float) -> pa.Table:
+    """Shared tail: needed-endpoint gather + distributed exact verify +
+    canonical sort (pair-set-sized)."""
+    from nise_ray.ops.groupapply import default_concurrency
+    from nise_ray.util import collect_table
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        e = np.unique(np.concatenate([
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False)]))
+        return pa.table({"doc_id": pa.array(e, pa.int64())})
+
+    ep = collect_table(pairs_ds.map_batches(endpoints,
+                                            batch_format="pyarrow"))
+    if ep.num_rows == 0:
+        return _EMPTY_WPAIRS.empty_table()
+    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
+    map_ref = _gather_tf_map(docs, needed)
+    verified = pairs_ds.map_batches(
+        _VerifyWeighted, fn_constructor_args=(map_ref, tau),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency())
+    out = collect_table(verified)
+    if out.num_rows == 0:
+        return _EMPTY_WPAIRS.empty_table()
+    return out.sort_by([("doc_id_u", "ascending"),
+                        ("doc_id_v", "ascending")])
+
+
+def weighted_jaccard_pairs(sf_dir: str, tau: float = 0.5,
+                           df_mode: str = "auto",
+                           df_broadcast_max: int = 10_000_000) -> pa.Table:
+    """All document pairs with exact WEIGHTED (term-frequency) Jaccard
+    >= tau, as (doc_id_u, doc_id_v, w_inter, w_union, jw), sorted by
+    (u, v). See module docstring for the weight-prefix-filtered plan;
+    df_mode gates the (tok -> df) attach exactly like simjoin."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    partials = docs.map_batches(_WDfPartial, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+    df_ds = hash_group_apply(partials, ["tok"], _df_merge_batch).materialize()
+    if df_mode == "auto":
+        df_mode = "broadcast" if df_ds.count() <= df_broadcast_max else "join"
+
+    if df_mode == "broadcast":
+        from nise_ray.util import collect_table
+        df_t = collect_table(df_ds)
+        toks = df_t.column("tok").to_numpy(zero_copy_only=False).astype(U64)
+        order = np.argsort(toks)
+        df_ref = ray.put((toks[order],
+                          df_t.column("df").to_numpy(
+                              zero_copy_only=False)[order]))
+        prefix = docs.map_batches(
+            _WPrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency())
+    elif df_mode == "join":
+        from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        full = docs.map_batches(_wexplode_all_task, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        _hash_shuffle_on(full, df_ds)
+        joined = full.join(df_ds, join_type="inner",
+                           num_partitions=_join_partitions(), on=("tok",))
+        prefix = hash_group_apply(joined, ["doc_id"],
+                                  _wprefix_regroup_batch(tau), sort=False)
+    else:
+        raise ValueError(f"unknown df_mode {df_mode!r}")
+
+    cands = hash_group_apply(prefix, ["tok"], _pair_gen_weighted(tau))
+    pairs_ds = hash_group_apply(cands, ["u", "v"], _distinct_uv,
+                                sort=False).materialize()
+    return _verify_pairs_ds(docs, pairs_ds, tau)
+
+
+# ---------------------------------------------------------------------------
+# CWS (Ioffe 2010) weighted-MinHash LSH path
+# ---------------------------------------------------------------------------
+
+_TWO_NEG53 = np.float64(2.0) ** -53
+
+
+def _unit(h: np.ndarray) -> np.ndarray:
+    """uint64 -> uniform in (0, 1): top 53 bits + half-ulp offset (never
+    0 or 1, so every log below is finite)."""
+    return ((h >> U64(11)).astype(np.float64) + 0.5) * _TWO_NEG53
+
+
+def cws_signatures(uf: np.ndarray, tf: np.ndarray, uoffs: np.ndarray,
+                   k: int, seed: int = 0x5EED) -> np.ndarray:
+    """Consistent Weighted Sampling signatures (Ioffe, ICDM 2010) for
+    rows of (distinct token, integer weight) multisets: uint64[n, k]
+    with Pr[sig_a[j] == sig_b[j]] = J_w(a, b) per component. Rows with
+    no tokens get signature 0 (callers exclude them from pairing).
+
+    Per hash j and token t: r, c ~ Gamma(2,1) (= -ln(u1*u2)), beta ~
+    U(0,1), all from splitmix64 streams keyed on (token hash, j) — the
+    'consistent' part: the same token draws the same randomness in
+    every document. t_j = floor(ln w / r + beta); y = exp(r*(t_j -
+    beta)); sample the token minimizing a = c / (y * e^r); the emitted
+    component hashes (token, t_j) so equal samples collide iff both the
+    token AND its quantized level agree."""
+    n = len(uoffs) - 1
+    sig = np.zeros((n, k), dtype=U64)
+    if len(uf) == 0:
+        return sig
+    ucnt = np.diff(uoffs)
+    nz = ucnt > 0
+    starts_nz = uoffs[:-1][nz]
+    row = np.repeat(np.arange(n, dtype=np.int64), ucnt)
+    lnw = np.log(tf.astype(np.float64))
+    with np.errstate(over="ignore"):
+        base = uf * U64(0x9E3779B97F4A7C15)
+        for j in range(k):
+            h = splitmix64(base ^ splitmix64(U64(seed + 1_000_003 * j)))
+            u1 = _unit(h)
+            h = splitmix64(h)
+            u2 = _unit(h)
+            h = splitmix64(h)
+            u3 = _unit(h)
+            h = splitmix64(h)
+            u4 = _unit(h)
+            h = splitmix64(h)
+            beta = _unit(h)
+            r = -np.log(u1 * u2)
+            c = -np.log(u3 * u4)
+            tj = np.floor(lnw / r + beta)
+            # ln a = ln c - r*(tj - beta) - r  (monotone in a; min ln a)
+            lna = np.log(c) - r * (tj - beta) - r
+            order = np.lexsort((lna, row))
+            arg = order[starts_nz]  # per-row argmin (row blocks align)
+            comp = splitmix64(uf[arg] ^ splitmix64(
+                tj[arg].astype(np.int64).astype(U64)))
+            sig[nz, j] = comp
+    return sig
+
+
+def weighted_minhash_pairs(sf_dir: str, tau: float = 0.5, k: int = 126,
+                           bands: int = 42) -> pa.Table:
+    """Weighted near-duplicate pairs via CWS-LSH: sign (actor pool, K
+    vectorized CWS passes per batch), band into buckets (one keyed
+    exchange — threshold J* ~ (1/bands)^(rows_per_band/k)), candidate
+    pairs per bucket, (u,v) distinct, then EXACT multiset verify (same
+    verifier as weighted_jaccard_pairs) — zero false positives; recall
+    is measured by weighted_recall_report. Same output contract as the
+    exact join.
+
+    Default banding k=126 / bands=42 (3 rows per band): CWS collision
+    probability per component is exactly J_w, so expected recall at
+    J_w = tau = 0.5 is 1 - (1 - 0.5^3)^42 ~ 0.996 (bucket threshold
+    J* = (1/42)^(1/3) ~ 0.29 — the looser threshold buys recall at the
+    boundary; the size filter and the exact verifier keep the extra
+    candidates cheap)."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+
+    assert k % bands == 0
+    rows_per_band = k // bands
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    class Sign:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            uf, tf, uoffs, tot = _row_token_tf(b.column("text"),
+                                               self.hasher)
+            sig = cws_signatures(uf, tf, uoffs, k)
+            nz = np.diff(uoffs) > 0
+            keys = band_keys(sig[nz], bands, rows_per_band)
+            return pa.table({
+                "bkey": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids[nz], bands), pa.int64()),
+                "s_tot": pa.array(np.repeat(tot[nz], bands), pa.int64()),
+            })
+
+    exploded = docs.map_batches(Sign, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        from nise_ray.ops.groupapply import segments
+        if batch.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        key = batch.column("bkey").to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        st = batch.column("s_tot").to_numpy(zero_copy_only=False)
+        starts, counts = segments(key)
+        us, vs = [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            gid, gst = ids[s:s + c], st[s:s + c]
+            o = np.argsort(gid)
+            gid, gst = gid[o], gst[o]
+            ii, jj = np.triu_indices(len(gid), k=1)
+            lo = np.minimum(gst[ii], gst[jj])
+            hi = np.maximum(gst[ii], gst[jj])
+            keep = (gid[ii] != gid[jj]) & \
+                   (lo.astype(np.float64) >= tau * hi)
+            if keep.any():
+                us.append(gid[ii[keep]])
+                vs.append(gid[jj[keep]])
+        if not us:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    cands = hash_group_apply(exploded, ["bkey"], bucket_pairs)
+    pairs_ds = hash_group_apply(cands, ["u", "v"], _distinct_uv,
+                                sort=False).materialize()
+    return _verify_pairs_ds(docs, pairs_ds, tau)
+
+
+def weighted_recall_report(sf_dir: str, tau: float = 0.5) -> pa.Table:
+    """Measured recall of the CWS-LSH path against the exact
+    weight-prefix join: (n_true, n_lsh, n_hit, recall). Precision is
+    1.0 by construction (both paths share the exact verifier)."""
+    exact = weighted_jaccard_pairs(sf_dir, tau=tau)
+    lsh = weighted_minhash_pairs(sf_dir, tau=tau)
+
+    def keyset(t: pa.Table) -> set:
+        return set(zip(t.column("doc_id_u").to_pylist(),
+                       t.column("doc_id_v").to_pylist()))
+
+    te, tl = keyset(exact), keyset(lsh)
+    hit = len(te & tl)
+    recall = float(hit) / len(te) if te else 1.0
+    return pa.table({"n_true": pa.array([len(te)], pa.int64()),
+                     "n_lsh": pa.array([len(tl)], pa.int64()),
+                     "n_hit": pa.array([hit], pa.int64()),
+                     "recall": pa.array([recall], pa.float64())})
