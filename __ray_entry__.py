@@ -392,6 +392,11 @@ def _q_token_jaccard(sf_dir: str):
     return token_jaccard_pairs(sf_dir, tau=0.5)
 
 
+def _q_jaccard_components(sf_dir: str):
+    from nise_ray.ops.simjoin import jaccard_components
+    return jaccard_components(sf_dir, tau=0.8)
+
+
 def _q_weighted_jaccard(sf_dir: str):
     from nise_ray.ops.weightedjoin import weighted_jaccard_pairs
     return weighted_jaccard_pairs(sf_dir, tau=0.5)
@@ -1077,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_containment_docs": _q_substring_containment,
         "substring_pairs_sa": _q_substring_pairs_sa,
         "token_jaccard_pairs_docs": _q_token_jaccard,
+        "jaccard_components": _q_jaccard_components,
         "weighted_jaccard_pairs_docs": _q_weighted_jaccard,
         # rows-only: probabilistic CWS-LSH candidates (exact verify, so
         # no false positives; recall measured by weighted_recall_report)
@@ -1309,6 +1315,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sv ON sv.doc_id = v
             WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
             ORDER BY 1, 2
+        """,
+        # CC over the exact similarity graph via recursive-CTE
+        # transitive closure — oracles the star-decomposition
+        # connected-components core end-to-end (min-doc_id labels,
+        # singletons label themselves)
+        "jaccard_components": """
+            WITH RECURSIVE
+             d AS (SELECT DISTINCT doc_id,
+                          unnest(regexp_extract_all(
+                              text, '[A-Za-z0-9_]+')) AS tok
+                   FROM documents),
+             sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+             e AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+                   FROM d a JOIN d b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             ed AS (SELECT u, v FROM e
+                    JOIN sz su ON su.doc_id = e.u
+                    JOIN sz sv ON sv.doc_id = e.v
+                    WHERE CAST(e.i AS DOUBLE)
+                            >= 0.8 * (su.n + sv.n - e.i)),
+             bid AS (SELECT u, v FROM ed
+                     UNION ALL SELECT v AS u, u AS v FROM ed),
+             reach(node, m) AS (
+               SELECT u, v FROM bid
+               UNION
+               SELECT r.node, b.v FROM reach r JOIN bid b ON b.u = r.m
+             )
+            SELECT d2.doc_id,
+                   CAST(least(d2.doc_id, coalesce(min(r.m), d2.doc_id))
+                        AS BIGINT) AS cluster_id
+            FROM documents d2 LEFT JOIN reach r ON r.node = d2.doc_id
+            GROUP BY d2.doc_id
         """,
         # WEIGHTED (term-frequency multiset) Jaccard self-join — the
         # TF-sensitive sibling of token_jaccard_pairs_docs. jw is ONE

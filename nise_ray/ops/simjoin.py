@@ -813,3 +813,68 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
         return _EMPTY_CONTAIN.empty_table()
     return out.sort_by([("doc_id_u", "ascending"),
                         ("doc_id_v", "ascending")])
+
+
+def jaccard_components(sf_dir: str, tau: float = 0.8) -> "ray.data.Dataset":
+    """FULL dedup-cluster assignment over the EXACT similarity graph:
+    every document labeled with the min doc_id of its connected
+    component in the token-Jaccard >= tau graph (singletons label
+    themselves). This composes the two halves of the dedup core —
+    exact pair generation (prefix-filtered self-join, above) and the
+    alternating large-star/small-star connected components
+    (ops/components.distributed_components) — into ONE SQL-checkable
+    query: DuckDB's recursive CTE computes the transitive closure of
+    the same edge set, so the star decomposition's fixed point is
+    oracle-verified end-to-end, not just parity-tested against the
+    driver union-find.
+
+    Scale: edges are output-sized (tau=0.8 keeps the graph sparse); the
+    CC rounds are the bounded star exchanges; the final label attach
+    streams the corpus through one map with the label table broadcast
+    (label table is bounded by the DUP-NODE set — pair endpoints — not
+    the corpus; a corpus with more dup nodes than driver memory would
+    use attach_labels' left-outer join path instead, same as the
+    flagship pipeline)."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.ops.components import distributed_components
+    from nise_ray.util import collect_table
+
+    pairs = token_jaccard_pairs(sf_dir, tau=tau)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    if pairs.num_rows == 0:
+        return docs.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "cluster_id": b.column("doc_id")}),
+            batch_format="pyarrow")
+    edges = ray.data.from_arrow(pa.table({
+        "u": pairs.column("doc_id_u").cast(pa.uint64()),
+        "v": pairs.column("doc_id_v").cast(pa.uint64()),
+    }))
+    labels = collect_table(distributed_components(edges, DedupConfig()))
+    lk = labels.column("doc_key").to_numpy(zero_copy_only=False)
+    lv = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(lk)
+    lab_ref = ray.put((lk[order].astype(np.int64),
+                       lv[order].astype(np.int64)))
+
+    class Attach:
+        def __init__(self) -> None:
+            self.keys, self.vals = ray.get(lab_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(self.keys) == 0:
+                lbl = ids
+            else:
+                pos = np.clip(np.searchsorted(self.keys, ids), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[pos] == ids
+                lbl = np.where(hit, self.vals[pos], ids)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(lbl, pa.int64())})
+
+    from nise_ray.ops.groupapply import default_concurrency
+    return docs.map_batches(Attach, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            concurrency=default_concurrency())

@@ -339,3 +339,48 @@ def test_tfidf_df_mode_parity(ray_session):
     ca = a.column("cosine").to_numpy()
     cb = b.column("cosine").to_numpy()
     assert (ca == cb).all()
+
+
+def test_jaccard_components_vs_recursive_cte(ray_session):
+    """The star-decomposition CC over the exact J>=0.8 graph must match
+    DuckDB's recursive-CTE transitive closure, singletons included."""
+    import duckdb
+    import pandas as pd
+
+    from nise_ray.ops.simjoin import jaccard_components
+    got = jaccard_components("/root/testdata/sf0.001", tau=0.8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    want = con.execute("""
+        WITH RECURSIVE
+         d AS (SELECT DISTINCT doc_id,
+                      unnest(regexp_extract_all(
+                          text, '[A-Za-z0-9_]+')) AS tok
+               FROM documents),
+         sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+         e AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+               FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         ed AS (SELECT u, v FROM e
+                JOIN sz su ON su.doc_id = e.u
+                JOIN sz sv ON sv.doc_id = e.v
+                WHERE CAST(e.i AS DOUBLE) >= 0.8 * (su.n + sv.n - e.i)),
+         bid AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+         reach(node, m) AS (
+           SELECT u, v FROM bid
+           UNION
+           SELECT r.node, b.v FROM reach r JOIN bid b ON b.u = r.m
+         )
+        SELECT d2.doc_id,
+               CAST(least(d2.doc_id, coalesce(min(r.m), d2.doc_id))
+                    AS BIGINT) AS cluster_id
+        FROM documents d2 LEFT JOIN reach r ON r.node = d2.doc_id
+        GROUP BY d2.doc_id
+        ORDER BY d2.doc_id""").fetchdf()
+    assert len(got) == len(want) and len(got) > 0
+    # structure sanity: real clusters AND real singletons both present
+    sizes = got.groupby("cluster_id").size()
+    assert (sizes > 1).any() and (sizes == 1).any()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
