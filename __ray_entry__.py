@@ -397,6 +397,16 @@ def _q_jaccard_components(sf_dir: str):
     return jaccard_components(sf_dir, tau=0.8)
 
 
+def _q_dedup_cluster_stats(sf_dir: str):
+    from nise_ray.ops.simjoin import dedup_cluster_stats
+    return dedup_cluster_stats(sf_dir, tau=0.8)
+
+
+def _q_nearest_neighbor_docs(sf_dir: str):
+    from nise_ray.ops.weightedjoin import nearest_neighbor_docs
+    return nearest_neighbor_docs(sf_dir, tau=0.3)
+
+
 def _q_weighted_jaccard(sf_dir: str):
     from nise_ray.ops.weightedjoin import weighted_jaccard_pairs
     return weighted_jaccard_pairs(sf_dir, tau=0.5)
@@ -1083,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_sa": _q_substring_pairs_sa,
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "jaccard_components": _q_jaccard_components,
+        "dedup_cluster_stats": _q_dedup_cluster_stats,
+        "nearest_neighbor_docs": _q_nearest_neighbor_docs,
         "weighted_jaccard_pairs_docs": _q_weighted_jaccard,
         # rows-only: probabilistic CWS-LSH candidates (exact verify, so
         # no false positives; recall measured by weighted_recall_report)
@@ -1348,6 +1360,84 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cluster_id
             FROM documents d2 LEFT JOIN reach r ON r.node = d2.doc_id
             GROUP BY d2.doc_id
+        """,
+        # survivorship rollup over the same recursive-CTE components:
+        # per cluster, members / total chars / chars saved by keeping
+        # only the min-doc_id member
+        "dedup_cluster_stats": """
+            WITH RECURSIVE
+             d AS (SELECT DISTINCT doc_id,
+                          unnest(regexp_extract_all(
+                              text, '[A-Za-z0-9_]+')) AS tok
+                   FROM documents),
+             sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+             e AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+                   FROM d a JOIN d b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+             ed AS (SELECT u, v FROM e
+                    JOIN sz su ON su.doc_id = e.u
+                    JOIN sz sv ON sv.doc_id = e.v
+                    WHERE CAST(e.i AS DOUBLE)
+                            >= 0.8 * (su.n + sv.n - e.i)),
+             bid AS (SELECT u, v FROM ed
+                     UNION ALL SELECT v AS u, u AS v FROM ed),
+             reach(node, m) AS (
+               SELECT u, v FROM bid
+               UNION
+               SELECT r.node, b.v FROM reach r JOIN bid b ON b.u = r.m
+             ),
+             lab AS (
+               SELECT d2.doc_id, d2.n_chars,
+                      least(d2.doc_id, coalesce(min(r.m), d2.doc_id))
+                        AS cluster_id
+               FROM documents d2 LEFT JOIN reach r ON r.node = d2.doc_id
+               GROUP BY d2.doc_id, d2.n_chars)
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   count(*) AS n_members,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN doc_id = cluster_id THEN 0
+                                 ELSE n_chars END) AS BIGINT)
+                     AS saved_chars
+            FROM lab GROUP BY cluster_id
+        """,
+        # per-doc best weighted-Jaccard neighbor above tau=0.3 (complete
+        # via the exact join, so fully oracled); ties on jw break to the
+        # smaller neighbor id — jw doubles are bit-identical in both
+        # engines, so the tie order agrees
+        "nearest_neighbor_docs": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*) AS w
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(
+                               text, '[A-Za-z0-9_]+')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tot
+                  FROM tf GROUP BY doc_id),
+            i AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                         CAST(sum(least(a.w, b.w)) AS BIGINT) AS m
+                  FROM tf a JOIN tf b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            p AS (SELECT i.u, i.v,
+                         CAST(i.m AS DOUBLE)
+                           / CAST(su.tot + sv.tot - i.m AS DOUBLE) AS jw
+                  FROM i JOIN s su ON su.doc_id = i.u
+                         JOIN s sv ON sv.doc_id = i.v
+                  WHERE CAST(i.m AS DOUBLE)
+                          / CAST(su.tot + sv.tot - i.m AS DOUBLE) >= 0.3),
+            bid AS (SELECT u AS doc_id, v AS nb, jw FROM p
+                    UNION ALL SELECT v AS doc_id, u AS nb, jw FROM p),
+            best AS (SELECT doc_id, nb, jw,
+                            row_number() OVER (
+                                PARTITION BY doc_id
+                                ORDER BY jw DESC, nb ASC) AS rn
+                     FROM bid)
+            SELECT d.doc_id, b.nb AS nn_doc_id, b.jw AS nn_jw
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                 USING (doc_id)
         """,
         # WEIGHTED (term-frequency multiset) Jaccard self-join — the
         # TF-sensitive sibling of token_jaccard_pairs_docs. jw is ONE

@@ -878,3 +878,98 @@ def jaccard_components(sf_dir: str, tau: float = 0.8) -> "ray.data.Dataset":
     return docs.map_batches(Attach, batch_format="pyarrow",
                             zero_copy_batch=True,
                             concurrency=default_concurrency())
+
+
+def dedup_cluster_stats(sf_dir: str, tau: float = 0.8) -> pa.Table:
+    """Survivorship rollup over the exact-Jaccard dedup clusters: one
+    row per cluster with (cluster_id, n_members, total_chars,
+    saved_chars = chars removed if only the kept min-doc_id member
+    survives). The input is the oracled jaccard_components assignment;
+    this adds the aggregate-after-CC step every dedup report runs
+    ("how much does deduplication save?"), still fully SQL-checkable
+    via the same recursive CTE plus a join back to documents.
+
+    Scale: rides the component labeling (bounded star exchanges) plus
+    ONE cluster-count-sized combiner exchange; all sums are int64."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.ops.components import distributed_components
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+    from nise_ray.util import collect_table
+
+    pairs = token_jaccard_pairs(sf_dir, tau=tau)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    if pairs.num_rows == 0:
+        lab_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+    else:
+        edges = ray.data.from_arrow(pa.table({
+            "u": pairs.column("doc_id_u").cast(pa.uint64()),
+            "v": pairs.column("doc_id_v").cast(pa.uint64()),
+        }))
+        labels = collect_table(distributed_components(edges, DedupConfig()))
+        lk = labels.column("doc_key").to_numpy(zero_copy_only=False)
+        lv = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(lk)
+        lab_ref = ray.put((lk[order].astype(np.int64),
+                           lv[order].astype(np.int64)))
+
+    class Partial:
+        """Per-batch combiner: (cluster_id, n_members, total_chars,
+        kept_chars) partials — kept_chars is the n_chars of the min
+        member, present in exactly one batch partial per cluster."""
+
+        def __init__(self) -> None:
+            self.keys, self.vals = ray.get(lab_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+            if len(self.keys):
+                pos = np.clip(np.searchsorted(self.keys, ids), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[pos] == ids
+                lbl = np.where(hit, self.vals[pos], ids)
+            else:
+                lbl = ids
+            order = np.argsort(lbl, kind="stable")
+            starts, _ = segments(lbl[order])
+            kept = np.where(ids == lbl, nch, 0)
+            return pa.table({
+                "cluster_id": pa.array(lbl[order][starts], pa.int64()),
+                "n_members": pa.array(
+                    np.add.reduceat(np.ones(len(ids), np.int64), starts)
+                    if len(ids) else np.empty(0, np.int64), pa.int64()),
+                "total_chars": pa.array(
+                    np.add.reduceat(nch[order], starts) if len(ids)
+                    else np.empty(0, np.int64), pa.int64()),
+                "kept_chars": pa.array(
+                    np.add.reduceat(kept[order], starts) if len(ids)
+                    else np.empty(0, np.int64), pa.int64()),
+            })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "total_chars": pa.array([], pa.int64()),
+                             "saved_chars": pa.array([], pa.int64())})
+        cid = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        starts, _ = segments(cid[order])
+        red = lambda c: np.add.reduceat(  # noqa: E731
+            batch.column(c).to_numpy(zero_copy_only=False)[order], starts)
+        tot = red("total_chars")
+        return pa.table({
+            "cluster_id": pa.array(cid[order][starts], pa.int64()),
+            "n_members": pa.array(red("n_members"), pa.int64()),
+            "total_chars": pa.array(tot, pa.int64()),
+            "saved_chars": pa.array(tot - red("kept_chars"), pa.int64()),
+        })
+
+    from nise_ray.ops.groupapply import default_concurrency
+    partials = docs.map_batches(Partial, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+    out = collect_table(hash_group_apply(partials, ["cluster_id"], merge,
+                                         sort=False))
+    return out.sort_by([("cluster_id", "ascending")])

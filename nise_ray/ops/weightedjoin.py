@@ -592,3 +592,95 @@ def weighted_recall_report(sf_dir: str, tau: float = 0.5) -> pa.Table:
                      "n_lsh": pa.array([len(tl)], pa.int64()),
                      "n_hit": pa.array([hit], pa.int64()),
                      "recall": pa.array([recall], pa.float64())})
+
+
+def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3) -> "ray.data.Dataset":
+    """Per document: its most similar OTHER document by weighted
+    Jaccard, restricted to jw >= tau (docs with no neighbor above tau
+    keep NULL nn_doc_id / nn_jw) — the text-side analog of ann_topk
+    (k=1) and the diagnostic a dedup run reads to pick its threshold.
+
+    Completeness above tau comes from the EXACT weight-prefix join, so
+    the result is fully oracled (an LSH candidate path would make the
+    reported neighbor probabilistic). Ties on jw break toward the
+    smaller neighbor id; jw doubles are bit-identical in both engines
+    (one division of exact ints), so the tie-break order agrees too.
+    The pair set is output-sized; the per-doc argmax rides one doc_id
+    hash exchange; the final NULL-preserving attach streams the corpus
+    with the (doc -> nn) table broadcast (bounded by the doc count of
+    the PAIR set)."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+    from nise_ray.util import collect_table
+
+    pairs = weighted_jaccard_pairs(sf_dir, tau=tau)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def null_out(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        null_i = pa.array(np.zeros(n, np.int64), mask=np.ones(n, bool))
+        null_f = pa.array(np.zeros(n, np.float64), mask=np.ones(n, bool))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "nn_doc_id": null_i, "nn_jw": null_f})
+
+    if pairs.num_rows == 0:
+        return docs.map_batches(null_out, batch_format="pyarrow")
+
+    u = pairs.column("doc_id_u").to_numpy(zero_copy_only=False)
+    v = pairs.column("doc_id_v").to_numpy(zero_copy_only=False)
+    jw = pairs.column("jw").to_numpy(zero_copy_only=False)
+    both = pa.table({
+        "doc_id": pa.array(np.concatenate([u, v]), pa.int64()),
+        "nb": pa.array(np.concatenate([v, u]), pa.int64()),
+        "jw": pa.array(np.concatenate([jw, jw]), pa.float64()),
+    })
+
+    def argmax_per_doc(batch: pa.Table) -> pa.Table:
+        from nise_ray.ops.groupapply import segments
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "jw": pa.array([], pa.float64())})
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        j = batch.column("jw").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -j, d))  # per doc: jw desc, nb asc
+        starts, _ = segments(d[order])
+        take = order[starts]
+        return pa.table({"doc_id": pa.array(d[take], pa.int64()),
+                         "nb": pa.array(nb[take], pa.int64()),
+                         "jw": pa.array(j[take], pa.float64())})
+
+    best = collect_table(hash_group_apply(ray.data.from_arrow(both),
+                                          ["doc_id"], argmax_per_doc,
+                                          sort=False))
+    bk = best.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(bk)
+    nn_ref = ray.put((bk[order],
+                      best.column("nb").to_numpy(zero_copy_only=False)[order],
+                      best.column("jw").to_numpy(
+                          zero_copy_only=False)[order]))
+
+    class Attach:
+        def __init__(self) -> None:
+            self.keys, self.nb, self.jw = ray.get(nn_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ids), 0,
+                          max(len(self.keys) - 1, 0))
+            hit = self.keys[pos] == ids if len(self.keys) else \
+                np.zeros(len(ids), bool)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "nn_doc_id": pa.array(
+                    np.where(hit, self.nb[pos] if len(self.keys) else 0, 0),
+                    pa.int64(), mask=~hit),
+                "nn_jw": pa.array(
+                    np.where(hit, self.jw[pos] if len(self.keys) else 0.0,
+                             0.0), pa.float64(), mask=~hit),
+            })
+
+    return docs.map_batches(Attach, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            concurrency=default_concurrency())

@@ -124,3 +124,60 @@ def test_weighted_lsh_recall_gate(ray_session):
     r = weighted_recall_report(SF, tau=0.5).to_pydict()
     assert r["n_hit"][0] == r["n_lsh"][0]  # no false positives
     assert r["recall"][0] >= 0.95, r
+
+
+def test_nearest_neighbor_docs(ray_session):
+    """Per-doc best weighted-Jaccard neighbor vs brute-force SQL —
+    NULL rows for docs with no neighbor above tau, tie-break to the
+    smaller neighbor id."""
+    from nise_ray.ops.weightedjoin import nearest_neighbor_docs
+    got = nearest_neighbor_docs(SF, tau=0.3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS w
+          FROM (SELECT doc_id, unnest(regexp_extract_all(
+                    text, '[A-Za-z0-9_]+')) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tot
+              FROM tf GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS u, b.doc_id AS v,
+                     CAST(sum(least(a.w, b.w)) AS BIGINT) AS m
+              FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        p AS (SELECT i.u, i.v,
+                     CAST(i.m AS DOUBLE)
+                       / CAST(su.tot + sv.tot - i.m AS DOUBLE) AS jw
+              FROM i JOIN s su ON su.doc_id = i.u
+                     JOIN s sv ON sv.doc_id = i.v
+              WHERE CAST(i.m AS DOUBLE)
+                      / CAST(su.tot + sv.tot - i.m AS DOUBLE) >= 0.3),
+        bid AS (SELECT u AS doc_id, v AS nb, jw FROM p
+                UNION ALL SELECT v AS doc_id, u AS nb, jw FROM p),
+        best AS (SELECT doc_id, nb, jw, row_number() OVER (
+                     PARTITION BY doc_id ORDER BY jw DESC, nb ASC) AS rn
+                 FROM bid)
+        SELECT d.doc_id, b.nb AS nn_doc_id, b.jw AS nn_jw
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ORDER BY d.doc_id""").fetchdf()
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_dedup_cluster_stats_invariants(ray_session):
+    """Cluster stats must be consistent with the assignment itself:
+    member counts sum to the corpus, saved_chars = total - kept."""
+    from nise_ray.ops.simjoin import dedup_cluster_stats, jaccard_components
+    stats = dedup_cluster_stats(SF, tau=0.8).to_pandas()
+    comp = jaccard_components(SF, tau=0.8).to_pandas()
+    assert stats["n_members"].sum() == len(comp)
+    sizes = comp.groupby("cluster_id").size()
+    merged = stats.set_index("cluster_id")["n_members"]
+    assert (merged.sort_index() == sizes.sort_index()).all()
+    assert (stats["saved_chars"] <= stats["total_chars"]).all()
+    assert (stats.loc[stats["n_members"] == 1, "saved_chars"] == 0).all()
