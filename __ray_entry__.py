@@ -397,6 +397,11 @@ def _q_jaccard_components(sf_dir: str):
     return jaccard_components(sf_dir, tau=0.8)
 
 
+def _q_longest_repeat_docs(sf_dir: str):
+    from nise_ray.ops.strings import longest_repeat_docs
+    return longest_repeat_docs(sf_dir)
+
+
 def _q_dedup_cluster_stats(sf_dir: str):
     from nise_ray.ops.simjoin import dedup_cluster_stats
     return dedup_cluster_stats(sf_dir, tau=0.8)
@@ -1094,6 +1099,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "jaccard_components": _q_jaccard_components,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
+        # rows-only: longest intra-doc repeated substring is not
+        # SQL-expressible; pinned by a brute-force oracle in tests
+        "longest_repeat_docs": _q_longest_repeat_docs,
         "nearest_neighbor_docs": _q_nearest_neighbor_docs,
         "weighted_jaccard_pairs_docs": _q_weighted_jaccard,
         # rows-only: probabilistic CWS-LSH candidates (exact verify, so

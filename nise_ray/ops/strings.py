@@ -211,3 +211,92 @@ def user_props_bitmask(sf_dir: str) -> "ray.data.Dataset":
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return hash_group_apply(partials, ["user_id"], merge, 0, sort=False)
+
+
+def _longest_repeat_len(data: np.ndarray) -> int:
+    """Length of the longest substring occurring >= 2 times in `data`
+    (uint8 byte codes), via binary search on length L with a
+    position-normalized prefix polynomial hash:
+
+        S[j]     = sum_{k<j} x[k] * Cinv^k            (mod 2^64)
+        canon(i) = (S[i+L] - S[i]) * pw[i]            (mod 2^64)
+
+    Equal substrings of length L give equal canon values (the shared
+    Cinv^(L-1) factor cancels in the comparison), so has_dup(L) is one
+    subtraction + multiply + sort over all positions — each binary-
+    search round is fully vectorized. has_dup is monotone in L, so
+    log2(n) rounds pin the maximum exactly. 64-bit polynomial equality,
+    not literal bytes: a wraparound collision could overstate the
+    length — astronomically unlikely and acceptable for a corpus
+    quality metric (documented contract)."""
+    from nise_ray.hashing import U64, _POLY_C
+
+    n = len(data)
+    if n < 2:
+        return 0
+    with np.errstate(over="ignore"):
+        c = _POLY_C
+        # modular inverse of the odd constant via Newton iteration
+        cinv = c
+        for _ in range(5):
+            cinv = cinv * (U64(2) - c * cinv)
+        pw = np.empty(n + 1, dtype=U64)
+        pwinv = np.empty(n + 1, dtype=U64)
+        pw[0] = pwinv[0] = U64(1)
+        np.multiply.accumulate(np.full(n, c, dtype=U64), out=pw[1:])
+        np.multiply.accumulate(np.full(n, cinv, dtype=U64), out=pwinv[1:])
+        s = np.empty(n + 1, dtype=U64)
+        s[0] = U64(0)
+        np.cumsum(data.astype(U64) * pwinv[:n], out=s[1:])
+
+        def has_dup(ln: int) -> bool:
+            canon = (s[ln:] - s[:-ln]) * pw[:n - ln + 1]
+            canon.sort()
+            return bool((canon[1:] == canon[:-1]).any())
+
+        lo, hi = 0, n - 1  # longest possible repeat is n-1 ("aaaa")
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if has_dup(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+    return int(lo)
+
+
+def longest_repeat_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Per document: the byte length of the longest substring that
+    occurs at least twice WITHIN the document — the exact intra-doc
+    repetition measure complementing Gopher's fraction-based repetition
+    stats (a doc with one giant duplicated block and a doc with many
+    tiny repeats can share dup fractions; only the spectral max tells
+    them apart). Output: (doc_id, n_chars, max_repeat_len).
+
+    Rows are independent, so the stage is an embarrassingly parallel
+    actor pool; per doc the binary search runs log2(len) fully
+    vectorized hash-sort rounds (no Python inner loop). Not
+    SQL-expressible — correctness is pinned by a brute-force oracle in
+    tests/test_strings_repeat.py."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        txt = b.column("text").combine_chunks()
+        # one buffer walk: per-row byte views out of the Arrow buffers
+        # (StringArray stores int32 offsets, large_string int64; both
+        # carry an array-level offset into the shared buffer)
+        odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+        bufs = txt.buffers()
+        offs = np.frombuffer(bufs[1], dtype=odt)[
+            txt.offset:txt.offset + len(txt) + 1].astype(np.int64)
+        buf = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, np.uint8)
+        out = np.empty(b.num_rows, dtype=np.int64)
+        for i in range(b.num_rows):
+            out[i] = _longest_repeat_len(buf[offs[i]:offs[i + 1]])
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_chars": b.column("n_chars"),
+                         "max_repeat_len": pa.array(out, pa.int64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
