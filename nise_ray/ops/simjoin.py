@@ -815,7 +815,85 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
                         ("doc_id_v", "ascending")])
 
 
-def jaccard_components(sf_dir: str, tau: float = 0.8) -> "ray.data.Dataset":
+def _labeled_docs(sf_dir: str, tau: float, extra_cols: list[str],
+                  broadcast_max: int) -> "ray.data.Dataset":
+    """documents (doc_id + extra_cols) with the exact-Jaccard component
+    label attached as cluster_id (min doc_id of the component;
+    singletons label themselves). The label table is bounded by the
+    DUP-NODE set — at a heavily-duplicated 10^12-file corpus that is
+    corpus-scale, so the attach is GATED: label maps up to
+    `broadcast_max` rows are ray.put once and looked up inside
+    map_batches; beyond the gate a distributed left-outer hash join
+    attaches them (same two paths as components.attach_labels, which
+    the flagship pipeline uses)."""
+    from nise_ray.config import DedupConfig
+    from nise_ray.ops.components import distributed_components
+    from nise_ray.ops.groupapply import default_partitions
+    from nise_ray.util import collect_table
+
+    pairs = token_jaccard_pairs(sf_dir, tau=tau)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"] + extra_cols)
+
+    def self_label(b: pa.Table) -> pa.Table:
+        return b.append_column("cluster_id", b.column("doc_id"))
+
+    if pairs.num_rows == 0:
+        return docs.map_batches(self_label, batch_format="pyarrow")
+
+    edges = ray.data.from_arrow(pa.table({
+        "u": pairs.column("doc_id_u").cast(pa.uint64()),
+        "v": pairs.column("doc_id_v").cast(pa.uint64()),
+    }))
+    # materialize once: the count gate and the collect/join below must
+    # not re-execute the CC rounds
+    labels_ds = distributed_components(edges, DedupConfig()).materialize()
+
+    if labels_ds.count() <= broadcast_max:
+        labels = collect_table(labels_ds)
+        lk = labels.column("doc_key").to_numpy(zero_copy_only=False)
+        lv = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(lk)
+        lab_ref = ray.put((lk[order].astype(np.int64),
+                           lv[order].astype(np.int64)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lab_ref)
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, ids), 0,
+                              len(keys) - 1)
+                hit = keys[pos] == ids
+                lbl = np.where(hit, vals[pos], ids)
+            else:
+                lbl = ids
+            return b.append_column("cluster_id",
+                                   pa.array(lbl, pa.int64()))
+
+        return docs.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # distributed fallback: left-outer hash join on doc_id
+    def to_int_ids(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_key").cast(pa.int64()),
+            "cluster_id": b.column("cluster_id").cast(pa.int64())})
+
+    lab64 = labels_ds.map_batches(to_int_ids, batch_format="pyarrow")
+    joined = docs.join(lab64, join_type="left_outer", on=("doc_id",),
+                       num_partitions=default_partitions(0))
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cl = pc.coalesce(b.column("cluster_id"), b.column("doc_id"))
+        return b.set_column(b.schema.get_field_index("cluster_id"),
+                            "cluster_id", cl.cast(pa.int64()))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def jaccard_components(sf_dir: str, tau: float = 0.8,
+                       broadcast_max: int = 50_000_000) -> "ray.data.Dataset":
     """FULL dedup-cluster assignment over the EXACT similarity graph:
     every document labeled with the min doc_id of its connected
     component in the token-Jaccard >= tau graph (singletons label
@@ -829,58 +907,20 @@ def jaccard_components(sf_dir: str, tau: float = 0.8) -> "ray.data.Dataset":
     driver union-find.
 
     Scale: edges are output-sized (tau=0.8 keeps the graph sparse); the
-    CC rounds are the bounded star exchanges; the final label attach
-    streams the corpus through one map with the label table broadcast
-    (label table is bounded by the DUP-NODE set — pair endpoints — not
-    the corpus; a corpus with more dup nodes than driver memory would
-    use attach_labels' left-outer join path instead, same as the
-    flagship pipeline)."""
-    from nise_ray.config import DedupConfig
-    from nise_ray.ops.components import distributed_components
-    from nise_ray.util import collect_table
+    CC rounds are the bounded star exchanges; the label attach is
+    broadcast-gated with a distributed left-outer join fallback
+    (_labeled_docs) — both paths parity-tested."""
 
-    pairs = token_jaccard_pairs(sf_dir, tau=tau)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
-    if pairs.num_rows == 0:
-        return docs.map_batches(
-            lambda b: pa.table({"doc_id": b.column("doc_id"),
-                                "cluster_id": b.column("doc_id")}),
-            batch_format="pyarrow")
-    edges = ray.data.from_arrow(pa.table({
-        "u": pairs.column("doc_id_u").cast(pa.uint64()),
-        "v": pairs.column("doc_id_v").cast(pa.uint64()),
-    }))
-    labels = collect_table(distributed_components(edges, DedupConfig()))
-    lk = labels.column("doc_key").to_numpy(zero_copy_only=False)
-    lv = labels.column("cluster_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(lk)
-    lab_ref = ray.put((lk[order].astype(np.int64),
-                       lv[order].astype(np.int64)))
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cluster_id": b.column("cluster_id")})
 
-    class Attach:
-        def __init__(self) -> None:
-            self.keys, self.vals = ray.get(lab_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            if len(self.keys) == 0:
-                lbl = ids
-            else:
-                pos = np.clip(np.searchsorted(self.keys, ids), 0,
-                              len(self.keys) - 1)
-                hit = self.keys[pos] == ids
-                lbl = np.where(hit, self.vals[pos], ids)
-            return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                             "cluster_id": pa.array(lbl, pa.int64())})
-
-    from nise_ray.ops.groupapply import default_concurrency
-    return docs.map_batches(Attach, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            concurrency=default_concurrency())
+    return _labeled_docs(sf_dir, tau, [], broadcast_max).map_batches(
+        project, batch_format="pyarrow")
 
 
-def dedup_cluster_stats(sf_dir: str, tau: float = 0.8) -> pa.Table:
+def dedup_cluster_stats(sf_dir: str, tau: float = 0.8,
+                        broadcast_max: int = 50_000_000) -> pa.Table:
     """Survivorship rollup over the exact-Jaccard dedup clusters: one
     row per cluster with (cluster_id, n_members, total_chars,
     saved_chars = chars removed if only the kept min-doc_id member
@@ -889,63 +929,40 @@ def dedup_cluster_stats(sf_dir: str, tau: float = 0.8) -> pa.Table:
     ("how much does deduplication save?"), still fully SQL-checkable
     via the same recursive CTE plus a join back to documents.
 
-    Scale: rides the component labeling (bounded star exchanges) plus
-    ONE cluster-count-sized combiner exchange; all sums are int64."""
-    from nise_ray.config import DedupConfig
-    from nise_ray.ops.components import distributed_components
+    Scale: rides the component labeling (bounded star exchanges, gated
+    broadcast/join attach) plus ONE cluster-count-sized combiner
+    exchange; all sums are int64."""
     from nise_ray.ops.groupapply import hash_group_apply, segments
     from nise_ray.util import collect_table
 
-    pairs = token_jaccard_pairs(sf_dir, tau=tau)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "n_chars"])
-    if pairs.num_rows == 0:
-        lab_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
-    else:
-        edges = ray.data.from_arrow(pa.table({
-            "u": pairs.column("doc_id_u").cast(pa.uint64()),
-            "v": pairs.column("doc_id_v").cast(pa.uint64()),
-        }))
-        labels = collect_table(distributed_components(edges, DedupConfig()))
-        lk = labels.column("doc_key").to_numpy(zero_copy_only=False)
-        lv = labels.column("cluster_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(lk)
-        lab_ref = ray.put((lk[order].astype(np.int64),
-                           lv[order].astype(np.int64)))
+    labeled = _labeled_docs(sf_dir, tau, ["n_chars"], broadcast_max)
 
-    class Partial:
-        """Per-batch combiner: (cluster_id, n_members, total_chars,
-        kept_chars) partials — kept_chars is the n_chars of the min
-        member, present in exactly one batch partial per cluster."""
+    _EMPTY = pa.table({"cluster_id": pa.array([], pa.int64()),
+                       "n_members": pa.array([], pa.int64()),
+                       "total_chars": pa.array([], pa.int64()),
+                       "kept_chars": pa.array([], pa.int64())})
 
-        def __init__(self) -> None:
-            self.keys, self.vals = ray.get(lab_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            nch = b.column("n_chars").to_numpy(zero_copy_only=False)
-            if len(self.keys):
-                pos = np.clip(np.searchsorted(self.keys, ids), 0,
-                              len(self.keys) - 1)
-                hit = self.keys[pos] == ids
-                lbl = np.where(hit, self.vals[pos], ids)
-            else:
-                lbl = ids
-            order = np.argsort(lbl, kind="stable")
-            starts, _ = segments(lbl[order])
-            kept = np.where(ids == lbl, nch, 0)
-            return pa.table({
-                "cluster_id": pa.array(lbl[order][starts], pa.int64()),
-                "n_members": pa.array(
-                    np.add.reduceat(np.ones(len(ids), np.int64), starts)
-                    if len(ids) else np.empty(0, np.int64), pa.int64()),
-                "total_chars": pa.array(
-                    np.add.reduceat(nch[order], starts) if len(ids)
-                    else np.empty(0, np.int64), pa.int64()),
-                "kept_chars": pa.array(
-                    np.add.reduceat(kept[order], starts) if len(ids)
-                    else np.empty(0, np.int64), pa.int64()),
-            })
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        lbl = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(lbl, kind="stable")
+        starts, _ = segments(lbl[order])
+        # the min member appears in exactly one batch, so summing the
+        # kept_chars partials is exact
+        kept = np.where(ids == lbl, nch, 0)
+        return pa.table({
+            "cluster_id": pa.array(lbl[order][starts], pa.int64()),
+            "n_members": pa.array(
+                np.add.reduceat(np.ones(len(ids), np.int64), starts),
+                pa.int64()),
+            "total_chars": pa.array(np.add.reduceat(nch[order], starts),
+                                    pa.int64()),
+            "kept_chars": pa.array(np.add.reduceat(kept[order], starts),
+                                   pa.int64()),
+        })
 
     def merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -966,10 +983,8 @@ def dedup_cluster_stats(sf_dir: str, tau: float = 0.8) -> pa.Table:
             "saved_chars": pa.array(tot - red("kept_chars"), pa.int64()),
         })
 
-    from nise_ray.ops.groupapply import default_concurrency
-    partials = docs.map_batches(Partial, batch_format="pyarrow",
-                                zero_copy_batch=True,
-                                concurrency=default_concurrency())
+    partials = labeled.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     out = collect_table(hash_group_apply(partials, ["cluster_id"], merge,
                                          sort=False))
     return out.sort_by([("cluster_id", "ascending")])

@@ -594,7 +594,9 @@ def weighted_recall_report(sf_dir: str, tau: float = 0.5) -> pa.Table:
                      "recall": pa.array([recall], pa.float64())})
 
 
-def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3) -> "ray.data.Dataset":
+def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3,
+                          nn_broadcast_max: int = 50_000_000,
+                          ) -> "ray.data.Dataset":
     """Per document: its most similar OTHER document by weighted
     Jaccard, restricted to jw >= tau (docs with no neighbor above tau
     keep NULL nn_doc_id / nn_jw) — the text-side analog of ann_topk
@@ -606,9 +608,10 @@ def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3) -> "ray.data.Dataset":
     smaller neighbor id; jw doubles are bit-identical in both engines
     (one division of exact ints), so the tie-break order agrees too.
     The pair set is output-sized; the per-doc argmax rides one doc_id
-    hash exchange; the final NULL-preserving attach streams the corpus
-    with the (doc -> nn) table broadcast (bounded by the doc count of
-    the PAIR set)."""
+    hash exchange; the final NULL-preserving attach is gated — the
+    (doc -> nn) map is broadcast up to nn_broadcast_max rows, beyond
+    that a distributed left-outer hash join attaches it (both paths
+    parity-tested)."""
     from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
     from nise_ray.util import collect_table
 
@@ -651,36 +654,63 @@ def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3) -> "ray.data.Dataset":
                          "nb": pa.array(nb[take], pa.int64()),
                          "jw": pa.array(j[take], pa.float64())})
 
-    best = collect_table(hash_group_apply(ray.data.from_arrow(both),
-                                          ["doc_id"], argmax_per_doc,
-                                          sort=False))
-    bk = best.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(bk)
-    nn_ref = ray.put((bk[order],
-                      best.column("nb").to_numpy(zero_copy_only=False)[order],
-                      best.column("jw").to_numpy(
-                          zero_copy_only=False)[order]))
+    # per-doc argmax: bounded by the DOC side of the pair set — at a
+    # heavily-duplicated corpus that is corpus-scale, so the NULL-
+    # preserving attach is gated: broadcast below nn_broadcast_max,
+    # distributed left-outer join above (both paths parity-tested)
+    best_ds = hash_group_apply(ray.data.from_arrow(both), ["doc_id"],
+                               argmax_per_doc, sort=False).materialize()
 
-    class Attach:
-        def __init__(self) -> None:
-            self.keys, self.nb, self.jw = ray.get(nn_ref)
+    if best_ds.count() <= nn_broadcast_max:
+        best = collect_table(best_ds)
+        bk = best.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(bk)
+        nn_ref = ray.put((
+            bk[order],
+            best.column("nb").to_numpy(zero_copy_only=False)[order],
+            best.column("jw").to_numpy(zero_copy_only=False)[order]))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.keys, ids), 0,
-                          max(len(self.keys) - 1, 0))
-            hit = self.keys[pos] == ids if len(self.keys) else \
-                np.zeros(len(ids), bool)
-            return pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "nn_doc_id": pa.array(
-                    np.where(hit, self.nb[pos] if len(self.keys) else 0, 0),
-                    pa.int64(), mask=~hit),
-                "nn_jw": pa.array(
-                    np.where(hit, self.jw[pos] if len(self.keys) else 0.0,
-                             0.0), pa.float64(), mask=~hit),
-            })
+        class Attach:
+            def __init__(self) -> None:
+                self.keys, self.nb, self.jw = ray.get(nn_ref)
 
-    return docs.map_batches(Attach, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            concurrency=default_concurrency())
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(self.keys, ids), 0,
+                              max(len(self.keys) - 1, 0))
+                hit = self.keys[pos] == ids if len(self.keys) else \
+                    np.zeros(len(ids), bool)
+                return pa.table({
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "nn_doc_id": pa.array(
+                        np.where(hit,
+                                 self.nb[pos] if len(self.keys) else 0, 0),
+                        pa.int64(), mask=~hit),
+                    "nn_jw": pa.array(
+                        np.where(hit,
+                                 self.jw[pos] if len(self.keys) else 0.0,
+                                 0.0), pa.float64(), mask=~hit),
+                })
+
+        return docs.map_batches(Attach, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+
+    # distributed fallback: left-outer hash join keeps NULLs naturally
+    from nise_ray.ops.groupapply import default_partitions
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "nn_doc_id": b.column("nb"),
+                         "nn_jw": b.column("jw")})
+
+    joined = docs.join(best_ds.map_batches(rename, batch_format="pyarrow"),
+                       join_type="left_outer", on=("doc_id",),
+                       num_partitions=default_partitions(0))
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "nn_doc_id": b.column("nn_doc_id").cast(pa.int64()),
+                         "nn_jw": b.column("nn_jw").cast(pa.float64())})
+
+    return joined.map_batches(project, batch_format="pyarrow")

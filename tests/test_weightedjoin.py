@@ -181,3 +181,31 @@ def test_dedup_cluster_stats_invariants(ray_session):
     assert (merged.sort_index() == sizes.sort_index()).all()
     assert (stats["saved_chars"] <= stats["total_chars"]).all()
     assert (stats.loc[stats["n_members"] == 1, "saved_chars"] == 0).all()
+
+
+def test_nn_attach_join_parity(ray_session):
+    """Broadcast and left-outer-join attach paths of
+    nearest_neighbor_docs must produce identical results."""
+    from nise_ray.ops.weightedjoin import nearest_neighbor_docs
+    a = nearest_neighbor_docs(SF, tau=0.3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = nearest_neighbor_docs(SF, tau=0.3, nn_broadcast_max=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert a["nn_doc_id"].isna().equals(b["nn_doc_id"].isna())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_cluster_label_attach_join_parity(ray_session):
+    """Broadcast and join label-attach paths of jaccard_components /
+    dedup_cluster_stats must agree."""
+    from nise_ray.ops.simjoin import dedup_cluster_stats, jaccard_components
+    a = jaccard_components(SF, tau=0.8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = jaccard_components(SF, tau=0.8, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    sa = dedup_cluster_stats(SF, tau=0.8).to_pandas()
+    sb = dedup_cluster_stats(SF, tau=0.8, broadcast_max=0).to_pandas()
+    pd.testing.assert_frame_equal(sa, sb, check_exact=True)
