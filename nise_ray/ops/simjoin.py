@@ -103,6 +103,38 @@ def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.cumsum(incr)
 
 
+def all_bucket_size_filtered_pairs(key: np.ndarray, ids: np.ndarray,
+                                   size: np.ndarray, tau: float):
+    """(u, v) candidate pairs for ALL buckets in a partition at once —
+    one lexsort plus index arithmetic, zero per-bucket Python (the same
+    rewrite that took the substring partition kernel off the bench
+    critical path). Per bucket: all pairs with u < v in doc_id order,
+    self-pairs dropped, and the Jaccard size filter
+    min(S_u, S_v) >= tau * max(S_u, S_v) applied vectorized.
+    Returns (u, v) or None when no bucket yields a pair."""
+    from nise_ray.ops.groupapply import segments
+
+    order = np.lexsort((ids, key))
+    k_s, id_s, sz_s = key[order], ids[order], size[order]
+    starts, counts = segments(k_s)
+    big = counts >= 2
+    if not big.any():
+        return None
+    s0, c0 = starts[big], counts[big]
+    u_idx = _ranges(s0, c0 - 1)
+    i_off = u_idx - np.repeat(s0, c0 - 1)
+    vcnt = np.repeat(c0, c0 - 1) - 1 - i_off
+    ui = np.repeat(u_idx, vcnt)
+    vi = _ranges(u_idx + 1, vcnt)
+    u, v, su_, sv_ = id_s[ui], id_s[vi], sz_s[ui], sz_s[vi]
+    lo = np.minimum(su_, sv_)
+    hi = np.maximum(su_, sv_)
+    keep = (u != v) & (lo.astype(np.float64) >= tau * hi)
+    if not keep.any():
+        return None
+    return u[keep], v[keep]
+
+
 class _DfPartial:
     """Per-batch combiner: (tok, partial document frequency). Actor-pool
     stage so the token-hash vocabulary cache persists across batches."""
@@ -341,35 +373,22 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
         raise ValueError(f"unknown df_mode {df_mode!r}")
 
     # ---- pass 3: candidate pairs per token group + (u,v) distinct -------
+    # all-bucket vectorized pair generation (one lexsort + index
+    # arithmetic; the per-bucket argsort/triu loop was the kernel's
+    # dominant CPU on skewed prefix-token buckets)
     def pair_gen(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        nt = batch.column("n_tok").to_numpy(zero_copy_only=False)
-        starts, counts = segments(tok)
-        us, vs = [], []
-        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            gid = ids[s:s + c]
-            gnt = nt[s:s + c]
-            o = np.argsort(gid)
-            gid, gnt = gid[o], gnt[o]
-            ii, jj = np.triu_indices(len(gid), k=1)
-            # size filter: J >= tau requires min(nu,nv) >= tau*max(nu,nv)
-            lo = np.minimum(gnt[ii], gnt[jj])
-            hi = np.maximum(gnt[ii], gnt[jj])
-            keep = lo.astype(np.float64) >= tau * hi
-            if keep.any():
-                us.append(gid[ii[keep]])
-                vs.append(gid[jj[keep]])
-        if not us:
+        out = all_bucket_size_filtered_pairs(
+            batch.column("tok").to_numpy(zero_copy_only=False).astype(U64),
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("n_tok").to_numpy(zero_copy_only=False), tau)
+        if out is None:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        return pa.table({
-            "u": pa.array(np.concatenate(us), pa.int64()),
-            "v": pa.array(np.concatenate(vs), pa.int64()),
-        })
+        return pa.table({"u": pa.array(out[0], pa.int64()),
+                         "v": pa.array(out[1], pa.int64())})
 
     cands = hash_group_apply(prefix, ["tok"], pair_gen)
 

@@ -204,34 +204,23 @@ def _wprefix_regroup_batch(tau: float):
 def _pair_gen_weighted(tau: float):
     """Candidate pairs per token bucket with the weighted size filter
     min(S_u, S_v) >= tau * max(S_u, S_v) (follows from m >= tau*S and
-    m <= min(S))."""
+    m <= min(S)) — all buckets vectorized at once via the shared
+    all_bucket_size_filtered_pairs kernel."""
+    from nise_ray.ops.simjoin import all_bucket_size_filtered_pairs
 
     def fn(batch: pa.Table) -> pa.Table:
-        from nise_ray.ops.groupapply import segments
         if batch.num_rows == 0:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        st = batch.column("s_tot").to_numpy(zero_copy_only=False)
-        starts, counts = segments(tok)
-        us, vs = [], []
-        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            gid, gst = ids[s:s + c], st[s:s + c]
-            o = np.argsort(gid)
-            gid, gst = gid[o], gst[o]
-            ii, jj = np.triu_indices(len(gid), k=1)
-            lo = np.minimum(gst[ii], gst[jj])
-            hi = np.maximum(gst[ii], gst[jj])
-            keep = lo.astype(np.float64) >= tau * hi
-            if keep.any():
-                us.append(gid[ii[keep]])
-                vs.append(gid[jj[keep]])
-        if not us:
+        out = all_bucket_size_filtered_pairs(
+            batch.column("tok").to_numpy(zero_copy_only=False).astype(U64),
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("s_tot").to_numpy(zero_copy_only=False), tau)
+        if out is None:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
-                         "v": pa.array(np.concatenate(vs), pa.int64())})
+        return pa.table({"u": pa.array(out[0], pa.int64()),
+                         "v": pa.array(out[1], pa.int64())})
 
     return fn
 
@@ -468,7 +457,6 @@ def cws_signatures(uf: np.ndarray, tf: np.ndarray, uoffs: np.ndarray,
     ucnt = np.diff(uoffs)
     nz = ucnt > 0
     starts_nz = uoffs[:-1][nz]
-    row = np.repeat(np.arange(n, dtype=np.int64), ucnt)
     lnw = np.log(tf.astype(np.float64))
     with np.errstate(over="ignore"):
         base = uf * U64(0x9E3779B97F4A7C15)
@@ -488,8 +476,12 @@ def cws_signatures(uf: np.ndarray, tf: np.ndarray, uoffs: np.ndarray,
             tj = np.floor(lnw / r + beta)
             # ln a = ln c - r*(tj - beta) - r  (monotone in a; min ln a)
             lna = np.log(c) - r * (tj - beta) - r
-            order = np.lexsort((lna, row))
-            arg = order[starts_nz]  # per-row argmin (row blocks align)
+            # O(n) per-row argmin: reduceat min + first-match gather
+            # (replaces the per-k lexsort; ties resolve to the first
+            # in-row occurrence exactly as the stable lexsort did)
+            minv = np.minimum.reduceat(lna, starts_nz)
+            cand = np.flatnonzero(lna == np.repeat(minv, ucnt[nz]))
+            arg = cand[np.searchsorted(cand, starts_nz, side="left")]
             comp = splitmix64(uf[arg] ^ splitmix64(
                 tj[arg].astype(np.int64).astype(U64)))
             sig[nz, j] = comp
@@ -541,32 +533,19 @@ def weighted_minhash_pairs(sf_dir: str, tau: float = 0.5, k: int = 126,
                                 concurrency=default_concurrency())
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:
-        from nise_ray.ops.groupapply import segments
+        from nise_ray.ops.simjoin import all_bucket_size_filtered_pairs
         if batch.num_rows == 0:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        key = batch.column("bkey").to_numpy(zero_copy_only=False).astype(U64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        st = batch.column("s_tot").to_numpy(zero_copy_only=False)
-        starts, counts = segments(key)
-        us, vs = [], []
-        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            gid, gst = ids[s:s + c], st[s:s + c]
-            o = np.argsort(gid)
-            gid, gst = gid[o], gst[o]
-            ii, jj = np.triu_indices(len(gid), k=1)
-            lo = np.minimum(gst[ii], gst[jj])
-            hi = np.maximum(gst[ii], gst[jj])
-            keep = (gid[ii] != gid[jj]) & \
-                   (lo.astype(np.float64) >= tau * hi)
-            if keep.any():
-                us.append(gid[ii[keep]])
-                vs.append(gid[jj[keep]])
-        if not us:
+        out = all_bucket_size_filtered_pairs(
+            batch.column("bkey").to_numpy(zero_copy_only=False).astype(U64),
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("s_tot").to_numpy(zero_copy_only=False), tau)
+        if out is None:
             return pa.table({"u": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
-        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
-                         "v": pa.array(np.concatenate(vs), pa.int64())})
+        return pa.table({"u": pa.array(out[0], pa.int64()),
+                         "v": pa.array(out[1], pa.int64())})
 
     cands = hash_group_apply(exploded, ["bkey"], bucket_pairs)
     pairs_ds = hash_group_apply(cands, ["u", "v"], _distinct_uv,
