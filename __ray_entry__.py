@@ -526,6 +526,11 @@ def _q_last_touch_attribution(sf_dir: str):
     return last_touch_attribution(sf_dir)
 
 
+def _q_linear_attribution(sf_dir: str):
+    from nise_ray.ops.analytics4 import linear_attribution
+    return linear_attribution(sf_dir, window_days=7)
+
+
 def _q_lang_char_moments(sf_dir: str):
     from nise_ray.ops.analytics import lang_char_moments
     return lang_char_moments(sf_dir)
@@ -1201,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": _q_redact_docs,
         "lang_token_char_regression": _q_lang_token_char_regression,
         "last_touch_attribution": _q_last_touch_attribution,
+        "linear_attribution": _q_linear_attribution,
         "lang_char_moments": _q_lang_char_moments,
         "lang_char_skewkurt": _q_lang_char_skewkurt,
         "lang_doc_share": _q_lang_doc_share,
@@ -2259,6 +2265,24 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_us
             FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
                  USING (purchase_id)
+        """,
+        # multi-touch LINEAR attribution: one unit of credit split
+        # equally across the trailing 7-day click window; share is one
+        # double division of exact ints
+        "linear_attribution": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                       FROM events WHERE event_type = 'click'),
+                 j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+                              count(*) OVER (PARTITION BY p.purchase_id)
+                                AS n_win
+                       FROM p JOIN c ON c.user_id = p.user_id
+                                    AND c.cts < p.ts
+                                    AND c.cts >= p.ts - INTERVAL 7 DAY)
+            SELECT purchase_id, user_id, click_id,
+                   CAST(1 AS DOUBLE) / CAST(n_win AS DOUBLE) AS share
+            FROM j
         """,
         "lang_char_moments": """
             SELECT lang, count(*) AS n_docs,

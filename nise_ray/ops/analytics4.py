@@ -255,3 +255,84 @@ def _attribute_block(batch: pa.Table,
     return pa.table({"purchase_id": pa.array(ep, pa.int64()),
                      "user_id": pa.array(up, pa.int64()),
                      "click_id": click, "gap_us": gap})
+
+
+def linear_attribution(sf_dir: str, window_days: int = 7,
+                       ) -> "ray.data.Dataset":
+    """Multi-touch LINEAR attribution: every purchase splits one unit
+    of credit equally across ALL the same user's clicks in the trailing
+    window [purchase_ts - window_days, purchase_ts) — the fractional
+    sibling of last_touch_attribution (which a single as-of pick cannot
+    express). Output: one row per (purchase, contributing click) with
+    (purchase_id, user_id, click_id, share = 1/n_window_clicks);
+    purchases with no in-window click emit nothing (their credit is
+    unattributed). share is one double division of exact ints, so the
+    DuckDB comparison hashes bit-exact.
+
+    Same scale shape as last_touch: ONE user_id hash exchange, then a
+    per-block kernel of one lexsort + two global searchsorteds over the
+    (user-code, relative-ts) encoding; the explode is output-sized
+    (window memberships), never corpus x corpus."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from nise_ray.ops.groupapply import hash_group_apply
+
+    win_us = np.int64(window_days) * 86_400_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["purchase", "click"]))
+
+    _EMPTY = pa.table({"purchase_id": pa.array([], pa.int64()),
+                       "user_id": pa.array([], pa.int64()),
+                       "click_id": pa.array([], pa.int64()),
+                       "share": pa.array([], pa.float64())})
+
+    def attribute(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(batch.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False)
+        up, tp, ep = uid[is_p], ts[is_p], eid[is_p]
+        uc, tc, ec = uid[~is_p], ts[~is_p], eid[~is_p]
+        if len(up) == 0 or len(uc) == 0:
+            return _EMPTY
+        uniq = np.unique(np.concatenate([uc, up]))
+        cc = np.searchsorted(uniq, uc)
+        cp = np.searchsorted(uniq, up)
+        tmin = min(tc.min(), tp.min())
+        span = np.int64(max(tc.max(), tp.max()) - tmin) + win_us + 2
+        if span >= np.iinfo(np.int64).max // max(len(uniq), 1):
+            raise ValueError("timestamp span too wide for the encoding; "
+                             "narrow the partition or window")
+        enc_c = cc * span + (tc - tmin)
+        order = np.argsort(enc_c, kind="stable")
+        enc_c, tc, ec = enc_c[order], tc[order], ec[order]
+        enc_p = cp * span + (tp - tmin)
+        base = cp * span
+        # clicks with ts in [p.ts - window, p.ts), same user
+        hi = np.searchsorted(enc_c, enc_p, side="left")
+        lo = np.searchsorted(enc_c, np.maximum(enc_p - win_us, base),
+                             side="left")
+        n_win = hi - lo
+        keep = n_win > 0
+        if not keep.any():
+            return _EMPTY
+        hi, lo, n_win = hi[keep], lo[keep], n_win[keep]
+        from nise_ray.ops.simjoin import _ranges
+        idx = _ranges(lo, n_win)
+        share = 1.0 / np.repeat(n_win, n_win).astype(np.float64)
+        return pa.table({
+            "purchase_id": pa.array(np.repeat(ep[keep], n_win), pa.int64()),
+            "user_id": pa.array(np.repeat(up[keep], n_win), pa.int64()),
+            "click_id": pa.array(ec[idx], pa.int64()),
+            "share": pa.array(share, pa.float64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], attribute, 0, sort=False)

@@ -186,3 +186,27 @@ def test_last_touch_fallback_parity():
     slow = slow.sort_values(key).reset_index(drop=True)
     assert len(fast) > 0 and fast["click_id"].notna().sum() > 0
     pd.testing.assert_frame_equal(fast, slow, check_exact=True)
+
+
+def test_linear_attribution_bitexact(ray_session):
+    from nise_ray.ops.analytics4 import linear_attribution
+    got = _sorted(linear_attribution(SF, window_days=7).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                   FROM events WHERE event_type = 'click'),
+             j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+                          count(*) OVER (PARTITION BY p.purchase_id)
+                            AS n_win
+                   FROM p JOIN c ON c.user_id = p.user_id
+                                AND c.cts < p.ts
+                                AND c.cts >= p.ts - INTERVAL 7 DAY)
+        SELECT purchase_id, user_id, click_id,
+               CAST(1 AS DOUBLE) / CAST(n_win AS DOUBLE) AS share
+        FROM j""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # credit per purchase sums to 1 (within the window-covered set)
+    s = got.groupby("purchase_id")["share"].sum()
+    assert np.allclose(s.values, 1.0)
