@@ -531,6 +531,11 @@ def _q_linear_attribution(sf_dir: str):
     return linear_attribution(sf_dir, window_days=7)
 
 
+def _q_late_events_report(sf_dir: str):
+    from nise_ray.ops.analytics4 import late_events_report
+    return late_events_report(sf_dir, tolerance_s=3600)
+
+
 def _q_lang_char_moments(sf_dir: str):
     from nise_ray.ops.analytics import lang_char_moments
     return lang_char_moments(sf_dir)
@@ -1207,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_char_regression": _q_lang_token_char_regression,
         "last_touch_attribution": _q_last_touch_attribution,
         "linear_attribution": _q_linear_attribution,
+        "late_events_report": _q_late_events_report,
         "lang_char_moments": _q_lang_char_moments,
         "lang_char_skewkurt": _q_lang_char_skewkurt,
         "lang_doc_share": _q_lang_doc_share,
@@ -2265,6 +2271,28 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_us
             FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
                  USING (purchase_id)
+        """,
+        # out-of-order arrival diagnostic: running max ts over ARRIVAL
+        # order (event_id) vs each event's own ts — the watermark-choice
+        # measurement; first arrivals have no prior and are never late
+        "late_events_report": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prior_max
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN prior_max IS NOT NULL
+                                  AND epoch_us(prior_max) - epoch_us(ts)
+                                      > 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(max(CASE WHEN prior_max IS NOT NULL
+                                 THEN greatest(epoch_us(prior_max)
+                                               - epoch_us(ts), 0)
+                                 ELSE 0 END) // 1000000 AS BIGINT)
+                     AS max_lag_s
+            FROM w GROUP BY user_id
         """,
         # multi-touch LINEAR attribution: one unit of credit split
         # equally across the trailing 7-day click window; share is one

@@ -336,3 +336,79 @@ def linear_attribution(sf_dir: str, window_days: int = 7,
         })
 
     return hash_group_apply(ds, ["user_id"], attribute, 0, sort=False)
+
+
+def late_events_report(sf_dir: str, tolerance_s: int = 3600,
+                       ) -> "ray.data.Dataset":
+    """Out-of-order arrival diagnostic (the measurement behind any
+    streaming watermark choice): treating event_id as ARRIVAL order,
+    an event is LATE if its ts lags the running max ts of the user's
+    EARLIER arrivals by more than `tolerance_s`. Output per user:
+    (user_id, n_events, n_late, max_lag_s) with max_lag_s the worst
+    observed lag in whole seconds (0 when never behind).
+
+    Distinct window shape: a cumulative max ORDERED BY A DIFFERENT KEY
+    than the value (arrival id vs event time) — none of the other
+    window ops decouple the two. One user_id hash exchange; the kernel
+    is one lexsort + ONE global np.maximum.accumulate over a
+    (segment, relative-ts) encoding whose per-segment prefix maxima
+    cannot leak across users (an earlier segment's encoded values are
+    all smaller than any current-segment value), with the usual
+    int64-headroom guard + per-segment fallback."""
+    from nise_ray.ops.groupapply import hash_group_apply, segments
+
+    tol_us = np.int64(tolerance_s) * 1_000_000
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    _EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                       "n_events": pa.array([], pa.int64()),
+                       "n_late": pa.array([], pa.int64()),
+                       "max_lag_s": pa.array([], pa.int64())})
+
+    def report(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, ts = uid[order], ts[order]
+        starts, counts = segments(uid)
+        seg_of = np.zeros(len(ts), dtype=np.int64)
+        seg_of[starts[1:]] = 1
+        np.cumsum(seg_of, out=seg_of)
+        tmin = ts.min()
+        rel = ts - tmin
+        span = np.int64(rel.max()) + 2
+        lag = np.full(len(ts), np.iinfo(np.int64).min, dtype=np.int64)
+        if span < np.iinfo(np.int64).max // max(len(starts), 1):
+            base = seg_of * span
+            enc = base + rel + 1  # +1 so 'no prior in segment' == base
+            run = np.maximum.accumulate(enc)
+            prior = run[:-1]  # prior arrivals' running max, shifted
+            has_prior = prior > base[1:]  # a current-segment value seen
+            cur_lag = (prior - 1 - base[1:]) - rel[1:]
+            lag[1:][has_prior] = cur_lag[has_prior]
+        else:  # degenerate-width guard: per-segment sweep, same result
+            for s, c in zip(starts, counts):
+                if c < 2:
+                    continue
+                seg = ts[s:s + c]
+                prior = np.maximum.accumulate(seg)[:-1]
+                lag[s + 1:s + c] = prior - seg[1:]
+        late = lag > tol_us
+        pos_lag = np.maximum(lag, 0)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "n_late": pa.array(np.add.reduceat(late.astype(np.int64),
+                                               starts), pa.int64()),
+            "max_lag_s": pa.array(
+                np.maximum.reduceat(pos_lag, starts) // 1_000_000,
+                pa.int64()),
+        })
+
+    return hash_group_apply(ds, ["user_id"], report, 0, sort=False)

@@ -210,3 +210,69 @@ def test_linear_attribution_bitexact(ray_session):
     # credit per purchase sums to 1 (within the window-covered set)
     s = got.groupby("purchase_id")["share"].sum()
     assert np.allclose(s.values, 1.0)
+
+
+def test_late_events_report_bitexact(ray_session):
+    from nise_ray.ops.analytics4 import late_events_report
+    got = _sorted(late_events_report(SF, tolerance_s=3600).to_pandas())
+    want = _sorted(_con().execute("""
+        WITH w AS (
+          SELECT user_id, ts,
+                 max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prior_max
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN prior_max IS NOT NULL
+                              AND epoch_us(prior_max) - epoch_us(ts)
+                                  > 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(max(CASE WHEN prior_max IS NOT NULL
+                             THEN greatest(epoch_us(prior_max)
+                                           - epoch_us(ts), 0)
+                             ELSE 0 END) // 1000000 AS BIGINT)
+                 AS max_lag_s
+        FROM w GROUP BY user_id""").fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    # the synthetic stream is perfectly ordered (event_id follows ts),
+    # so lateness is legitimately all-zero here; the discriminative
+    # case is pinned by test_late_events_crafted_stream below
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_late_events_crafted_stream(ray_session):
+    """Disordered stream: arrival order (event_id) disagrees with ts —
+    lateness counts and the max lag must match hand-computed values."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.analytics4 import late_events_report
+    h = 3_600_000_000  # 1h in us
+    rows = [  # (event_id=arrival, ts, user)
+        (1, 0 * h, 1),
+        (2, 10 * h, 1),   # running max 10h
+        (3, 2 * h, 1),    # 8h behind -> late, lag 8h
+        (4, 10 * h, 1),   # ties the max: lag 0, not late
+        (5, 9 * h + 1_800_000_000, 1),  # 30min behind -> within tol
+        (6, 5 * h, 2),
+        (7, 6 * h, 2),    # in order, never late
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = late_events_report(d, tolerance_s=3600).to_pandas() \
+            .set_index("user_id").sort_index()
+    assert got.loc[1, "n_events"] == 5
+    assert got.loc[1, "n_late"] == 1          # only the 8h-behind event
+    assert got.loc[1, "max_lag_s"] == 8 * 3600
+    assert got.loc[2, "n_late"] == 0 and got.loc[2, "max_lag_s"] == 0
