@@ -285,32 +285,47 @@ def linear_attribution(sf_dir: str, window_days: int = 7,
         columns=["event_id", "user_id", "ts", "event_type"],
         filter=pads.field("event_type").isin(["purchase", "click"]))
 
-    _EMPTY = pa.table({"purchase_id": pa.array([], pa.int64()),
-                       "user_id": pa.array([], pa.int64()),
-                       "click_id": pa.array([], pa.int64()),
-                       "share": pa.array([], pa.float64())})
-
     def attribute(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EMPTY
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        is_p = pc.equal(batch.column("event_type"), "purchase") \
-            .to_numpy(zero_copy_only=False)
-        up, tp, ep = uid[is_p], ts[is_p], eid[is_p]
-        uc, tc, ec = uid[~is_p], ts[~is_p], eid[~is_p]
-        if len(up) == 0 or len(uc) == 0:
-            return _EMPTY
-        uniq = np.unique(np.concatenate([uc, up]))
-        cc = np.searchsorted(uniq, uc)
-        cp = np.searchsorted(uniq, up)
-        tmin = min(tc.min(), tp.min())
-        span = np.int64(max(tc.max(), tp.max()) - tmin) + win_us + 2
-        if span >= np.iinfo(np.int64).max // max(len(uniq), 1):
-            raise ValueError("timestamp span too wide for the encoding; "
-                             "narrow the partition or window")
+        return _linear_attr_block(batch, win_us)
+
+    return hash_group_apply(ds, ["user_id"], attribute, 0, sort=False)
+
+
+_EMPTY_LINEAR = pa.table({"purchase_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "click_id": pa.array([], pa.int64()),
+                          "share": pa.array([], pa.float64())})
+
+
+def _linear_attr_block(batch: pa.Table, win_us,
+                       _headroom: int = np.iinfo(np.int64).max) -> pa.Table:
+    """Kernel for one user-complete block; `_headroom` exists so tests
+    can force the per-user fallback branch and assert parity (same
+    contract as _attribute_block — a degenerately wide timestamp span
+    degrades to the sweep instead of aborting the job)."""
+    import pyarrow.compute as pc
+
+    from nise_ray.ops.groupapply import segments
+    from nise_ray.ops.simjoin import _ranges
+
+    if batch.num_rows == 0:
+        return _EMPTY_LINEAR
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    ts = batch.column("ts").cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    is_p = pc.equal(batch.column("event_type"), "purchase") \
+        .to_numpy(zero_copy_only=False)
+    up, tp, ep = uid[is_p], ts[is_p], eid[is_p]
+    uc, tc, ec = uid[~is_p], ts[~is_p], eid[~is_p]
+    if len(up) == 0 or len(uc) == 0:
+        return _EMPTY_LINEAR
+    uniq = np.unique(np.concatenate([uc, up]))
+    cc = np.searchsorted(uniq, uc)
+    cp = np.searchsorted(uniq, up)
+    tmin = min(tc.min(), tp.min())
+    span = np.int64(max(tc.max(), tp.max()) - tmin) + win_us + 2
+    if span < _headroom // max(len(uniq), 1):
         enc_c = cc * span + (tc - tmin)
         order = np.argsort(enc_c, kind="stable")
         enc_c, tc, ec = enc_c[order], tc[order], ec[order]
@@ -320,22 +335,36 @@ def linear_attribution(sf_dir: str, window_days: int = 7,
         hi = np.searchsorted(enc_c, enc_p, side="left")
         lo = np.searchsorted(enc_c, np.maximum(enc_p - win_us, base),
                              side="left")
-        n_win = hi - lo
-        keep = n_win > 0
-        if not keep.any():
-            return _EMPTY
-        hi, lo, n_win = hi[keep], lo[keep], n_win[keep]
-        from nise_ray.ops.simjoin import _ranges
-        idx = _ranges(lo, n_win)
-        share = 1.0 / np.repeat(n_win, n_win).astype(np.float64)
-        return pa.table({
-            "purchase_id": pa.array(np.repeat(ep[keep], n_win), pa.int64()),
-            "user_id": pa.array(np.repeat(up[keep], n_win), pa.int64()),
-            "click_id": pa.array(ec[idx], pa.int64()),
-            "share": pa.array(share, pa.float64()),
-        })
-
-    return hash_group_apply(ds, ["user_id"], attribute, 0, sort=False)
+    else:  # degenerate-width guard: per-user sweep, same result
+        order = np.lexsort((tc, cc))
+        cc, tc, ec = cc[order], tc[order], ec[order]
+        starts, counts = segments(cc)
+        seg_at = np.full(len(uniq), -1, np.int64)
+        seg_at[cc[starts]] = np.arange(len(starts))
+        lo = np.zeros(len(up), np.int64)
+        hi = np.zeros(len(up), np.int64)
+        for j in range(len(up)):
+            s = seg_at[cp[j]]
+            if s < 0:
+                continue
+            s0, c = starts[s], counts[s]
+            seg_t = tc[s0:s0 + c]
+            lo[j] = s0 + np.searchsorted(seg_t, tp[j] - win_us,
+                                         side="left")
+            hi[j] = s0 + np.searchsorted(seg_t, tp[j], side="left")
+    n_win = hi - lo
+    keep = n_win > 0
+    if not keep.any():
+        return _EMPTY_LINEAR
+    hi, lo, n_win = hi[keep], lo[keep], n_win[keep]
+    idx = _ranges(lo, n_win)
+    share = 1.0 / np.repeat(n_win, n_win).astype(np.float64)
+    return pa.table({
+        "purchase_id": pa.array(np.repeat(ep[keep], n_win), pa.int64()),
+        "user_id": pa.array(np.repeat(up[keep], n_win), pa.int64()),
+        "click_id": pa.array(ec[idx], pa.int64()),
+        "share": pa.array(share, pa.float64()),
+    })
 
 
 def late_events_report(sf_dir: str, tolerance_s: int = 3600,

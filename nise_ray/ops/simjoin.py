@@ -24,11 +24,18 @@ still scale-shaped:
      token-inverted-index join is filtered out by construction.
   3. candidate pairs per token group with the size filter
      (min(nu,nv) >= tau * max(nu,nv)), then one (u, v) distinct exchange.
-  4. verify: DISTRIBUTED map_batches over the pair set — each worker
-     holds the needed-docs token-set map (broadcast once via ray.put;
-     needed set is bounded by the PAIR set, not the corpus) and counts
-     intersections fully vectorized (one lexsort + adjacent-duplicate
-     count per batch of pairs, no per-pair Python).
+  4. verify: DISTRIBUTED map_batches over the pair set. The needed-docs
+     token-set attach is mode-gated (`verify_mode`, mirroring df_mode):
+     "broadcast" ray.puts the needed-endpoint token-set map once (needed
+     set is bounded by the PAIR set, not the corpus — but on a dup-heavy
+     corpus pair endpoints approach corpus cardinality, hence the gate);
+     "join" is the 100-TB path — the distinct-endpoint DATASET semi-joins
+     `documents` for token sets, then two hash joins attach each pair's
+     endpoint sets and a task-path kernel verifies per batch with NO
+     driver/worker-resident map; "auto" gates on the measured distinct
+     endpoint count. Both paths are parity-tested to emit identical
+     pairs. Either way the per-batch count is fully vectorized (one
+     lexsort + adjacent-duplicate count, no per-pair Python).
 
 All tokenize/hash work uses the batched kernels from ops/normalize
 (Arrow regex split + dictionary-encoded blake2b with a per-actor vocab
@@ -315,9 +322,249 @@ class _VerifyPairs:
         })
 
 
+def _endpoints_batch(batch: pa.Table) -> pa.Table:
+    """(u, v) pair batch -> block-distinct endpoint doc_ids."""
+    e = np.unique(np.concatenate([
+        batch.column("u").to_numpy(zero_copy_only=False),
+        batch.column("v").to_numpy(zero_copy_only=False)]))
+    return pa.table({"doc_id": pa.array(e, pa.int64())})
+
+
+def _distinct_doc_batch(batch: pa.Table) -> pa.Table:
+    """Merge fn for the endpoint exchange: distinct doc_id per block."""
+    if batch.num_rows == 0:
+        return batch
+    ids = np.unique(batch.column("doc_id").to_numpy(zero_copy_only=False))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+class _GatherTokenSets:
+    """Actor-pool stage: (doc_id, text) -> (doc_id, toks) list rows for
+    the docs in the broadcast needed-set (pair endpoints)."""
+
+    def __init__(self, needed_ref) -> None:
+        self.needed = ray.get(needed_ref)
+        self.hasher = TokenHasher()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(self.needed, ids), 0,
+                      max(len(self.needed) - 1, 0))
+        rows = np.flatnonzero(self.needed[pos] == ids) \
+            if len(self.needed) else np.empty(0, np.int64)
+        if len(rows) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "toks": pa.array([], pa.large_list(pa.uint64()))})
+        sel = b.take(pa.array(rows))
+        uf, uoffs = _row_unique_token_hashes(sel.column("text"),
+                                             self.hasher)
+        return pa.table({
+            "doc_id": sel.column("doc_id"),
+            "toks": pa.LargeListArray.from_arrays(
+                pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
+        })
+
+
+def _list_flat_offs(col: "pa.ChunkedArray | pa.Array"):
+    """list column -> (flat values np array, 0-based int64 offsets).
+    Offsets normalize against the FIRST PHYSICAL VALUE OFFSET
+    (g_offs - g_offs[0]), not the list-slot slice offset: flatten()
+    returns exactly the values the logical slice references, so this
+    stays correct for sliced / non-compacted arrays where the two
+    offsets differ."""
+    lists = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    if len(offs):
+        offs = offs - offs[0]
+    return flat, offs
+
+
+def _pack_tokset_map(got: pa.Table):
+    """Collected (doc_id, toks) rows -> broadcast ref of (sorted ids,
+    flat hashes, offsets) for searchsorted lookup in the verifiers."""
+    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
+    g_flat, g_offs = _list_flat_offs(got.column("toks"))
+    g_flat = g_flat.astype(U64)
+    order = np.argsort(gids)
+    cnts = np.diff(g_offs)[order]
+    flat_sorted = g_flat[_ranges(g_offs[:-1][order], cnts)]
+    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs_sorted[1:])
+    return ray.put((gids[order], flat_sorted, offs_sorted))
+
+
+def _flat_to_bin(flat: np.ndarray, offs: np.ndarray) -> pa.Array:
+    """(flat fixed-width values, element offsets) -> large_binary rows
+    (each row = its elements' raw bytes). Arrow's acero join rejects
+    list-typed NON-KEY columns ("not supported in join non-key field"),
+    so the join verify path ships token sets as binary blobs instead;
+    _bin_flat_offs inverts this zero-copy on the other side."""
+    byte_offs = (offs * flat.dtype.itemsize).astype(np.int64)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(offs) - 1,
+        [None, pa.py_buffer(byte_offs.tobytes()),
+         pa.py_buffer(flat.tobytes())])
+
+
+def _bin_flat_offs(col: "pa.ChunkedArray | pa.Array", dtype):
+    """large_binary column -> (flat values of `dtype`, 0-based element
+    offsets). Caller guarantees no nulls (fail-loud upstream)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    itemsize = np.dtype(dtype).itemsize
+    if n == 0:
+        return np.empty(0, dtype), np.zeros(1, np.int64)
+    bufs = arr.buffers()
+    byte_offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + n + 1]
+    if bufs[2] is None or byte_offs[-1] == byte_offs[0]:
+        return np.empty(0, dtype), np.zeros(n + 1, np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    flat = data[byte_offs[0]:byte_offs[-1]].view(dtype)
+    return flat, (byte_offs - byte_offs[0]) // itemsize
+
+
+def _tokset_rows_task(b: pa.Table) -> pa.Table:
+    """Task-path (doc_id, text) -> (doc_id, toks[binary]) for the join
+    verify path (fresh hasher per task; join aggregator pools alongside
+    actor pools deadlock small clusters)."""
+    uf, uoffs = _row_unique_token_hashes(b.column("text"), TokenHasher())
+    return pa.table({"doc_id": b.column("doc_id"),
+                     "toks": _flat_to_bin(uf.astype(U64), uoffs)})
+
+
+def _proj_toks_u(b: pa.Table) -> pa.Table:
+    """After the u-side join: fail loud on a missing endpoint (left-
+    outer null — documents must cover every pair endpoint), rename."""
+    toks = b.column("toks")
+    if toks.null_count:
+        raise AssertionError("pair endpoint missing from documents "
+                             "(u-side join produced NULL token set)")
+    return pa.table({"u": b.column("u"), "v": b.column("v"),
+                     "toks_u": toks})
+
+
+def _verify_lists_fn(tau: float, contain: bool):
+    """Join-path verify kernel: batch carries each pair's BOTH endpoint
+    token sets as list columns (u, v, toks_u, toks) — same one-lexsort
+    intersection count as the broadcast verifiers, no resident map."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        empty = _EMPTY_CONTAIN if contain else _EMPTY_PAIRS
+        if b.num_rows == 0:
+            return empty.empty_table()
+        if b.column("toks").null_count:
+            raise AssertionError("pair endpoint missing from documents "
+                                 "(v-side join produced NULL token set)")
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        flat_u, offs_u = _bin_flat_offs(b.column("toks_u"), U64)
+        flat_v, offs_v = _bin_flat_offs(b.column("toks"), U64)
+        cu, cv = np.diff(offs_u), np.diff(offs_v)
+        npair = len(u)
+        pair_idx = np.arange(npair, dtype=np.int64)
+        all_pair = np.concatenate([np.repeat(pair_idx, cu),
+                                   np.repeat(pair_idx, cv)])
+        all_hash = np.concatenate([flat_u.astype(U64),
+                                   flat_v.astype(U64)])
+        order = np.lexsort((all_hash, all_pair))
+        ps, hs = all_pair[order], all_hash[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        n_inter = np.bincount(ps[1:][dup], minlength=npair)
+        if contain:
+            n_min = np.minimum(cu, cv)
+            keep = n_inter.astype(np.float64) >= tau * n_min
+            return pa.table({
+                "doc_id_u": pa.array(u[keep], pa.int64()),
+                "doc_id_v": pa.array(v[keep], pa.int64()),
+                "n_inter": pa.array(n_inter[keep], pa.int64()),
+                "n_min": pa.array(n_min[keep], pa.int64())})
+        n_union = cu + cv - n_inter
+        keep = n_inter.astype(np.float64) >= tau * n_union
+        return pa.table({
+            "doc_id_u": pa.array(u[keep], pa.int64()),
+            "doc_id_v": pa.array(v[keep], pa.int64()),
+            "n_inter": pa.array(n_inter[keep], pa.int64()),
+            "n_union": pa.array(n_union[keep], pa.int64())})
+
+    return fn
+
+
+def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
+                      verify_broadcast_max: int, contain: bool) -> pa.Table:
+    """Shared exact-verify tail for the Jaccard and containment joins.
+
+    verify_mode: "broadcast" | "join" | "auto" — how each pair's
+    endpoint token sets reach the verify kernel. "broadcast" collects
+    the distinct-endpoint token sets once and ray.puts a searchsorted
+    map (fast while endpoints are output-sized); "join" is the 100-TB
+    path: the distinct-endpoint DATASET semi-joins documents for token
+    sets, two left-outer hash joins attach them per pair, and the
+    kernel verifies per batch with no resident map; "auto" gates on
+    the measured distinct endpoint count. Both modes fail loud on a
+    pair endpoint missing from documents and are parity-tested."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
+    from nise_ray.util import collect_table
+
+    empty = _EMPTY_CONTAIN if contain else _EMPTY_PAIRS
+    # distinct endpoints as a DATASET (one doc_id exchange) — the gate
+    # count is metadata after materialize, nothing driver-sized yet
+    ep_ds = hash_group_apply(
+        pairs_ds.map_batches(_endpoints_batch, batch_format="pyarrow"),
+        ["doc_id"], _distinct_doc_batch, sort=False).materialize()
+    n_needed = ep_ds.count()
+    if n_needed == 0:
+        return empty.empty_table()
+    if verify_mode == "auto":
+        verify_mode = ("broadcast" if n_needed <= verify_broadcast_max
+                       else "join")
+
+    if verify_mode == "broadcast":
+        needed = np.sort(collect_table(ep_ds).column("doc_id").to_numpy(
+            zero_copy_only=False))
+        needed_ref = ray.put(needed)
+        got = collect_table(docs.map_batches(
+            _GatherTokenSets, fn_constructor_args=(needed_ref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency()))
+        map_ref = _pack_tokset_map(got)
+        cls = _VerifyContainment if contain else _VerifyPairs
+        verified = pairs_ds.map_batches(
+            cls, fn_constructor_args=(map_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency())
+    elif verify_mode == "join":
+        from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        np_ = _join_partitions()
+        sel = docs.join(ep_ds, join_type="inner", on=("doc_id",),
+                        num_partitions=np_)
+        toksets = sel.map_batches(_tokset_rows_task, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        j1 = pairs_ds.join(toksets, join_type="left_outer", on=("u",),
+                           right_on=("doc_id",), num_partitions=np_)
+        j1 = j1.map_batches(_proj_toks_u, batch_format="pyarrow")
+        j2 = j1.join(toksets, join_type="left_outer", on=("v",),
+                     right_on=("doc_id",), num_partitions=np_)
+        verified = j2.map_batches(_verify_lists_fn(tau, contain),
+                                  batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown verify_mode {verify_mode!r}")
+
+    out = collect_table(verified)
+    if out.num_rows == 0:
+        return empty.empty_table()
+    return out.select([f.name for f in empty]).sort_by(
+        [("doc_id_u", "ascending"), ("doc_id_v", "ascending")])
+
+
 def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
                         df_mode: str = "auto",
-                        df_broadcast_max: int = 10_000_000) -> pa.Table:
+                        df_broadcast_max: int = 10_000_000,
+                        verify_mode: str = "auto",
+                        verify_broadcast_max: int = 1_000_000) -> pa.Table:
     """All document pairs with exact token-set Jaccard >= tau, as
     (doc_id_u, doc_id_v, n_inter, n_union), sorted by (u, v).
     See module docstring for the prefix-filtered plan.
@@ -325,7 +572,10 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
     df_mode: "broadcast" | "join" | "auto" — how the per-token document
     frequency reaches the prefix selector. "join" is the 100-TB path
     (distributed hash join on tok + doc_id regroup, no vocab-sized
-    driver/worker state); "auto" gates on the measured vocab size."""
+    driver/worker state); "auto" gates on the measured vocab size.
+    verify_mode gates the exact-verify endpoint token-set attach the
+    same way (see _pair_verify_tail) — no ungated driver
+    materialization anywhere on the path."""
     from nise_ray.ops.groupapply import (
         default_concurrency,
         hash_group_apply,
@@ -407,67 +657,9 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
     pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
                                 sort=False).materialize()
 
-    # ---- pass 4: distributed exact verification -------------------------
-    # needed-docs set: distinct pair endpoints (pair-bounded, not corpus)
-    def endpoints(batch: pa.Table) -> pa.Table:
-        e = np.unique(np.concatenate([
-            batch.column("u").to_numpy(zero_copy_only=False),
-            batch.column("v").to_numpy(zero_copy_only=False)]))
-        return pa.table({"doc_id": pa.array(e, pa.int64())})
-
-    ep = collect_table(pairs_ds.map_batches(endpoints,
-                                            batch_format="pyarrow"))
-    if ep.num_rows == 0:
-        return _EMPTY_PAIRS.empty_table()
-    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
-    needed_ref = ray.put(needed)
-
-    class GatherTokenSets:
-        def __init__(self) -> None:
-            self.needed = ray.get(needed_ref)
-            self.hasher = TokenHasher()
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.needed, ids), 0,
-                          len(self.needed) - 1)
-            rows = np.flatnonzero(self.needed[pos] == ids)
-            if len(rows) == 0:
-                return pa.table({
-                    "doc_id": pa.array([], pa.int64()),
-                    "toks": pa.array([], pa.large_list(pa.uint64()))})
-            sel = b.take(pa.array(rows))
-            uf, uoffs = _row_unique_token_hashes(sel.column("text"),
-                                                 self.hasher)
-            return pa.table({
-                "doc_id": sel.column("doc_id"),
-                "toks": pa.LargeListArray.from_arrays(
-                    pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
-            })
-
-    got = collect_table(docs.map_batches(
-        GatherTokenSets, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency()))
-    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
-    glists = got.column("toks").combine_chunks()
-    g_flat = glists.flatten().to_numpy(zero_copy_only=False).astype(U64)
-    g_offs = np.asarray(glists.offsets, dtype=np.int64) - glists.offset
-    # re-pack sorted by doc_id so workers can searchsorted
-    order = np.argsort(gids)
-    cnts = np.diff(g_offs)[order]
-    flat_sorted = g_flat[_ranges(g_offs[:-1][order], cnts)]
-    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
-    np.cumsum(cnts, out=offs_sorted[1:])
-    map_ref = ray.put((gids[order], flat_sorted, offs_sorted))
-
-    verified = pairs_ds.map_batches(
-        _VerifyPairs, fn_constructor_args=(map_ref, tau),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency())
-    out = collect_table(verified)
-    if out.num_rows == 0:
-        return _EMPTY_PAIRS.empty_table()
-    return out.sort_by([("doc_id_u", "ascending"), ("doc_id_v", "ascending")])
+    # ---- pass 4: mode-gated distributed exact verification --------------
+    return _pair_verify_tail(docs, pairs_ds, tau, verify_mode,
+                             verify_broadcast_max, contain=False)
 
 
 def source_overlap_pairs(sf_dir: str, tau: float = 0.5,
@@ -613,7 +805,10 @@ class _VerifyContainment:
 
 def containment_token_pairs(sf_dir: str, tau: float = 0.8,
                             df_mode: str = "auto",
-                            df_broadcast_max: int = 10_000_000) -> pa.Table:
+                            df_broadcast_max: int = 10_000_000,
+                            verify_mode: str = "auto",
+                            verify_broadcast_max: int = 1_000_000,
+                            ) -> pa.Table:
     """All document pairs whose SMALLER token set is tau-contained in
     the larger: |Tu ∩ Tv| >= tau * min(|Tu|, |Tv|) — the asymmetric
     near-dup signal that catches a file pasted into a bigger one,
@@ -631,7 +826,9 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
     (ties broken by doc_id). Hot stopword tokens have high df and
     almost never enter a prefix, so their index groups pair with ~zero
     probes — the skew guard is the prefix itself. Verification is the
-    same distributed needed-docs broadcast as token_jaccard_pairs."""
+    same mode-gated tail as token_jaccard_pairs (_pair_verify_tail:
+    broadcast under verify_broadcast_max endpoints, distributed join
+    fallback above it)."""
     from nise_ray.ops.groupapply import (
         default_concurrency,
         hash_group_apply,
@@ -773,65 +970,8 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
     pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
                                 sort=False).materialize()
 
-    def endpoints(batch: pa.Table) -> pa.Table:
-        e = np.unique(np.concatenate([
-            batch.column("u").to_numpy(zero_copy_only=False),
-            batch.column("v").to_numpy(zero_copy_only=False)]))
-        return pa.table({"doc_id": pa.array(e, pa.int64())})
-
-    ep = collect_table(pairs_ds.map_batches(endpoints,
-                                            batch_format="pyarrow"))
-    if ep.num_rows == 0:
-        return _EMPTY_CONTAIN.empty_table()
-    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
-    needed_ref = ray.put(needed)
-
-    class GatherTokenSets:
-        def __init__(self) -> None:
-            self.needed = ray.get(needed_ref)
-            self.hasher = TokenHasher()
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.needed, ids), 0,
-                          len(self.needed) - 1)
-            rows = np.flatnonzero(self.needed[pos] == ids)
-            if len(rows) == 0:
-                return pa.table({
-                    "doc_id": pa.array([], pa.int64()),
-                    "toks": pa.array([], pa.large_list(pa.uint64()))})
-            sel = b.take(pa.array(rows))
-            uf, uoffs = _row_unique_token_hashes(sel.column("text"),
-                                                 self.hasher)
-            return pa.table({
-                "doc_id": sel.column("doc_id"),
-                "toks": pa.LargeListArray.from_arrays(
-                    pa.array(uoffs, pa.int64()), pa.array(uf, pa.uint64())),
-            })
-
-    got = collect_table(docs.map_batches(
-        GatherTokenSets, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency()))
-    gids = got.column("doc_id").to_numpy(zero_copy_only=False)
-    glists = got.column("toks").combine_chunks()
-    g_flat = glists.flatten().to_numpy(zero_copy_only=False).astype(U64)
-    g_offs = np.asarray(glists.offsets, dtype=np.int64) - glists.offset
-    order = np.argsort(gids)
-    cnts = np.diff(g_offs)[order]
-    flat_sorted = g_flat[_ranges(g_offs[:-1][order], cnts)]
-    offs_sorted = np.zeros(len(order) + 1, dtype=np.int64)
-    np.cumsum(cnts, out=offs_sorted[1:])
-    map_ref = ray.put((gids[order], flat_sorted, offs_sorted))
-
-    verified = pairs_ds.map_batches(
-        _VerifyContainment, fn_constructor_args=(map_ref, tau),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency())
-    out = collect_table(verified)
-    if out.num_rows == 0:
-        return _EMPTY_CONTAIN.empty_table()
-    return out.sort_by([("doc_id_u", "ascending"),
-                        ("doc_id_v", "ascending")])
+    return _pair_verify_tail(docs, pairs_ds, tau, verify_mode,
+                             verify_broadcast_max, contain=True)
 
 
 def _labeled_docs(sf_dir: str, tau: float, extra_cols: list[str],

@@ -55,7 +55,16 @@ import ray
 
 from nise_ray.hashing import U64, band_keys, splitmix64
 from nise_ray.ops.normalize import TokenHasher, batch_token_hashes
-from nise_ray.ops.simjoin import _DfPartial, _df_merge_batch, _ranges
+from nise_ray.ops.simjoin import (
+    _DfPartial,
+    _bin_flat_offs,
+    _df_merge_batch,
+    _distinct_doc_batch,
+    _endpoints_batch,
+    _flat_to_bin,
+    _list_flat_offs,
+    _ranges,
+)
 
 _EMPTY_WPAIRS = pa.schema([
     ("doc_id_u", pa.int64()), ("doc_id_v", pa.int64()),
@@ -274,8 +283,10 @@ class _VerifyWeighted:
         ps, hs, ws = all_pair[order], all_tok[order], all_tf[order]
         dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
         contrib = np.minimum(ws[1:], ws[:-1])
-        m = np.bincount(ps[1:][dup], weights=contrib[dup],
-                        minlength=npair).astype(np.int64)
+        # int64 accumulation (np.add.at), NOT bincount(weights=) which
+        # sums in float64 — keeps m integer-exact past 2^53 shared weight
+        m = np.zeros(npair, dtype=np.int64)
+        np.add.at(m, ps[1:][dup], contrib[dup])
         su, sv = self.tot[iu], self.tot[iv]
         w_union = su + sv - m
         # ONE double division of exact ints — identical to the SQL
@@ -330,11 +341,12 @@ def _gather_tf_map(docs: "ray.data.Dataset", needed: np.ndarray):
         Gather, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=default_concurrency()))
     gids = got.column("doc_id").to_numpy(zero_copy_only=False)
-    tl = got.column("toks").combine_chunks()
-    fl = got.column("tfs").combine_chunks()
-    g_tok = tl.flatten().to_numpy(zero_copy_only=False).astype(U64)
-    g_tf = fl.flatten().to_numpy(zero_copy_only=False)
-    g_offs = np.asarray(tl.offsets, dtype=np.int64) - tl.offset
+    # offsets normalize against the first physical VALUE offset (inside
+    # _list_flat_offs), not the list-slot slice offset — correct even
+    # for sliced / non-compacted list arrays
+    g_tok, g_offs = _list_flat_offs(got.column("toks"))
+    g_tok = g_tok.astype(U64)
+    g_tf, _ = _list_flat_offs(got.column("tfs"))
     order = np.argsort(gids)
     cnts = np.diff(g_offs)[order]
     rng = _ranges(g_offs[:-1][order], cnts)
@@ -345,42 +357,144 @@ def _gather_tf_map(docs: "ray.data.Dataset", needed: np.ndarray):
                     tot.astype(np.int64)))
 
 
-def _verify_pairs_ds(docs, pairs_ds, tau: float) -> pa.Table:
-    """Shared tail: needed-endpoint gather + distributed exact verify +
-    canonical sort (pair-set-sized)."""
-    from nise_ray.ops.groupapply import default_concurrency
+def _tf_rows_task(b: pa.Table) -> pa.Table:
+    """Task-path (doc_id, text) -> (doc_id, toks[binary], tfs[binary],
+    tot) rows for the join verify path. Token/tf vectors ship as
+    large_binary blobs — acero joins reject list-typed non-key columns
+    (see simjoin._flat_to_bin). Fresh hasher per task: join aggregator
+    pools alongside actor pools deadlock small clusters."""
+    uf, tf, uoffs, tot = _row_token_tf(b.column("text"), TokenHasher())
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "toks": _flat_to_bin(uf.astype(U64), uoffs),
+        "tfs": _flat_to_bin(tf.astype(np.int64), uoffs),
+        "tot": pa.array(tot, pa.int64())})
+
+
+def _proj_w_u(b: pa.Table) -> pa.Table:
+    """After the u-side join: fail loud on missing endpoint, rename."""
+    if b.column("toks").null_count:
+        raise AssertionError("pair endpoint missing from documents "
+                             "(u-side join produced NULL tf map)")
+    return pa.table({"u": b.column("u"), "v": b.column("v"),
+                     "toks_u": b.column("toks"),
+                     "tfs_u": b.column("tfs"),
+                     "tot_u": b.column("tot")})
+
+
+def _verify_w_lists_fn(tau: float):
+    """Join-path weighted verify kernel: batch carries both endpoints'
+    (tok, tf) lists + totals; same one-lexsort Σmin count as
+    _VerifyWeighted with int64 accumulation, no resident map."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_WPAIRS.empty_table()
+        if b.column("toks").null_count:
+            raise AssertionError("pair endpoint missing from documents "
+                                 "(v-side join produced NULL tf map)")
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        tok_u, offs_u = _bin_flat_offs(b.column("toks_u"), U64)
+        tf_u, _ = _bin_flat_offs(b.column("tfs_u"), np.int64)
+        tok_v, offs_v = _bin_flat_offs(b.column("toks"), U64)
+        tf_v, _ = _bin_flat_offs(b.column("tfs"), np.int64)
+        cu, cv = np.diff(offs_u), np.diff(offs_v)
+        su = b.column("tot_u").to_numpy(zero_copy_only=False)
+        sv = b.column("tot").to_numpy(zero_copy_only=False)
+        npair = len(u)
+        pair_idx = np.arange(npair, dtype=np.int64)
+        all_pair = np.concatenate([np.repeat(pair_idx, cu),
+                                   np.repeat(pair_idx, cv)])
+        all_tok = np.concatenate([tok_u.astype(U64), tok_v.astype(U64)])
+        all_tf = np.concatenate([tf_u, tf_v]).astype(np.int64)
+        order = np.lexsort((all_tok, all_pair))
+        ps, hs, ws = all_pair[order], all_tok[order], all_tf[order]
+        dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        contrib = np.minimum(ws[1:], ws[:-1])
+        m = np.zeros(npair, dtype=np.int64)
+        np.add.at(m, ps[1:][dup], contrib[dup])
+        w_union = su + sv - m
+        jw = np.divide(m.astype(np.float64), w_union.astype(np.float64))
+        keep = jw >= tau
+        return pa.table({
+            "doc_id_u": pa.array(u[keep], pa.int64()),
+            "doc_id_v": pa.array(v[keep], pa.int64()),
+            "w_inter": pa.array(m[keep], pa.int64()),
+            "w_union": pa.array(w_union[keep], pa.int64()),
+            "jw": pa.array(jw[keep], pa.float64())})
+
+    return fn
+
+
+def _verify_pairs_ds(docs, pairs_ds, tau: float,
+                     verify_mode: str = "auto",
+                     verify_broadcast_max: int = 1_000_000) -> pa.Table:
+    """Shared mode-gated exact-verify tail (mirrors
+    simjoin._pair_verify_tail): "broadcast" collects the distinct-
+    endpoint (tok, tf) map and ray.puts it once (endpoint-bounded —
+    gated because a dup-heavy corpus pushes endpoints toward corpus
+    cardinality); "join" semi-joins documents on the distinct-endpoint
+    DATASET and attaches both endpoints' tf lists via two hash joins —
+    no driver/worker-resident map; "auto" gates on the measured
+    endpoint count. Parity-tested."""
+    from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
     from nise_ray.util import collect_table
 
-    def endpoints(batch: pa.Table) -> pa.Table:
-        e = np.unique(np.concatenate([
-            batch.column("u").to_numpy(zero_copy_only=False),
-            batch.column("v").to_numpy(zero_copy_only=False)]))
-        return pa.table({"doc_id": pa.array(e, pa.int64())})
-
-    ep = collect_table(pairs_ds.map_batches(endpoints,
-                                            batch_format="pyarrow"))
-    if ep.num_rows == 0:
+    ep_ds = hash_group_apply(
+        pairs_ds.map_batches(_endpoints_batch, batch_format="pyarrow"),
+        ["doc_id"], _distinct_doc_batch, sort=False).materialize()
+    n_needed = ep_ds.count()
+    if n_needed == 0:
         return _EMPTY_WPAIRS.empty_table()
-    needed = np.unique(ep.column("doc_id").to_numpy(zero_copy_only=False))
-    map_ref = _gather_tf_map(docs, needed)
-    verified = pairs_ds.map_batches(
-        _VerifyWeighted, fn_constructor_args=(map_ref, tau),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency())
+    if verify_mode == "auto":
+        verify_mode = ("broadcast" if n_needed <= verify_broadcast_max
+                       else "join")
+
+    if verify_mode == "broadcast":
+        needed = np.sort(collect_table(ep_ds).column("doc_id").to_numpy(
+            zero_copy_only=False))
+        map_ref = _gather_tf_map(docs, needed)
+        verified = pairs_ds.map_batches(
+            _VerifyWeighted, fn_constructor_args=(map_ref, tau),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=default_concurrency())
+    elif verify_mode == "join":
+        from nise_ray.ops.relational import _join_partitions
+        np_ = _join_partitions()
+        sel = docs.join(ep_ds, join_type="inner", on=("doc_id",),
+                        num_partitions=np_)
+        tfsets = sel.map_batches(_tf_rows_task, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        j1 = pairs_ds.join(tfsets, join_type="left_outer", on=("u",),
+                           right_on=("doc_id",), num_partitions=np_)
+        j1 = j1.map_batches(_proj_w_u, batch_format="pyarrow")
+        j2 = j1.join(tfsets, join_type="left_outer", on=("v",),
+                     right_on=("doc_id",), num_partitions=np_)
+        verified = j2.map_batches(_verify_w_lists_fn(tau),
+                                  batch_format="pyarrow")
+    else:
+        raise ValueError(f"unknown verify_mode {verify_mode!r}")
+
     out = collect_table(verified)
     if out.num_rows == 0:
         return _EMPTY_WPAIRS.empty_table()
-    return out.sort_by([("doc_id_u", "ascending"),
-                        ("doc_id_v", "ascending")])
+    return out.select([f.name for f in _EMPTY_WPAIRS]).sort_by(
+        [("doc_id_u", "ascending"), ("doc_id_v", "ascending")])
 
 
 def weighted_jaccard_pairs(sf_dir: str, tau: float = 0.5,
                            df_mode: str = "auto",
-                           df_broadcast_max: int = 10_000_000) -> pa.Table:
+                           df_broadcast_max: int = 10_000_000,
+                           verify_mode: str = "auto",
+                           verify_broadcast_max: int = 1_000_000,
+                           ) -> pa.Table:
     """All document pairs with exact WEIGHTED (term-frequency) Jaccard
     >= tau, as (doc_id_u, doc_id_v, w_inter, w_union, jw), sorted by
     (u, v). See module docstring for the weight-prefix-filtered plan;
-    df_mode gates the (tok -> df) attach exactly like simjoin."""
+    df_mode gates the (tok -> df) attach exactly like simjoin, and
+    verify_mode gates the exact-verify endpoint tf-map attach the same
+    way (_verify_pairs_ds)."""
     from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -420,7 +534,8 @@ def weighted_jaccard_pairs(sf_dir: str, tau: float = 0.5,
     cands = hash_group_apply(prefix, ["tok"], _pair_gen_weighted(tau))
     pairs_ds = hash_group_apply(cands, ["u", "v"], _distinct_uv,
                                 sort=False).materialize()
-    return _verify_pairs_ds(docs, pairs_ds, tau)
+    return _verify_pairs_ds(docs, pairs_ds, tau, verify_mode,
+                            verify_broadcast_max)
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +604,10 @@ def cws_signatures(uf: np.ndarray, tf: np.ndarray, uoffs: np.ndarray,
 
 
 def weighted_minhash_pairs(sf_dir: str, tau: float = 0.5, k: int = 126,
-                           bands: int = 42) -> pa.Table:
+                           bands: int = 42,
+                           verify_mode: str = "auto",
+                           verify_broadcast_max: int = 1_000_000,
+                           ) -> pa.Table:
     """Weighted near-duplicate pairs via CWS-LSH: sign (actor pool, K
     vectorized CWS passes per batch), band into buckets (one keyed
     exchange — threshold J* ~ (1/bands)^(rows_per_band/k)), candidate
@@ -506,7 +624,8 @@ def weighted_minhash_pairs(sf_dir: str, tau: float = 0.5, k: int = 126,
     candidates cheap)."""
     from nise_ray.ops.groupapply import default_concurrency, hash_group_apply
 
-    assert k % bands == 0
+    if k % bands != 0:  # not assert — must survive `python -O`
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands})")
     rows_per_band = k // bands
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
@@ -550,7 +669,8 @@ def weighted_minhash_pairs(sf_dir: str, tau: float = 0.5, k: int = 126,
     cands = hash_group_apply(exploded, ["bkey"], bucket_pairs)
     pairs_ds = hash_group_apply(cands, ["u", "v"], _distinct_uv,
                                 sort=False).materialize()
-    return _verify_pairs_ds(docs, pairs_ds, tau)
+    return _verify_pairs_ds(docs, pairs_ds, tau, verify_mode,
+                            verify_broadcast_max)
 
 
 def weighted_recall_report(sf_dir: str, tau: float = 0.5) -> pa.Table:

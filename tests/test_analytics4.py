@@ -276,3 +276,31 @@ def test_late_events_crafted_stream(ray_session):
     assert got.loc[1, "n_late"] == 1          # only the 8h-behind event
     assert got.loc[1, "max_lag_s"] == 8 * 3600
     assert got.loc[2, "n_late"] == 0 and got.loc[2, "max_lag_s"] == 0
+
+
+def test_linear_attr_fallback_parity():
+    """linear_attribution's narrow-encoding fast path and the per-user
+    fallback sweep must produce identical window memberships (the wide-
+    span branch degrades instead of raising) — kernel-level, no Ray."""
+    import pyarrow as pa
+
+    from nise_ray.ops.analytics4 import _linear_attr_block
+
+    rng = np.random.default_rng(11)
+    n = 400
+    win_us = np.int64(10) * 1_000_000
+    batch = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n) * 1_000_000,
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            rng.choice(["click", "purchase"], n).tolist(), pa.string()),
+    })
+    key = ["purchase_id", "click_id"]
+    fast = _linear_attr_block(batch, win_us).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    slow = _linear_attr_block(batch, win_us, _headroom=1).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow, check_exact=True)

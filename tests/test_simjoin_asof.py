@@ -384,3 +384,25 @@ def test_jaccard_components_vs_recursive_cte(ray_session):
     sizes = got.groupby("cluster_id").size()
     assert (sizes > 1).any() and (sizes == 1).any()
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_token_jaccard_verify_join_parity(ray_session):
+    """verify_mode='join' (distributed endpoint token-set attach, no
+    driver-resident map) must emit pairs identical to the broadcast
+    verify — the 100-TB fallback behind the verify gate."""
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+    a = token_jaccard_pairs(SF, tau=0.5, verify_mode="broadcast")
+    b = token_jaccard_pairs(SF, tau=0.5, verify_mode="join")
+    assert a.num_rows > 0
+    assert a.equals(b)
+    # auto gate with a zero cap must pick the join path and still agree
+    c = token_jaccard_pairs(SF, tau=0.5, verify_broadcast_max=0)
+    assert a.equals(c)
+
+
+def test_containment_verify_join_parity(ray_session):
+    from nise_ray.ops.simjoin import containment_token_pairs
+    a = containment_token_pairs(SF, tau=0.8, verify_mode="broadcast")
+    b = containment_token_pairs(SF, tau=0.8, verify_mode="join")
+    assert a.num_rows > 0
+    assert a.equals(b)

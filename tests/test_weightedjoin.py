@@ -209,3 +209,31 @@ def test_cluster_label_attach_join_parity(ray_session):
     sa = dedup_cluster_stats(SF, tau=0.8).to_pandas()
     sb = dedup_cluster_stats(SF, tau=0.8, broadcast_max=0).to_pandas()
     pd.testing.assert_frame_equal(sa, sb, check_exact=True)
+
+
+def test_weighted_verify_join_parity(ray_session):
+    """verify_mode='join' (distributed endpoint tf-map attach, no
+    driver-resident map) must match the broadcast verify bit-exact,
+    including the jw double."""
+    from nise_ray.ops.weightedjoin import weighted_jaccard_pairs
+    a = weighted_jaccard_pairs(SF, tau=0.5, verify_mode="broadcast")
+    b = weighted_jaccard_pairs(SF, tau=0.5, verify_mode="join")
+    assert a.num_rows > 0
+    assert a.equals(b)
+    c = weighted_jaccard_pairs(SF, tau=0.5, verify_broadcast_max=0)
+    assert a.equals(c)
+
+
+def test_weighted_minhash_verify_join_parity(ray_session):
+    from nise_ray.ops.weightedjoin import weighted_minhash_pairs
+    a = weighted_minhash_pairs(SF, tau=0.5, verify_mode="broadcast")
+    b = weighted_minhash_pairs(SF, tau=0.5, verify_mode="join")
+    assert a.num_rows > 0
+    assert a.equals(b)
+
+
+def test_weighted_minhash_bands_validation(ray_session):
+    import pytest
+    from nise_ray.ops.weightedjoin import weighted_minhash_pairs
+    with pytest.raises(ValueError, match="divisible"):
+        weighted_minhash_pairs(SF, tau=0.5, k=10, bands=4)
