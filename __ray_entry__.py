@@ -793,6 +793,23 @@ def _q_multimodal_real_audio(sf_dir: str):
                             concurrency=(1, 4), batch_format="pyarrow")
 
 
+def _q_multimodal_real_image(sf_dir: str):
+    # REAL decode, fake=False: planted PNG payloads (all five scanline
+    # filters, gray/RGB/RGBA) inflate with the stdlib-zlib codec and
+    # BMP payloads with the pure-numpy parser — block-mean grid
+    # features from the actual pixels, per-actor decoder state
+    import ray
+    from nise_ray.ops.multimodal import (RealImageFeatureExtractor,
+                                         make_png_media_table,
+                                         make_real_media_table)
+    bmp = ray.data.from_arrow(make_real_media_table(n=48, seed=42)) \
+        .filter(lambda r: r["kind"] == "image")
+    png = ray.data.from_arrow(make_png_media_table(n=40, seed=42))
+    return bmp.union(png).map_batches(
+        RealImageFeatureExtractor, fn_constructor_kwargs={"fake": False},
+        batch_size=16, concurrency=(1, 4), batch_format="pyarrow")
+
+
 def _q_moving_event_stats(sf_dir: str):
     from nise_ray.ops.events import moving_event_stats
     return moving_event_stats(sf_dir, frame_rows=7)
@@ -1299,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (deterministic stub decode) ----------
         "multimodal_features": _q_multimodal_features,
         "multimodal_real_audio": _q_multimodal_real_audio,
+        "multimodal_real_image": _q_multimodal_real_image,
     }
 
 

@@ -680,3 +680,74 @@ def test_ann_recall_report(ray_session):
     assert recalls["ivf"] >= 0.5
     assert (got.column("n_truth")[0].as_py() ==
             got.column("n_truth")[1].as_py() > 0)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png must reconstruct the exact pixels for every scanline
+    filter (None/Sub/Up/Average/Paeth) and gray/gray+alpha/RGB/RGBA
+    color types — kernel-level golden test, no Ray."""
+    from nise_ray.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+        for f in range(5):
+            got = decode_png(encode_png(img, filter_type=f))
+            assert got.shape == img.shape, (c, f)
+            assert np.array_equal(got, img), (c, f)
+    # gradient image (exercises filter deltas beyond random noise)
+    grad = np.outer(np.arange(32), np.ones(17, np.uint8))[..., None] \
+        .astype(np.uint8).repeat(3, axis=2)
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(grad, f)), grad)
+
+
+def test_png_codec_refusals():
+    import pytest
+
+    from nise_ray.ops.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnope")
+    # 16-bit depth must refuse, not mis-decode
+    import struct, zlib
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + \
+            struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    payload = sig + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(payload)
+
+
+def test_multimodal_real_png_stage(ray_session):
+    """fake=False image path on planted PNGs through the Ray actor-pool
+    stage: features must equal the locally decoded pixels' block-mean
+    grid for every row (all five filters represented in the input)."""
+    import ray
+
+    from nise_ray.ops.multimodal import (
+        RealImageFeatureExtractor,
+        bmp_feature,
+        decode_png,
+        make_png_media_table,
+        png_to_rgb,
+    )
+    media = make_png_media_table(n=20, seed=7)
+    ds = ray.data.from_arrow(media)
+    feats = ds.map_batches(RealImageFeatureExtractor,
+                           fn_constructor_kwargs={"fake": False},
+                           batch_size=8, concurrency=(1, 2),
+                           batch_format="pyarrow")
+    t = pa.concat_tables([ray.get(r) for r in feats.to_arrow_refs()]) \
+        .sort_by("media_id")
+    assert t.num_rows == 20
+    pay = {m: p for m, p in zip(media.column("media_id").to_pylist(),
+                                media.column("payload").to_pylist())}
+    for i in range(t.num_rows):
+        mid = t.column("media_id")[i].as_py()
+        want = bmp_feature(png_to_rgb(decode_png(pay[mid])))
+        got = np.asarray(t.column("feature")[i].as_py(), dtype=np.float32)
+        assert np.allclose(got, want)
