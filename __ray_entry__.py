@@ -173,6 +173,21 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(sf_dir)
 
 
+def _q_simhash_sha(sf_dir: str):
+    # SimHash over sha256-derived trigram shingles: the ORACLE-ABLE
+    # SimHash (bit-majority logic checked end-to-end in SQL); the
+    # production simhash_docs keeps the pinned blake2b shingle hash
+    from nise_ray.ops.dedupx import simhash_sha_docs
+    return simhash_sha_docs(sf_dir, w=3)
+
+
+def _q_ngram_jaccard_exact(sf_dir: str):
+    # EXACT trigram-shingle Jaccard self-join (prefix-filtered plan with
+    # sha_ngram units) — the SQL-checkable counterpart of the LSH path
+    from nise_ray.ops.dedupx import ngram_jaccard_exact_pairs
+    return ngram_jaccard_exact_pairs(sf_dir, w=3, tau=0.5)
+
+
 def _q_embedding_dups(sf_dir: str):
     from nise_ray.ops.ann import embedding_dup_pairs
     # the synthetic embeddings are near-orthogonal (max cosine ~0.4), so a
@@ -1119,7 +1134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "minhash_dedup_docs": _q_minhash_dedup,
         "simhash_docs": _q_simhash_docs,
+        "simhash_sha_docs": _q_simhash_sha,
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard,
+        "ngram_jaccard_exact_pairs_docs": _q_ngram_jaccard_exact,
         "substring_pairs_docs": _q_substring_pairs,
         "substring_containment_docs": _q_substring_containment,
         "substring_pairs_sa": _q_substring_pairs_sa,
@@ -1358,6 +1375,63 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
               FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
+            SELECT u AS doc_id_u, v AS doc_id_v,
+                   i AS n_inter, su.n + sv.n - i AS n_union
+            FROM inter
+            JOIN sz su ON su.doc_id = u
+            JOIN sz sv ON sv.doc_id = v
+            WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
+            ORDER BY 1, 2
+        """,
+        # SimHash over sha256-derived trigram shingles: DuckDB recomputes
+        # the identical shingle hash (sha256 hex -> first 16 nibbles as
+        # UBIGINT) and re-derives every fingerprint bit by majority vote
+        # (2 * popcount_j > n) with bit arithmetic — the engine's
+        # vectorized per-byte unpack/reduceat kernel checked end-to-end
+        "simhash_sha_docs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '[A-Za-z0-9_]+')
+                                  AS toks
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     CAST(concat('0x', substr(sha256(
+                       array_to_string(toks[i:i+2], ' ')), 1, 16))
+                       AS UBIGINT) AS h
+                   FROM t, UNNEST(range(1, greatest(len(toks)-2, 0)+1))
+                       AS u(i)),
+            bits AS (SELECT doc_id, j,
+                       CASE WHEN 2*SUM(CAST((h >> CAST(j AS INTEGER)) & 1
+                                            AS BIGINT)) > COUNT(*)
+                            THEN CAST(1 AS UBIGINT)
+                            ELSE CAST(0 AS UBIGINT) END AS bit
+                     FROM sh, UNNEST(range(0, 64)) AS b(j)
+                     GROUP BY doc_id, j),
+            fp AS (SELECT doc_id, bit_or(bit << CAST(j AS INTEGER)) AS f
+                   FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(lpad(lower(to_hex(fp.f)), 16, '0'),
+                            '0000000000000000') AS simhash_hex
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN fp ON fp.doc_id = d.doc_id
+            ORDER BY 1
+        """,
+        # exact trigram-shingle Jaccard self-join: shingle explode via
+        # list slicing + self-join in SQL vs the engine's prefix-filtered
+        # plan over sha256-shingle units; integer-only output contract
+        "ngram_jaccard_exact_pairs_docs": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '[A-Za-z0-9_]+')
+                                  AS toks
+                       FROM documents),
+            d AS (SELECT DISTINCT doc_id,
+                         array_to_string(toks[i:i+2], ' ') AS sh
+                  FROM t, UNNEST(range(1, greatest(len(toks)-2, 0)+1))
+                      AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+                      FROM d a JOIN d b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
             SELECT u AS doc_id_u, v AS doc_id_v,
                    i AS n_inter, su.n + sv.n - i AS n_union
             FROM inter

@@ -132,6 +132,59 @@ def simhash_documents(sf_dir: str, cfg: DedupConfig | None = None) -> "ray.data.
     return signed.map_batches(project, batch_format="pyarrow")
 
 
+def simhash_sha_docs(sf_dir: str, w: int = 3) -> "ray.data.Dataset":
+    """(doc_id, simhash_hex) SimHash fingerprints over sha256-derived
+    w-gram shingle hashes — the externally ORACLE-ABLE member of the
+    SimHash family. The production simhash_documents fingerprint rides
+    the pinned blake2b+poly_fold shingle hash (fast, config-frozen, but
+    not expressible in SQL); this variant swaps ONLY the shingle hash
+    for ``sha256(space-joined w-gram)[:8] big-endian`` — a function
+    DuckDB computes verbatim — and reuses the identical vectorized
+    majority kernel (hashing.simhash_from_shingles), so the bit-count
+    majority logic itself is what the oracle checks end-to-end
+    (bit j set iff 2 * popcount_j > n_shingles over the DISTINCT
+    shingle set; docs with < w tokens fingerprint to 0).
+
+    Scale: stateless vectorized map, no exchange."""
+    from nise_ray.hashing import simhash_from_shingles
+    from nise_ray.ops.normalize import batch_sha_ngram_hashes
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        flat, offs = batch_sha_ngram_hashes(b.column("text"), w)
+        sh = simhash_from_shingles(flat, offs)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "simhash_hex": pa.array([f"{int(x):016x}" for x in sh],
+                                    pa.string()),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def ngram_jaccard_exact_pairs(sf_dir: str, w: int = 3, tau: float = 0.5,
+                              **modes) -> pa.Table:
+    """All document pairs with EXACT w-gram-shingle Jaccard >= tau, as
+    (doc_id_u, doc_id_v, n_inter, n_union) over each doc's DISTINCT
+    shingle set — the exact, fully-SQL-oracle-able counterpart of the
+    LSH-candidate ngram_jaccard_pairs (whose `est` is a signature
+    agreement fraction, not SQL-expressible).
+
+    Plan: the whole prefix-filtered self-join machinery
+    (simjoin.token_jaccard_pairs — df combiner exchange, rarest-first
+    prefix explode, per-shingle candidate buckets with the size filter,
+    mode-gated exact verify) parameterized with sha_ngram units, so the
+    skew/scale story is inherited unchanged: hot boilerplate shingles
+    get high df and never enter a prefix."""
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+
+    return token_jaccard_pairs(sf_dir, tau=tau,
+                               units=f"sha_ngram_{w}", **modes)
+
+
 def _doc_id_mapper(assigns: "ray.data.Dataset", cfg: DedupConfig):
     """Broadcast (doc_key -> doc_id) lookup built ONCE via ray.put (scale-
     gated on cfg.broadcast_label_max, mirroring attach_labels); returns a

@@ -197,6 +197,86 @@ def batch_shingle_hashes(flat_h: np.ndarray, offsets: np.ndarray,
     return ff, out_offsets
 
 
+def batch_sha_ngram_hashes(arr: "object", w: int,
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """content column -> per-row SORTED-UNIQUE sha256-derived w-gram
+    hashes (flat uint64, offsets). The shingle hash is the first 8
+    bytes (big-endian) of sha256 over the space-joined token run — a
+    function DuckDB can compute verbatim
+    (``CAST('0x' || substr(sha256(s), 1, 16) AS UBIGINT)``), which is
+    the whole point: ops built on these units are externally
+    SQL-oracle-able, unlike the production blake2b+poly_fold shingles
+    (pinned, faster, but not expressible in SQL).
+
+    Vectorized: one Arrow regex split, one binary_join_element_wise
+    over w shifted slices for ALL windows at once, dictionary encode so
+    sha256 runs once per UNIQUE shingle in the batch, one lexsort for
+    the per-row unique. Raw-text tokenization (matches
+    regexp_extract_all in the oracle)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    lists = pc.split_pattern_regex(arr, pattern=r"[^A-Za-z0-9_]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    raw_offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    # drop the "" fragments split_pattern_regex yields at edges
+    # (regexp_extract_all semantics), rebuild per-row counts
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(raw_offs))
+    row = row[nonempty]
+    flat = flat.filter(pa.array(nonempty))
+    cnt = np.bincount(row, minlength=n).astype(np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offs[1:])
+
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    wcnt = np.maximum(cnt - w + 1, 0)
+    total_tok = len(flat)
+    if total_tok < w or wcnt.sum() == 0:
+        return np.empty(0, dtype=U64), out_offsets
+    # all length-w windows over the flat token array in ONE Arrow call;
+    # row-crossing windows are excluded by the start filter below
+    n_win = total_tok - w + 1
+    parts = [flat.slice(j, n_win) for j in range(w)]
+    grams = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+    starts_valid = _ranges_starts(offs, wcnt)
+    grams = grams.take(pa.array(starts_valid))
+    enc = grams.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+         for s in uniq), dtype=U64, count=len(uniq))
+    fold = uh[idx]
+    grow = np.repeat(np.arange(n, dtype=np.int64), wcnt)
+    order = np.lexsort((fold, grow))
+    f, r = fold[order], grow[order]
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    ff = f[keep]
+    n_sh = np.bincount(r[keep], minlength=n).astype(np.int64)
+    np.cumsum(n_sh, out=out_offsets[1:])
+    return ff, out_offsets
+
+
+def _ranges_starts(offs: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
+    """Flat indices of every valid in-row window start: for row i the
+    range [offs[i], offs[i] + wcnt[i])."""
+    total = int(wcnt.sum())
+    row = np.repeat(np.arange(len(wcnt), dtype=np.int64), wcnt)
+    first_w = np.zeros(len(wcnt) + 1, dtype=np.int64)
+    np.cumsum(wcnt, out=first_w[1:])
+    intra = np.arange(total, dtype=np.int64) - first_w[:-1][row]
+    return offs[:-1][row] + intra
+
+
 def batch_normalize(arr: "object") -> "object":
     """Column-level ``normalize_text``: NFC + [ \\t\\r\\f\\v]+ -> ' ' +
     strip, one Arrow kernel pass per step. ASCII rows stay fully in

@@ -142,15 +142,36 @@ def all_bucket_size_filtered_pairs(key: np.ndarray, ids: np.ndarray,
     return u[keep], v[keep]
 
 
+def _get_units(units: str):
+    """Pluggable set-unit extractor for the prefix-filtered join family:
+    fn(text column, hasher) -> (flat per-row sorted-unique uint64 unit
+    hashes, offsets). "token" = distinct word tokens (blake2b, the
+    production unit); "sha_ngram_<w>" = distinct w-gram shingles hashed
+    with sha256[:8] big-endian — slower, but the hash is computable in
+    DuckDB SQL, so every op built on it is externally oracle-able."""
+    if units == "token":
+        return _row_unique_token_hashes
+    if units.startswith("sha_ngram_"):
+        w = int(units.rsplit("_", 1)[-1])
+        from nise_ray.ops.normalize import batch_sha_ngram_hashes
+
+        def fn(col, hasher):
+            return batch_sha_ngram_hashes(col, w)
+
+        return fn
+    raise ValueError(f"unknown units {units!r}")
+
+
 class _DfPartial:
     """Per-batch combiner: (tok, partial document frequency). Actor-pool
     stage so the token-hash vocabulary cache persists across batches."""
 
-    def __init__(self) -> None:
+    def __init__(self, units: str = "token") -> None:
         self.hasher = TokenHasher()
+        self.extract = _get_units(units)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        uf, _ = _row_unique_token_hashes(b.column("text"), self.hasher)
+        uf, _ = self.extract(b.column("text"), self.hasher)
         if len(uf) == 0:
             return pa.table({"tok": pa.array([], pa.uint64()),
                              "df": pa.array([], pa.int64())})
@@ -195,14 +216,15 @@ def _prefix_select(uf: np.ndarray, dfv: np.ndarray, row: np.ndarray,
 class _PrefixExplodeBroadcast:
     """Prefix explode with the broadcast (tok -> df) map."""
 
-    def __init__(self, df_ref, tau: float) -> None:
+    def __init__(self, df_ref, tau: float, units: str = "token") -> None:
         self.toks, self.dfs = ray.get(df_ref)
         self.tau = tau
         self.hasher = TokenHasher()
+        self.extract = _get_units(units)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        uf, uoffs = _row_unique_token_hashes(b.column("text"), self.hasher)
+        uf, uoffs = self.extract(b.column("text"), self.hasher)
         if len(uf) == 0:
             return pa.table({"tok": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64()),
@@ -224,12 +246,13 @@ class _ExplodeAllTokens:
     """(doc_id, text) -> one row per DISTINCT token (doc_id, tok, n_tok);
     feeds the distributed df join path."""
 
-    def __init__(self) -> None:
+    def __init__(self, units: str = "token") -> None:
         self.hasher = TokenHasher()
+        self.extract = _get_units(units)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        uf, uoffs = _row_unique_token_hashes(b.column("text"), self.hasher)
+        uf, uoffs = self.extract(b.column("text"), self.hasher)
         n = len(uoffs) - 1
         cnt = np.diff(uoffs)
         row = np.repeat(np.arange(n, dtype=np.int64), cnt)
@@ -240,11 +263,18 @@ class _ExplodeAllTokens:
         })
 
 
-def _explode_all_tokens_task(b: pa.Table) -> pa.Table:
+def _explode_all_tokens_fn(units: str = "token"):
     """Task-path _ExplodeAllTokens (fresh hasher per task): used when a
     JoinOperator shares the DAG — actor pools alongside join aggregator
     pools deadlock small clusters (each reserves CPU slots)."""
-    return _ExplodeAllTokens()(b)
+
+    def fn(b: pa.Table) -> pa.Table:
+        return _ExplodeAllTokens(units)(b)
+
+    return fn
+
+
+_explode_all_tokens_task = _explode_all_tokens_fn("token")
 
 
 def _prefix_regroup_batch(tau: float):
@@ -342,9 +372,10 @@ class _GatherTokenSets:
     """Actor-pool stage: (doc_id, text) -> (doc_id, toks) list rows for
     the docs in the broadcast needed-set (pair endpoints)."""
 
-    def __init__(self, needed_ref) -> None:
+    def __init__(self, needed_ref, units: str = "token") -> None:
         self.needed = ray.get(needed_ref)
         self.hasher = TokenHasher()
+        self.extract = _get_units(units)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -357,8 +388,7 @@ class _GatherTokenSets:
                 "doc_id": pa.array([], pa.int64()),
                 "toks": pa.array([], pa.large_list(pa.uint64()))})
         sel = b.take(pa.array(rows))
-        uf, uoffs = _row_unique_token_hashes(sel.column("text"),
-                                             self.hasher)
+        uf, uoffs = self.extract(sel.column("text"), self.hasher)
         return pa.table({
             "doc_id": sel.column("doc_id"),
             "toks": pa.LargeListArray.from_arrays(
@@ -427,13 +457,21 @@ def _bin_flat_offs(col: "pa.ChunkedArray | pa.Array", dtype):
     return flat, (byte_offs - byte_offs[0]) // itemsize
 
 
-def _tokset_rows_task(b: pa.Table) -> pa.Table:
+def _tokset_rows_fn(units: str = "token"):
     """Task-path (doc_id, text) -> (doc_id, toks[binary]) for the join
     verify path (fresh hasher per task; join aggregator pools alongside
     actor pools deadlock small clusters)."""
-    uf, uoffs = _row_unique_token_hashes(b.column("text"), TokenHasher())
-    return pa.table({"doc_id": b.column("doc_id"),
-                     "toks": _flat_to_bin(uf.astype(U64), uoffs)})
+    extract = _get_units(units)
+
+    def fn(b: pa.Table) -> pa.Table:
+        uf, uoffs = extract(b.column("text"), TokenHasher())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "toks": _flat_to_bin(uf.astype(U64), uoffs)})
+
+    return fn
+
+
+_tokset_rows_task = _tokset_rows_fn("token")
 
 
 def _proj_toks_u(b: pa.Table) -> pa.Table:
@@ -494,7 +532,8 @@ def _verify_lists_fn(tau: float, contain: bool):
 
 
 def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
-                      verify_broadcast_max: int, contain: bool) -> pa.Table:
+                      verify_broadcast_max: int, contain: bool,
+                      units: str = "token") -> pa.Table:
     """Shared exact-verify tail for the Jaccard and containment joins.
 
     verify_mode: "broadcast" | "join" | "auto" — how each pair's
@@ -527,7 +566,7 @@ def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
             zero_copy_only=False))
         needed_ref = ray.put(needed)
         got = collect_table(docs.map_batches(
-            _GatherTokenSets, fn_constructor_args=(needed_ref,),
+            _GatherTokenSets, fn_constructor_args=(needed_ref, units),
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=default_concurrency()))
         map_ref = _pack_tokset_map(got)
@@ -541,7 +580,8 @@ def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
         np_ = _join_partitions()
         sel = docs.join(ep_ds, join_type="inner", on=("doc_id",),
                         num_partitions=np_)
-        toksets = sel.map_batches(_tokset_rows_task, batch_format="pyarrow",
+        toksets = sel.map_batches(_tokset_rows_fn(units),
+                                  batch_format="pyarrow",
                                   zero_copy_batch=True)
         j1 = pairs_ds.join(toksets, join_type="left_outer", on=("u",),
                            right_on=("doc_id",), num_partitions=np_)
@@ -564,7 +604,8 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
                         df_mode: str = "auto",
                         df_broadcast_max: int = 10_000_000,
                         verify_mode: str = "auto",
-                        verify_broadcast_max: int = 1_000_000) -> pa.Table:
+                        verify_broadcast_max: int = 1_000_000,
+                        units: str = "token") -> pa.Table:
     """All document pairs with exact token-set Jaccard >= tau, as
     (doc_id_u, doc_id_v, n_inter, n_union), sorted by (u, v).
     See module docstring for the prefix-filtered plan.
@@ -587,7 +628,8 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
                                  columns=["doc_id", "text"])
 
     # ---- pass 1: global document frequency per token (vocab-sized) ------
-    partials = docs.map_batches(_DfPartial, batch_format="pyarrow",
+    partials = docs.map_batches(_DfPartial, fn_constructor_args=(units,),
+                                batch_format="pyarrow",
                                 zero_copy_batch=True,
                                 concurrency=default_concurrency())
     # vocab-sized, consumed twice in join mode (gate count + join input)
@@ -605,12 +647,15 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
                           df_t.column("df").to_numpy(
                               zero_copy_only=False)[order]))
         prefix = docs.map_batches(
-            _PrefixExplodeBroadcast, fn_constructor_args=(df_ref, tau),
+            _PrefixExplodeBroadcast,
+            fn_constructor_args=(df_ref, tau, units),
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=default_concurrency())
     elif df_mode == "join":
         from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
-        full = docs.map_batches(_ExplodeAllTokens, batch_format="pyarrow",
+        full = docs.map_batches(_ExplodeAllTokens,
+                                fn_constructor_args=(units,),
+                                batch_format="pyarrow",
                                 zero_copy_batch=True,
                                 concurrency=default_concurrency())
         _hash_shuffle_on(full, df_ds)
@@ -659,7 +704,8 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
 
     # ---- pass 4: mode-gated distributed exact verification --------------
     return _pair_verify_tail(docs, pairs_ds, tau, verify_mode,
-                             verify_broadcast_max, contain=False)
+                             verify_broadcast_max, contain=False,
+                             units=units)
 
 
 def source_overlap_pairs(sf_dir: str, tau: float = 0.5,

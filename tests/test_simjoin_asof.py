@@ -406,3 +406,92 @@ def test_containment_verify_join_parity(ray_session):
     b = containment_token_pairs(SF, tau=0.8, verify_mode="join")
     assert a.num_rows > 0
     assert a.equals(b)
+
+
+def test_sha_ngram_kernel_matches_bruteforce():
+    """batch_sha_ngram_hashes: per-row sorted-unique sha256[:8] trigram
+    hashes vs a per-row Python reference — kernel-level, no Ray."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from nise_ray.ops.normalize import batch_sha_ngram_hashes
+
+    texts = ["a b c d e", "", "x", "foo bar foo bar foo bar baz",
+             "a  b\tc", "one two three", "t t t t"]
+    flat, offs = batch_sha_ngram_hashes(pa.array(texts, pa.string()), 3)
+    for i, t in enumerate(texts):
+        toks = _TOK.findall(t)
+        grams = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        want = sorted(int.from_bytes(
+            hashlib.sha256(g.encode()).digest()[:8], "big") for g in grams)
+        assert flat[offs[i]:offs[i + 1]].tolist() == want, (i, t)
+
+
+def test_simhash_sha_matches_duckdb(ray_session):
+    """The oracle-able SimHash: DuckDB re-derives every fingerprint bit
+    by majority vote over the identical sha256 shingle hashes."""
+    import pandas as pd
+
+    from nise_ray.ops.dedupx import simhash_sha_docs
+    got = simhash_sha_docs(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 CAST(concat('0x', substr(sha256(
+                   array_to_string(toks[i:i+2], ' ')), 1, 16))
+                   AS UBIGINT) AS h
+               FROM t, UNNEST(range(1, greatest(len(toks)-2, 0)+1)) AS u(i)),
+        bits AS (SELECT doc_id, j,
+                   CASE WHEN 2*SUM(CAST((h >> CAST(j AS INTEGER)) & 1
+                                        AS BIGINT)) > COUNT(*)
+                        THEN CAST(1 AS UBIGINT)
+                        ELSE CAST(0 AS UBIGINT) END AS bit
+                 FROM sh, UNNEST(range(0, 64)) AS b(j) GROUP BY doc_id, j),
+        fp AS (SELECT doc_id, bit_or(bit << CAST(j AS INTEGER)) AS f
+               FROM bits GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(lpad(lower(to_hex(fp.f)), 16, '0'),
+                                  '0000000000000000') AS simhash_hex
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN fp ON fp.doc_id = d.doc_id ORDER BY 1
+    """).fetchdf()
+    assert (got["simhash_hex"] != "0000000000000000").any()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_ngram_jaccard_exact_matches_duckdb(ray_session):
+    """Exact trigram-shingle Jaccard via the prefix-filter plan with
+    sha_ngram units vs the DuckDB shingle-explode self-join."""
+    import pandas as pd
+
+    from nise_ray.ops.dedupx import ngram_jaccard_exact_pairs
+    got = ngram_jaccard_exact_pairs(SF, w=3, tau=0.5).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute("""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                   FROM documents),
+        d AS (SELECT DISTINCT doc_id,
+                     array_to_string(toks[i:i+2], ' ') AS sh
+              FROM t, UNNEST(range(1, greatest(len(toks)-2, 0)+1)) AS u(i)),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+                  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT u AS doc_id_u, v AS doc_id_v,
+               i AS n_inter, su.n + sv.n - i AS n_union
+        FROM inter JOIN sz su ON su.doc_id = u JOIN sz sv ON sv.doc_id = v
+        WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
+        ORDER BY 1, 2
+    """).fetchdf()
+    assert len(got) == len(want) and len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
