@@ -251,6 +251,14 @@ def _q_substring_pairs_sa(sf_dir: str):
     return substring_pairs_sa_exact(sf_dir)
 
 
+def _q_substring_pairs_sa_global(sf_dir: str):
+    # partitioning-independent SA pairs: winnowing-fingerprint candidate
+    # routing + per-pair SA verify — equals the whole-corpus SA result
+    # without ever needing one block to see the whole corpus
+    from nise_ray.ops.suffixarray import substring_pairs_sa_global
+    return substring_pairs_sa_global(sf_dir, min_len=100)
+
+
 def _q_repetition_stats(sf_dir: str):
     from nise_ray.ops.textstats import repetition_stats
     return repetition_stats(sf_dir)
@@ -1140,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_docs": _q_substring_pairs,
         "substring_containment_docs": _q_substring_containment,
         "substring_pairs_sa": _q_substring_pairs_sa,
+        "substring_pairs_sa_global": _q_substring_pairs_sa_global,
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "jaccard_components": _q_jaccard_components,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
@@ -2119,6 +2128,20 @@ def oracle_sql() -> dict[str, str]:
         # iff it shares some exact 100-gram — the gram equi-join is the
         # SQL-expressible equivalent of the SA adjacent-LCP runs
         "substring_pairs_sa": """
+            WITH g AS (
+                SELECT doc_id,
+                       substr(text, CAST(u.i AS BIGINT), 100) AS gram
+                FROM documents,
+                     unnest(range(1, greatest(length(text) - 99, 0) + 1))
+                       AS u(i)
+            )
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM g a JOIN g b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+        """,
+        # the co-located variant must equal the same gram equi-join —
+        # the partitioning independence is exactly what it buys
+        "substring_pairs_sa_global": """
             WITH g AS (
                 SELECT doc_id,
                        substr(text, CAST(u.i AS BIGINT), 100) AS gram

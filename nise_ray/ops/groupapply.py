@@ -131,6 +131,35 @@ def default_concurrency(frac: float = 1.0, min_actors: int = 1) -> tuple[int, in
     return (min_actors, max(hi, min_actors))
 
 
+def join_input(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Make a dataset safe to feed `Dataset.join` when it may be SPARSE
+    (few rows across many blocks).
+
+    Ray's hash-shuffle join loses its schema broadcast if the first
+    block it maps for a side is empty: `hash_shuffle.py` early-returns
+    on 0-row blocks BEFORE the one-shot `send_empty_blocks` fan-out
+    (which distributes the schema to every aggregator), yet the
+    has-broadcasted flag is set anyway — aggregator partitions that
+    then receive no real rows build ZERO-COLUMN tables and acero fails
+    with "No match or multiple matches for key field reference" on
+    perfectly valid plans. Observed whenever a side's row count is
+    small relative to its block count (e.g. a 25-pair verify input
+    across 16 shuffle partitions).
+
+    Fix: materialize and round-robin repartition into min(count,
+    cluster-derived cap) blocks, so every block is non-empty and the
+    first-mapped block always carries the schema. Distributed-safe (no
+    driver collect); the materialize barrier is acceptable because
+    every call site feeds a bounded (pair- / vocab- / endpoint-sized)
+    dataset. Empty datasets return as-is — callers guard those."""
+    m = ds.materialize()
+    n = m.count()
+    if n == 0:
+        return m
+    k = max(1, min(int(n), _cluster_cpus()))
+    return m.repartition(num_blocks=k)
+
+
 def hash_group_apply(ds: "ray.data.Dataset", keys: list[str],
                      fn: Callable[[pa.Table], pa.Table],
                      num_partitions: int = 0, sort: bool = True,

@@ -180,10 +180,19 @@ class _DfPartial:
                          "df": pa.array(counts, pa.int64())})
 
 
+_DF_SCHEMA = pa.schema([("tok", pa.uint64()), ("df", pa.int64())])
+_UV_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_DOCID_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+
 def _df_merge_batch(batch: pa.Table) -> pa.Table:
     from nise_ray.ops.groupapply import segments
     if batch.num_rows == 0:
-        return batch
+        # typed empty, NEVER the incoming batch: the hash shuffle hands
+        # empty partitions to the block fn as ZERO-COLUMN tables, and a
+        # passed-through 0-column block poisons any downstream join
+        # (acero: "No match for FieldRef" on the key) and union schema
+        return _DF_SCHEMA.empty_table()
     tok = batch.column("tok").to_numpy(zero_copy_only=False).astype(U64)
     df = batch.column("df").to_numpy(zero_copy_only=False)
     starts, _ = segments(tok)
@@ -361,9 +370,11 @@ def _endpoints_batch(batch: pa.Table) -> pa.Table:
 
 
 def _distinct_doc_batch(batch: pa.Table) -> pa.Table:
-    """Merge fn for the endpoint exchange: distinct doc_id per block."""
+    """Merge fn for the endpoint exchange: distinct doc_id per block
+    (typed empty on the shuffle's 0-column empty partitions — see
+    _df_merge_batch)."""
     if batch.num_rows == 0:
-        return batch
+        return _DOCID_SCHEMA.empty_table()
     ids = np.unique(batch.column("doc_id").to_numpy(zero_copy_only=False))
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
@@ -576,16 +587,22 @@ def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=default_concurrency())
     elif verify_mode == "join":
+        from nise_ray.ops.groupapply import join_input
         from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
         np_ = _join_partitions()
-        sel = docs.join(ep_ds, join_type="inner", on=("doc_id",),
-                        num_partitions=np_)
-        toksets = sel.map_batches(_tokset_rows_fn(units),
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True)
-        j1 = pairs_ds.join(toksets, join_type="left_outer", on=("u",),
-                           right_on=("doc_id",), num_partitions=np_)
-        j1 = j1.map_batches(_proj_toks_u, batch_format="pyarrow")
+        # every sparse join input goes through join_input (Ray's join
+        # loses its schema broadcast when a side's first block is empty
+        # — see groupapply.join_input)
+        sel = docs.join(join_input(ep_ds), join_type="inner",
+                        on=("doc_id",), num_partitions=np_)
+        toksets = join_input(sel.map_batches(_tokset_rows_fn(units),
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True))
+        j1 = join_input(pairs_ds).join(toksets, join_type="left_outer",
+                                       on=("u",), right_on=("doc_id",),
+                                       num_partitions=np_)
+        j1 = join_input(j1.map_batches(_proj_toks_u,
+                                       batch_format="pyarrow"))
         j2 = j1.join(toksets, join_type="left_outer", on=("v",),
                      right_on=("doc_id",), num_partitions=np_)
         verified = j2.map_batches(_verify_lists_fn(tau, contain),
@@ -689,7 +706,7 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
 
     def distinct_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            return _UV_SCHEMA.empty_table()
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))
@@ -1004,7 +1021,7 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
 
     def distinct_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            return _UV_SCHEMA.empty_table()
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))

@@ -185,7 +185,9 @@ def substring_pairs_sa(sf_dir: str, min_len: int = 100,
 
     def distinct_uv(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
+            # typed empty — 0-column shuffle empties poison the joins
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
         order = np.lexsort((v, u))
@@ -198,6 +200,150 @@ def substring_pairs_sa(sf_dir: str, min_len: int = 100,
                                          sort=False))
     if out.num_rows == 0:
         return _EMPTY_SA_PAIRS.empty_table()
+    return out.sort_by([("u", "ascending"), ("v", "ascending")])
+
+
+def substring_pairs_sa_global(sf_dir: str, min_len: int = 100,
+                              normalize: bool = False) -> pa.Table:
+    """SA-exact repeated-substring pairs that survive ARBITRARY
+    partitioning — the co-location pass the per-block SA stage
+    documents as its missing half. Three stages:
+
+      1. candidate generation by WINNOWING fingerprints (k = min_len//2,
+         w = min_len - k + 1, so k + w - 1 = min_len): the robust
+         winnowing guarantee says any shared run of >= min_len bytes
+         shares at least one selected fingerprint REGARDLESS of where
+         the two docs live — this is the cross-block routing key. One
+         (fp, doc_id) exchange, per-bucket pairs, (u, v) distinct.
+      2. both texts attach to each candidate pair via two hash joins
+         (pair-bounded, no resident map — same shape as the simjoin
+         verify fallback).
+      3. per-pair SA VERIFY: a two-doc suffix array + capped-LCP test
+         decides >= min_len exactly, so winnowing's false positives
+         (a shared k-gram without a shared min_len run) are removed
+         and the output equals the single-block SA on the whole corpus.
+
+    Output (u, v) doc_id pairs, sorted. Parity with
+    substring_pairs_sa_exact is pinned by a planted cross-block-clone
+    test. Candidate count is bounded by fp-bucket co-occurrence
+    (boilerplate-skew handling beyond that is the production winnowing
+    stage's job — ops/substring.py bucket caps)."""
+    from nise_ray.ops.groupapply import hash_group_apply
+    from nise_ray.ops.normalize import batch_normalize
+    from nise_ray.ops.simjoin import all_bucket_size_filtered_pairs
+    from nise_ray.ops.substring import winnow_fingerprints
+    from nise_ray.util import collect_table
+
+    # largest power-of-two gram size <= min_len/2 (rolling_poly_hash
+    # needs 2^i for the O(1) window roll); k + w - 1 == min_len keeps
+    # the winnowing guarantee exactly at the SA threshold
+    k = 1 << max((min_len // 2).bit_length() - 1, 0)
+    w = min_len - k + 1
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def fps(b: pa.Table) -> pa.Table:
+        col = batch_normalize(b.column("text")) if normalize \
+            else b.column("text")
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_f, out_i = [], []
+        for i, t in enumerate(col.to_pylist()):
+            f = winnow_fingerprints(t, k, w)
+            if len(f):
+                out_f.append(f)
+                out_i.append(np.full(len(f), ids[i], np.int64))
+        if not out_f:
+            return pa.table({"fp": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"fp": pa.array(np.concatenate(out_f), pa.uint64()),
+                         "doc_id": pa.array(np.concatenate(out_i),
+                                            pa.int64())})
+
+    fp_ds = docs.map_batches(fps, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def pair_gen(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        keys = batch.column("fp").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out = all_bucket_size_filtered_pairs(
+            keys.astype(np.uint64), ids,
+            np.ones(len(ids), np.int64), 0.0)
+        if out is None:
+            return empty
+        return pa.table({"u": pa.array(out[0], pa.int64()),
+                         "v": pa.array(out[1], pa.int64())})
+
+    cands = hash_group_apply(fp_ds, ["fp"], pair_gen, sort=False)
+
+    def distinct_uv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty — 0-column shuffle empties poison the joins
+            return pa.schema([("u", pa.int64()),
+                              ("v", pa.int64())]).empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (u[order][1:] != u[order][:-1]) | \
+                    (v[order][1:] != v[order][:-1])
+        return batch.take(pa.array(order[first]))
+
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+                                sort=False).materialize()
+    if pairs_ds.count() == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+
+    # attach both texts per pair: two hash joins, pair-bounded; sparse
+    # join inputs wrapped in join_input (see groupapply — Ray's join
+    # loses its schema broadcast when a side's first block is empty)
+    from nise_ray.ops.groupapply import join_input
+    from nise_ray.ops.relational import _join_partitions
+    np_ = _join_partitions()
+    j1 = join_input(pairs_ds).join(docs, join_type="left_outer", on=("u",),
+                                   right_on=("doc_id",), num_partitions=np_)
+
+    def proj_u(b: pa.Table) -> pa.Table:
+        if b.column("text").null_count:
+            raise AssertionError("pair endpoint missing from documents")
+        return pa.table({"u": b.column("u"), "v": b.column("v"),
+                         "text_u": b.column("text")})
+
+    j2 = join_input(j1.map_batches(proj_u, batch_format="pyarrow")) \
+        .join(docs, join_type="left_outer", on=("v",),
+              right_on=("doc_id",), num_partitions=np_)
+
+    def verify(b: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        if b.column("text").null_count:
+            raise AssertionError("pair endpoint missing from documents")
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        tu = b.column("text_u").to_pylist()
+        tv = b.column("text").to_pylist()
+        if normalize:
+            from nise_ray.ops.normalize import normalize_text
+            tu = [normalize_text(t) for t in tu]
+            tv = [normalize_text(t) for t in tv]
+        keep = np.zeros(len(u), dtype=bool)
+        for i in range(len(u)):
+            t = sa_block_pairs([tu[i], tv[i]],
+                               np.array([u[i], v[i]], np.int64), min_len)
+            keep[i] = t.num_rows > 0
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    out = collect_table(j2.map_batches(verify, batch_format="pyarrow"))
+    if out.num_rows == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
     return out.sort_by([("u", "ascending"), ("v", "ascending")])
 
 

@@ -236,7 +236,10 @@ def _pair_gen_weighted(tau: float):
 
 def _distinct_uv(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0:
-        return batch
+        # typed empty — see simjoin._df_merge_batch (0-column shuffle
+        # empties poison downstream joins)
+        return pa.schema([("u", pa.int64()),
+                          ("v", pa.int64())]).empty_table()
     u = batch.column("u").to_numpy(zero_copy_only=False)
     v = batch.column("v").to_numpy(zero_copy_only=False)
     order = np.lexsort((v, u))
@@ -460,15 +463,19 @@ def _verify_pairs_ds(docs, pairs_ds, tau: float,
             batch_format="pyarrow", zero_copy_batch=True,
             concurrency=default_concurrency())
     elif verify_mode == "join":
+        from nise_ray.ops.groupapply import join_input
         from nise_ray.ops.relational import _join_partitions
         np_ = _join_partitions()
-        sel = docs.join(ep_ds, join_type="inner", on=("doc_id",),
-                        num_partitions=np_)
-        tfsets = sel.map_batches(_tf_rows_task, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-        j1 = pairs_ds.join(tfsets, join_type="left_outer", on=("u",),
-                           right_on=("doc_id",), num_partitions=np_)
-        j1 = j1.map_batches(_proj_w_u, batch_format="pyarrow")
+        # sparse join inputs wrapped in join_input — see groupapply
+        sel = docs.join(join_input(ep_ds), join_type="inner",
+                        on=("doc_id",), num_partitions=np_)
+        tfsets = join_input(sel.map_batches(_tf_rows_task,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        j1 = join_input(pairs_ds).join(tfsets, join_type="left_outer",
+                                       on=("u",), right_on=("doc_id",),
+                                       num_partitions=np_)
+        j1 = join_input(j1.map_batches(_proj_w_u, batch_format="pyarrow"))
         j2 = j1.join(tfsets, join_type="left_outer", on=("v",),
                      right_on=("doc_id",), num_partitions=np_)
         verified = j2.map_batches(_verify_w_lists_fn(tau),

@@ -193,3 +193,59 @@ def test_substring_pairs_sa_scale_gate(ray_session):
     from nise_ray.ops.suffixarray import substring_pairs_sa_exact
     with pytest.raises(ValueError, match="max_docs"):
         substring_pairs_sa_exact("/root/testdata/sf0.001", max_docs=10)
+
+
+def test_sa_global_survives_cross_block_clones(ray_session):
+    """The winnowing-co-located SA op must find clone pairs regardless
+    of partitioning: planted 150-char shared runs between docs placed
+    far apart, per-block SA (tiny batch) misses the cross-block pairs,
+    substring_pairs_sa_global recovers EXACTLY the whole-corpus SA
+    result (false-positive winnowing candidates removed by the per-pair
+    SA verify)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.suffixarray import (
+        substring_pairs_sa,
+        substring_pairs_sa_exact,
+        substring_pairs_sa_global,
+    )
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+
+    def rand_text(n):
+        return " ".join(rng.choice(words, n).tolist())
+
+    n_docs = 60
+    texts = [rand_text(40) for _ in range(n_docs)]
+    # plant shared 150-char runs between far-apart docs (different SA
+    # blocks at batch_size=8): (3, 57), (10, 44), (20, 51)
+    for a, b in [(3, 57), (10, 44), (20, 51)]:
+        run = rand_text(40)[:150]
+        texts[a] = texts[a] + " " + run
+        texts[b] = run + " " + texts[b]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        exact = substring_pairs_sa_exact(d, min_len=100)
+        glob = substring_pairs_sa_global(d, min_len=100)
+        blocky = substring_pairs_sa(d, min_len=100, batch_size=8,
+                                    normalize=False).select(["u", "v"])
+    want = set(zip(exact.column("u").to_pylist(),
+                   exact.column("v").to_pylist()))
+    got = set(zip(glob.column("u").to_pylist(),
+                  glob.column("v").to_pylist()))
+    part = set(zip(blocky.column("u").to_pylist(),
+                   blocky.column("v").to_pylist()))
+    assert {(3, 57), (10, 44), (20, 51)} <= want
+    assert got == want                      # global == whole-corpus SA
+    assert part <= want and part != want    # per-block provably missed
