@@ -103,6 +103,26 @@ class RunContext:
         return out
 
 
+class ParamsConfig:
+    """Duck-typed config for RunContext when a composition is
+    parameterized outside DedupConfig (e.g. the curation pipelines):
+    the resume gate hashes the sorted parameter dict, so resuming with
+    different parameters fails loudly exactly like a DedupConfig
+    mismatch."""
+
+    def __init__(self, **params) -> None:
+        self._params = params
+
+    def to_dict(self) -> dict:
+        return dict(self._params)
+
+    def config_hash(self) -> str:
+        import hashlib
+
+        payload = json.dumps(self._params, sort_keys=True).encode()
+        return hashlib.blake2b(payload, digest_size=8).hexdigest()
+
+
 def lineage_wrap(fn, manifest_dir: str, run_id: str, stage: str):
     """Wrap a map_batches fn so every processed batch emits one lineage
     record (rows in/out, wall time, attempt-safe unique id). Task-side

@@ -745,7 +745,9 @@ def value_time_correlation(sf_dir: str) -> pa.Table:
 def prepare_training_docs(sf_dir: str, min_chars: int = 100,
                           min_alpha_pct: int = 50, size: int = 512,
                           stride: int = 384,
-                          broadcast_max: int = 50_000_000
+                          broadcast_max: int = 50_000_000,
+                          run_dir: "str | None" = None,
+                          resume: bool = False
                           ) -> "ray.data.Dataset":
     """COMPOSED training-corpus prep pipeline — the end-to-end flow a
     pretraining data team actually runs, as ONE streaming Dataset plan:
@@ -771,9 +773,20 @@ def prepare_training_docs(sf_dir: str, min_chars: int = 100,
 
     import ray as _ray
 
+    from nise_ray.checkpoint import ParamsConfig, RunContext
     from nise_ray.ops.dedupx import _exact_group_batch, _sha_prep_batch
     from nise_ray.ops.groupapply import hash_group_apply
+    from nise_ray.pipeline import _stage
     from nise_ray.util import collect_table
+
+    # run_dir enables per-stage checkpoints (survivors + chunks) with
+    # the same resume/_SUCCESS/params-hash contract as curate_corpus
+    ctx = None
+    if run_dir is not None:
+        ctx = RunContext(run_dir, ParamsConfig(
+            op="prepare_training_docs", sf_dir=sf_dir,
+            min_chars=min_chars, min_alpha_pct=min_alpha_pct, size=size,
+            stride=stride, broadcast_max=broadcast_max), resume=resume)
 
     def quality_filter(b: pa.Table) -> pa.Table:
         text = b.column("text")
@@ -791,32 +804,34 @@ def prepare_training_docs(sf_dir: str, min_chars: int = 100,
         return ds.map_batches(quality_filter, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    # keep-list: min doc_id per distinct surviving text (ids only)
-    prepped = filtered().map_batches(_sha_prep_batch,
-                                     batch_format="pyarrow",
-                                     zero_copy_batch=True)
-    groups = hash_group_apply(prepped, ["d0"],
-                              _exact_group_batch).materialize()
-    n_keep = groups.count()
-    if n_keep <= broadcast_max:
-        keep_t = collect_table(groups)
-        keep_ids = np.sort(keep_t.column("rep_doc_id").to_numpy(
-            zero_copy_only=False)) if keep_t.num_rows else \
-            np.empty(0, np.int64)
-        keep_ref = ray.put(keep_ids)
+    def build_kept() -> "_ray.data.Dataset":
+        # keep-list: min doc_id per distinct surviving text (ids only)
+        prepped = filtered().map_batches(_sha_prep_batch,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        groups = hash_group_apply(prepped, ["d0"],
+                                  _exact_group_batch).materialize()
+        n_keep = groups.count()
+        if n_keep <= broadcast_max:
+            keep_t = collect_table(groups)
+            keep_ids = np.sort(keep_t.column("rep_doc_id").to_numpy(
+                zero_copy_only=False)) if keep_t.num_rows else \
+                np.empty(0, np.int64)
+            keep_ref = ray.put(keep_ids)
 
-        def keep_filter(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            keep_ids = ray.get(keep_ref)
-            if len(keep_ids) == 0:
-                return b.slice(0, 0)
-            pos = np.clip(np.searchsorted(keep_ids, ids), 0,
-                          len(keep_ids) - 1)
-            return b.take(pa.array(np.flatnonzero(keep_ids[pos] == ids)))
+            def keep_filter(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                kept_ids = ray.get(keep_ref)
+                if len(kept_ids) == 0:
+                    return b.slice(0, 0)
+                pos = np.clip(np.searchsorted(kept_ids, ids), 0,
+                              len(kept_ids) - 1)
+                return b.take(pa.array(
+                    np.flatnonzero(kept_ids[pos] == ids)))
 
-        kept = filtered().map_batches(keep_filter, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-    else:
+            return filtered().map_batches(keep_filter,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
         # distributed semi-join on doc_id (keep-list is corpus-scale:
         # one distinct text per group survives)
         from nise_ray.ops.relational import (_hash_shuffle_on,
@@ -826,11 +841,20 @@ def prepare_training_docs(sf_dir: str, min_chars: int = 100,
             batch_format="pyarrow")
         docs = filtered()
         _hash_shuffle_on(docs, keys)
-        kept = docs.join(keys, join_type="inner", on=("doc_id",),
+        return docs.join(keys, join_type="inner", on=("doc_id",),
                          num_partitions=_join_partitions())
 
-    return kept.map_batches(_make_chunk_batch(size, stride),
-                            batch_format="pyarrow", zero_copy_batch=True)
+    _KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string())])
+    kept, _ = _stage(ctx, "prep_kept", build_kept, _KEPT_SCHEMA)
+
+    _OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("chunk_idx", pa.int64()),
+                             ("chunk_text", pa.string())])
+    out, _ = _stage(ctx, "prep_out", lambda: kept.map_batches(
+        _make_chunk_batch(size, stride), batch_format="pyarrow",
+        zero_copy_batch=True), _OUT_SCHEMA)
+    return out
 
 
 def lang_char_skewkurt(sf_dir: str) -> pa.Table:

@@ -66,17 +66,38 @@ def _gopher_pass_filter(b: pa.Table) -> pa.Table:
 
 def curate_corpus(sf_dir: str, n_buckets: int = 3,
                   keep_buckets: int = 2, round_to: int = 4,
-                  broadcast_max: int = 50_000_000) -> "ray.data.Dataset":
+                  broadcast_max: int = 50_000_000,
+                  run_dir: "str | None" = None,
+                  resume: bool = False) -> "ray.data.Dataset":
     """Run the full curation chain; returns the KEPT set
     (doc_id, lang, logprob_mean, bucket) — quality-passing, exact-dup
-    collapsed, perplexity bucket <= `keep_buckets` per language."""
+    collapsed, perplexity bucket <= `keep_buckets` per language.
+
+    `run_dir` enables per-stage CHECKPOINTS (the 100-TB curation jobs
+    are the ones most likely to be pre-empted): survivors, the trained
+    LM table, scores, and the final cut each land as partitioned
+    parquet under stage=curate_*/ with _SUCCESS markers, and
+    `resume=True` skips completed stages exactly like dedup_pipeline —
+    including the stage-coupling subtlety (a resumed run re-reads the
+    SAME post-dedup survivor set its LM was trained on, never a
+    re-derived one). Resuming with different parameters fails loudly
+    (ParamsConfig hash gate)."""
+    from nise_ray.checkpoint import ParamsConfig, RunContext
     from nise_ray.ops.dedupx import _exact_group_batch, _sha_prep_batch
     from nise_ray.ops.dsir import perplexity_tiles_kernel
     from nise_ray.ops.groupapply import (default_concurrency,
                                          hash_group_apply)
     from nise_ray.ops.textstats import (_doc_token_counts,
                                         unigram_lnp_ref)
+    from nise_ray.pipeline import _stage
     from nise_ray.util import collect_table
+
+    ctx = None
+    if run_dir is not None:
+        ctx = RunContext(run_dir, ParamsConfig(
+            op="curate_corpus", sf_dir=sf_dir, n_buckets=n_buckets,
+            keep_buckets=keep_buckets, round_to=round_to,
+            broadcast_max=broadcast_max), resume=resume)
 
     def filtered() -> "ray.data.Dataset":
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -84,30 +105,33 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
         return ds.map_batches(_gopher_pass_filter, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    # exact-dedup keep-list over the survivors (ids + digests only)
-    prepped = filtered().select_columns(["doc_id", "text"]) \
-        .map_batches(_sha_prep_batch, batch_format="pyarrow",
-                     zero_copy_batch=True)
-    groups = hash_group_apply(prepped, ["d0"],
-                              _exact_group_batch).materialize()
-    if groups.count() <= broadcast_max:
-        keep_t = collect_table(groups)
-        keep_ids = np.sort(keep_t.column("rep_doc_id").to_numpy(
-            zero_copy_only=False)) if keep_t.num_rows else \
-            np.empty(0, np.int64)
-        keep_ref = ray.put(keep_ids)
+    def build_kept() -> "ray.data.Dataset":
+        # exact-dedup keep-list over the survivors (ids + digests only)
+        prepped = filtered().select_columns(["doc_id", "text"]) \
+            .map_batches(_sha_prep_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        groups = hash_group_apply(prepped, ["d0"],
+                                  _exact_group_batch).materialize()
+        if groups.count() <= broadcast_max:
+            keep_t = collect_table(groups)
+            keep_ids = np.sort(keep_t.column("rep_doc_id").to_numpy(
+                zero_copy_only=False)) if keep_t.num_rows else \
+                np.empty(0, np.int64)
+            keep_ref = ray.put(keep_ids)
 
-        def keep_filter(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-            kept = ray.get(keep_ref)
-            if len(kept) == 0:
-                return b.slice(0, 0)
-            pos = np.clip(np.searchsorted(kept, ids), 0, len(kept) - 1)
-            return b.take(pa.array(np.flatnonzero(kept[pos] == ids)))
+            def keep_filter(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                kept_ids = ray.get(keep_ref)
+                if len(kept_ids) == 0:
+                    return b.slice(0, 0)
+                pos = np.clip(np.searchsorted(kept_ids, ids), 0,
+                              len(kept_ids) - 1)
+                return b.take(pa.array(
+                    np.flatnonzero(kept_ids[pos] == ids)))
 
-        kept = filtered().map_batches(keep_filter, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-    else:
+            return filtered().map_batches(keep_filter,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
         from nise_ray.ops.relational import (_hash_shuffle_on,
                                              _join_partitions)
         keys = groups.map_batches(
@@ -115,11 +139,17 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
             batch_format="pyarrow")
         docs = filtered()
         _hash_shuffle_on(docs, keys)
-        kept = docs.join(keys, join_type="inner", on=("doc_id",),
+        return docs.join(keys, join_type="inner", on=("doc_id",),
                          num_partitions=_join_partitions())
 
-    # LM trained on the survivor stream, broadcast once
-    lm_ref = unigram_lnp_ref(kept.select_columns(["doc_id", "text"]))
+    _KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string()),
+                              ("lang", pa.string())])
+    kept, _ = _stage(ctx, "curate_kept", build_kept, _KEPT_SCHEMA)
+
+    # LM trained on the survivor stream, broadcast once. Vocab-bounded,
+    # so its checkpoint is one driver-written parquet table.
+    lm_ref = _lm_stage(ctx, kept, unigram_lnp_ref)
 
     class Score:
         def __init__(self) -> None:
@@ -145,9 +175,12 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
                 "logprob_mean": pa.array(mean_lp, pa.float64()),
             })
 
-    scored = kept.map_batches(Score, batch_format="pyarrow",
-                              zero_copy_batch=True,
-                              concurrency=default_concurrency())
+    _SCORED_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string()),
+                                ("logprob_mean", pa.float64())])
+    scored, _ = _stage(ctx, "curate_scored", lambda: kept.map_batches(
+        Score, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=default_concurrency()), _SCORED_SCHEMA)
 
     tiles = perplexity_tiles_kernel(n_buckets)
 
@@ -158,5 +191,38 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
         bk = out.column("bucket").to_numpy(zero_copy_only=False)
         return out.take(pa.array(np.flatnonzero(bk <= keep_buckets)))
 
-    return hash_group_apply(scored, ["lang"], tiles_and_trim, 0,
-                            sort=False)
+    _OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("lang", pa.string()),
+                             ("logprob_mean", pa.float64()),
+                             ("bucket", pa.int64())])
+    out, _ = _stage(ctx, "curate_out", lambda: hash_group_apply(
+        scored, ["lang"], tiles_and_trim, 0, sort=False), _OUT_SCHEMA)
+    return out
+
+
+def _lm_stage(ctx, kept: "ray.data.Dataset", build_ref):
+    """Checkpoint wrapper for the vocab-bounded unigram-LM table: fresh
+    runs train on the survivor stream then persist (token, lnp) parquet;
+    resumed runs rebuild the broadcast ref from the checkpoint without
+    touching the corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if ctx is not None and ctx.resume and ctx.is_complete("curate_lm"):
+        t = pq.read_table(os.path.join(ctx.stage_dir("curate_lm"),
+                                       "lm.parquet"))
+        toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+        lnp = t.column("lnp").to_numpy(zero_copy_only=False)
+        return ray.put((toks, lnp))
+    ref = build_ref(kept.select_columns(["doc_id", "text"]))
+    if ctx is not None:
+        toks, lnp = ray.get(ref)
+        d = ctx.stage_dir("curate_lm")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "token": pa.array(toks.tolist(), pa.string()),
+            "lnp": pa.array(lnp, pa.float64())}),
+            os.path.join(d, "lm.parquet"))
+        ctx.mark_complete("curate_lm", n_tokens=len(toks))
+    return ref

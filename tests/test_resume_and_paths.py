@@ -107,3 +107,75 @@ def test_salted_path_preserves_recall(ray_session, small_fixture):
             hit += 1
     assert denom > 50
     assert hit / denom >= 0.99, f"salted recall {hit/denom:.4f}"
+
+
+def test_curate_corpus_kill_and_resume(ray_session, tmp_path):
+    """curate_corpus checkpointing: identical output to the
+    non-checkpointed run; a full resume skips every stage (mtimes
+    unchanged); a simulated mid-run kill (downstream stages missing)
+    re-derives only the missing stages from the surviving checkpoints;
+    resuming with different params fails loudly."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from nise_ray.ops.curate import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "curate_run")
+
+    def canon(ds):
+        return ds.to_pandas().sort_values(["lang", "doc_id"]) \
+            .reset_index(drop=True)
+
+    base = canon(curate_corpus(sf))            # no checkpointing
+    out1 = canon(curate_corpus(sf, run_dir=d))  # fresh checkpointed run
+    pd.testing.assert_frame_equal(base, out1, check_exact=True)
+
+    stages = ["curate_kept", "curate_lm", "curate_scored", "curate_out"]
+    marks = {s: os.path.join(d, f"stage={s}", "_SUCCESS.json")
+             for s in stages}
+    assert all(os.path.exists(p) for p in marks.values())
+    mt0 = {s: os.path.getmtime(p) for s, p in marks.items()}
+
+    out2 = canon(curate_corpus(sf, run_dir=d, resume=True))
+    pd.testing.assert_frame_equal(base, out2, check_exact=True)
+    assert {s: os.path.getmtime(p) for s, p in marks.items()} == mt0
+
+    # simulated pre-emption: downstream stages lost, survivors + LM kept
+    for s in ("curate_scored", "curate_out"):
+        shutil.rmtree(os.path.join(d, f"stage={s}"))
+    out3 = canon(curate_corpus(sf, run_dir=d, resume=True))
+    pd.testing.assert_frame_equal(base, out3, check_exact=True)
+    assert os.path.getmtime(marks["curate_kept"]) == mt0["curate_kept"]
+    assert os.path.getmtime(marks["curate_lm"]) == mt0["curate_lm"]
+    assert os.path.getmtime(marks["curate_scored"]) > mt0["curate_scored"]
+
+    import pytest
+    with pytest.raises(ValueError, match="different config"):
+        curate_corpus(sf, n_buckets=5, run_dir=d, resume=True)
+
+
+def test_prepare_training_docs_resume(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from nise_ray.ops.analytics import prepare_training_docs
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "prep_run")
+
+    def canon(ds):
+        return ds.to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+            .reset_index(drop=True)
+
+    base = canon(prepare_training_docs(sf))
+    out1 = canon(prepare_training_docs(sf, run_dir=d))
+    pd.testing.assert_frame_equal(base, out1, check_exact=True)
+    mark = os.path.join(d, "stage=prep_kept", "_SUCCESS.json")
+    mt0 = os.path.getmtime(mark)
+    out2 = canon(prepare_training_docs(sf, run_dir=d, resume=True))
+    pd.testing.assert_frame_equal(base, out2, check_exact=True)
+    assert os.path.getmtime(mark) == mt0
