@@ -329,6 +329,17 @@ def _pipeline_from_signed(
     else:
         n_parts = schedulable_partitions(max(8, min(512, n_docs // 25_000)))
 
+    # explode-task bundle size: enough docs per task that the exchange
+    # moves few large objects (the shuffle map pays a fixed put+RPC per
+    # input block x partition), but never so few tasks that the explode
+    # under-parallelizes the cluster (measured: a fixed 32k bundle cost
+    # +0.8 s on the 100k-doc tier at 32 CPUs while winning 3-4x exchange
+    # CPU at the 1M tier). Result-invariant.
+    from nise_ray.ops.groupapply import _cluster_cpus
+    explode_bs = int(min(cfg.explode_batch_size,
+                         max(cfg.batch_size,
+                             n_docs // (4 * _cluster_cpus()))))
+
     def _lineage(fn, stage: str):
         """Per-partition lineage records for shuffle stages (R14)."""
         if ctx is None:
@@ -376,7 +387,8 @@ def _pipeline_from_signed(
         def build_candidates():
             exploded = signed.map_batches(
                 lambda b: explode_unified(b, cfg, carry_sigs=not narrow),
-                batch_format="pyarrow", zero_copy_batch=True)
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=explode_bs)
             return hash_group_apply(
                 exploded, ["key"],
                 _lineage(make_unified_pair_gen(cfg, verify=not narrow),
@@ -397,7 +409,8 @@ def _pipeline_from_signed(
         def build_minhash():
             exploded = signed.map_batches(
                 lambda b: explode_bands(b, cfg),
-                batch_format="pyarrow", zero_copy_batch=True)
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=explode_bs)
             if cfg.salt_shards > 1:
                 phase1 = hash_group_apply(
                     exploded, ["bkey"], make_batch_salted_pair_gen(cfg), n_parts)
@@ -425,7 +438,8 @@ def _pipeline_from_signed(
         def build_simhash():
             exploded = signed.map_batches(
                 lambda b: explode_simhash_blocks(b, cfg),
-                batch_format="pyarrow", zero_copy_batch=True)
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=explode_bs)
             return hash_group_apply(
                 exploded, ["block_key"],
                 _lineage(make_batch_simhash_pair_gen(cfg), "edges_simhash"),
@@ -662,7 +676,8 @@ def substring_pairs(
     n_docs = corpus_ds.count()
     fps = corpus_ds.map_batches(
         lambda b: explode_fingerprints(b, cfg),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=cfg.batch_size)
     pairs = hash_group_apply(fps, ["fp"], make_batch_substring_pair_gen(cfg),
                              cfg.shuffle_partitions)
     if n_docs <= cfg.driver_docs_max:
