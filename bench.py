@@ -108,6 +108,78 @@ def tree_cpu_seconds() -> float:
     return total / os.sysconf("SC_CLK_TCK")
 
 
+class CpuTracker:
+    """Accurate process-tree CPU accounting: a background thread samples
+    every descendant's cumulative utime+stime and keeps the PER-PID MAX,
+    so workers that exit mid-run keep their contribution. The end-only
+    delta (old tree_cpu_seconds) lost dead workers' time — measured
+    193-285 s run-to-run spread at 8 CPUs on a job whose sign operator
+    alone reports 350 s remote CPU in ds.stats; the engine_cpu_seconds
+    scaling ratio inherited that bias. Accuracy is within one sample
+    interval per short-lived process."""
+
+    def __init__(self, interval: float = 0.5) -> None:
+        import threading
+        self._interval = interval
+        self._maxcpu: dict[tuple[int, int], float] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _sample() -> dict[tuple[int, int], float]:
+        """(pid, starttime) -> cumulative cpu seconds, for this process
+        tree. starttime disambiguates PID reuse."""
+        clk = os.sysconf("SC_CLK_TCK")
+        info: dict[int, tuple[int, float, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                info[int(d)] = (int(rest[1]),
+                                (int(rest[11]) + int(rest[12])) / clk,
+                                int(rest[19]))
+            except (OSError, IndexError, ValueError):
+                pass
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _, _) in info.items():
+            children.setdefault(ppid, []).append(pid)
+        out: dict[tuple[int, int], float] = {}
+        stack, seen = [os.getpid()], set()
+        while stack:
+            p = stack.pop()
+            if p in seen:
+                continue
+            seen.add(p)
+            if p in info:
+                _, cpu, start = info[p]
+                out[(p, start)] = cpu
+            stack.extend(children.get(p, []))
+        return out
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            for k, v in self._sample().items():
+                if v > self._maxcpu.get(k, 0.0):
+                    self._maxcpu[k] = v
+            self._stop.wait(self._interval)
+
+    def start(self) -> "CpuTracker":
+        self._baseline = self._sample()
+        self._thread.start()
+        return self
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._thread.join()
+        for k, v in self._sample().items():  # final sample
+            if v > self._maxcpu.get(k, 0.0):
+                self._maxcpu[k] = v
+        return sum(v - self._baseline.get(k, 0.0)
+                   for k, v in self._maxcpu.items())
+
+
 def warm_cluster(num_cpus: int) -> None:
     """Force worker-process spawn + heavy imports BEFORE timing starts —
     a fresh local session otherwise pays a variable worker-startup storm
@@ -154,13 +226,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool = False,
     extra: dict = {}
 
     # --- headline: full dedup pipeline over the bench corpus -------------
-    cpu0 = tree_cpu_seconds()
+    tracker = CpuTracker().start()
     t0 = time.time()
     res = dedup_pipeline(corpus_dir, DedupConfig())
     dt = time.time() - t0
     queries["dedup_corpus"] = round(dt, 3)
     extra["files_per_s"] = round(n_files / dt, 1)
-    extra["cpu_seconds"] = round(tree_cpu_seconds() - cpu0, 1)
+    extra["cpu_seconds"] = round(tracker.stop(), 1)
     extra["cpu_utilization"] = round(extra["cpu_seconds"] / (dt * num_cpus), 3)
     extra["n_edges"] = res.stats["n_edges"]
     extra["n_clusters"] = res.stats.get("n_clusters")
