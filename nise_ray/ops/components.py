@@ -303,6 +303,8 @@ def attach_labels(signed_ds: "ray.data.Dataset", labels: pa.Table | "ray.data.Da
     # (observed live at num_cpus=8).
     from nise_ray.ops.groupapply import default_partitions
     labels_ds = labels if not isinstance(labels, pa.Table) else ray.data.from_arrow(labels)
+    from nise_ray.ops.groupapply import join_input
+    labels_ds = join_input(labels_ds)  # sparse side: see groupapply
     joined = signed_ds.join(labels_ds, join_type="left_outer", on=("doc_key",),
                             num_partitions=default_partitions(cfg.shuffle_partitions))
 

@@ -139,6 +139,8 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
             batch_format="pyarrow")
         docs = filtered()
         _hash_shuffle_on(docs, keys)
+        from nise_ray.ops.groupapply import join_input
+        keys = join_input(keys)  # sparse side: see groupapply
         return docs.join(keys, join_type="inner", on=("doc_id",),
                          num_partitions=_join_partitions())
 

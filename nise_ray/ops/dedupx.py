@@ -260,8 +260,12 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
                                   batch_format="pyarrow")
         km_v = keymap.map_batches(lambda b: ren(b, "v", "dv"),
                                   batch_format="pyarrow")
+        from nise_ray.ops.groupapply import join_input
+        edges, km_u, km_v = (join_input(edges), join_input(km_u),
+                             join_input(km_v))  # sparse sides
         j1 = edges.join(km_u, join_type="inner", num_partitions=np_, on=("u",))
-        j2 = j1.join(km_v, join_type="inner", num_partitions=np_, on=("v",))
+        j2 = join_input(j1).join(km_v, join_type="inner",
+                                 num_partitions=np_, on=("v",))
 
         def finish(b: pa.Table) -> pa.Table:
             du = b.column("du").to_numpy(zero_copy_only=False).astype(np.int64)

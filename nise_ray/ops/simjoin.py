@@ -777,7 +777,8 @@ def source_overlap_pairs(sf_dir: str, tau: float = 0.5,
             return pa.table({"doc_id_v": b.column("doc_id_v"),
                              "source_u": b.column("source")})
 
-        j = j.map_batches(_proj1, batch_format="pyarrow")
+        from nise_ray.ops.groupapply import join_input
+        j = join_input(j.map_batches(_proj1, batch_format="pyarrow"))
         j = j.join(docs, join_type="inner", num_partitions=np_,
                    on=("doc_id_v",), right_on=("doc_id",))
 
@@ -1102,6 +1103,8 @@ def _labeled_docs(sf_dir: str, tau: float, extra_cols: list[str],
             "cluster_id": b.column("cluster_id").cast(pa.int64())})
 
     lab64 = labels_ds.map_batches(to_int_ids, batch_format="pyarrow")
+    from nise_ray.ops.groupapply import join_input
+    lab64 = join_input(lab64)  # sparse side: see groupapply
     joined = docs.join(lab64, join_type="left_outer", on=("doc_id",),
                        num_partitions=default_partitions(0))
 

@@ -810,7 +810,10 @@ def nearest_neighbor_docs(sf_dir: str, tau: float = 0.3,
                          "nn_doc_id": b.column("nb"),
                          "nn_jw": b.column("jw")})
 
-    joined = docs.join(best_ds.map_batches(rename, batch_format="pyarrow"),
+    from nise_ray.ops.groupapply import join_input
+    joined = docs.join(join_input(
+                           best_ds.map_batches(rename,
+                                               batch_format="pyarrow")),
                        join_type="left_outer", on=("doc_id",),
                        num_partitions=default_partitions(0))
 
