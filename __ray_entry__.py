@@ -173,6 +173,13 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(sf_dir)
 
 
+def _q_jaccard_threshold_sweep(sf_dir: str):
+    # tau-sensitivity curve from ONE exact join: pairs per jw decile
+    # bucket >= 0.5, integer bucketing so the compare is float-safe
+    from nise_ray.ops.simjoin import jaccard_threshold_sweep
+    return jaccard_threshold_sweep(sf_dir, tau_min=0.5)
+
+
 def _q_simhash_sha(sf_dir: str):
     # SimHash over sha256-derived trigram shingles: the ORACLE-ABLE
     # SimHash (bit-majority logic checked end-to-end in SQL); the
@@ -1150,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_sa": _q_substring_pairs_sa,
         "substring_pairs_sa_global": _q_substring_pairs_sa_global,
         "token_jaccard_pairs_docs": _q_token_jaccard,
+        "jaccard_threshold_sweep": _q_jaccard_threshold_sweep,
         "jaccard_components": _q_jaccard_components,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         # rows-only: longest intra-doc repeated substring is not
@@ -1448,6 +1456,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sv ON sv.doc_id = v
             WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
             ORDER BY 1, 2
+        """,
+        # tau-sensitivity buckets over the same exact join — `//` is
+        # DuckDB integer division, matching the numpy (10*i)//u bucketing
+        "jaccard_threshold_sweep": """
+            WITH d AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS tok
+              FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+              FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            p AS (
+              SELECT i, su.n + sv.n - i AS un
+              FROM inter
+              JOIN sz su ON su.doc_id = u
+              JOIN sz sv ON sv.doc_id = v
+              WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i))
+            SELECT (10 * i) // un AS bucket,
+                   count(*) AS n_pairs,
+                   CAST(sum(un) AS BIGINT) AS total_union
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         # CC over the exact similarity graph via recursive-CTE
         # transitive closure — oracles the star-decomposition

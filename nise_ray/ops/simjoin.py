@@ -1213,3 +1213,39 @@ def dedup_cluster_stats(sf_dir: str, tau: float = 0.8,
     out = collect_table(hash_group_apply(partials, ["cluster_id"], merge,
                                          sort=False))
     return out.sort_by([("cluster_id", "ascending")])
+
+
+def jaccard_threshold_sweep(sf_dir: str, tau_min: float = 0.5,
+                            **modes) -> pa.Table:
+    """Tau-sensitivity curve for the exact token-Jaccard join: one row
+    per Jaccard decile bucket >= tau_min with (bucket, n_pairs,
+    total_union) — the diagnostic a dedup run reads to PICK its
+    threshold (how many pairs appear/disappear as tau moves), computed
+    from ONE exact join at tau_min instead of re-running the join per
+    candidate tau.
+
+    bucket k covers jw in [k/10, (k+1)/10) via pure INTEGER arithmetic
+    ((10 * n_inter) // n_union — identical to DuckDB's `//`), so the
+    oracle comparison has no float-boundary hazard; jw == 1.0 lands in
+    bucket 10. Scale: rides the prefix-filtered join (all its gates),
+    plus one 11-row aggregation."""
+    pairs = token_jaccard_pairs(sf_dir, tau=tau_min, **modes)
+    if pairs.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "total_union": pa.array([], pa.int64())})
+    ni = pairs.column("n_inter").to_numpy(zero_copy_only=False)
+    nu = pairs.column("n_union").to_numpy(zero_copy_only=False)
+    k = (10 * ni) // nu
+    order = np.argsort(k, kind="stable")
+    ks = k[order]
+    new = np.ones(len(ks), dtype=bool)
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(ks)))
+    return pa.table({
+        "bucket": pa.array(ks[starts], pa.int64()),
+        "n_pairs": pa.array(counts, pa.int64()),
+        "total_union": pa.array(np.add.reduceat(nu[order], starts),
+                                pa.int64()),
+    })

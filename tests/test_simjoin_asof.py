@@ -495,3 +495,21 @@ def test_ngram_jaccard_exact_matches_duckdb(ray_session):
     """).fetchdf()
     assert len(got) == len(want) and len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_jaccard_threshold_sweep(ray_session):
+    """The tau-sensitivity buckets must partition the tau_min pair set
+    exactly (integer bucketing parity with the pair table)."""
+    from nise_ray.ops.simjoin import jaccard_threshold_sweep, token_jaccard_pairs
+    sweep = jaccard_threshold_sweep(SF, tau_min=0.5)
+    pairs = token_jaccard_pairs(SF, tau=0.5)
+    assert sweep.num_rows > 1  # more than one decile represented
+    assert sum(sweep.column("n_pairs").to_pylist()) == pairs.num_rows
+    ni = np.array(pairs.column("n_inter").to_pylist())
+    nu = np.array(pairs.column("n_union").to_pylist())
+    k = (10 * ni) // nu
+    import collections
+    want = collections.Counter(k.tolist())
+    got = dict(zip(sweep.column("bucket").to_pylist(),
+                   sweep.column("n_pairs").to_pylist()))
+    assert got == dict(want)
