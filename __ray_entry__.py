@@ -173,6 +173,13 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(sf_dir)
 
 
+def _q_kcore_docs(sf_dir: str):
+    # k-core of the exact dup graph: the densely-duplicated boilerplate
+    # families (>= k neighbors INSIDE the subgraph, not mere degree)
+    from nise_ray.ops.graph import kcore_docs
+    return kcore_docs(sf_dir, k=3, tau=0.5)
+
+
 def _q_jaccard_threshold_sweep(sf_dir: str):
     # tau-sensitivity curve from ONE exact join: pairs per jw decile
     # bucket >= 0.5, integer bucketing so the compare is float-safe
@@ -1158,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_sa_global": _q_substring_pairs_sa_global,
         "token_jaccard_pairs_docs": _q_token_jaccard,
         "jaccard_threshold_sweep": _q_jaccard_threshold_sweep,
+        "kcore_docs": _q_kcore_docs,
         "jaccard_components": _q_jaccard_components,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         # rows-only: longest intra-doc repeated substring is not
@@ -1456,6 +1464,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sv ON sv.doc_id = v
             WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)
             ORDER BY 1, 2
+        """,
+        # k-core by recursive CTE: the shrinking-fixpoint trick — a node
+        # with >= k ALIVE neighbors at a round must itself be alive (alive
+        # sets only shrink), so one self-reference per level suffices;
+        # the iteration bound is the node count (absolute convergence)
+        "kcore_docs": """
+            WITH RECURSIVE
+            d AS (SELECT DISTINCT doc_id,
+                         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                             AS tok
+                  FROM documents),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i
+                      FROM d a JOIN d b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            e AS (SELECT u, v FROM inter
+                  JOIN sz su ON su.doc_id = u
+                  JOIN sz sv ON sv.doc_id = v
+                  WHERE CAST(i AS DOUBLE) >= 0.5 * (su.n + sv.n - i)),
+            ee AS (SELECT u AS a, v AS b FROM e
+                   UNION ALL SELECT v, u FROM e),
+            bound AS (SELECT count(DISTINCT a) AS n FROM ee),
+            alive(iter, doc) AS (
+              SELECT 0, a FROM (SELECT DISTINCT a FROM ee)
+              UNION ALL
+              SELECT x.iter + 1, x.b FROM (
+                SELECT al.iter AS iter, ee.b AS b, count(*) AS nn
+                FROM alive al JOIN ee ON ee.a = al.doc
+                GROUP BY al.iter, ee.b) x
+              WHERE x.nn >= 3 AND x.iter + 1 <= (SELECT n FROM bound)
+            ),
+            final AS (SELECT DISTINCT doc FROM alive
+                      WHERE iter = (SELECT n FROM bound)),
+            core_e AS (SELECT ee.a FROM ee
+                       JOIN final f1 ON f1.doc = ee.a
+                       JOIN final f2 ON f2.doc = ee.b)
+            SELECT a AS doc_id, count(*) AS core_degree
+            FROM core_e GROUP BY 1 ORDER BY 1
         """,
         # tau-sensitivity buckets over the same exact join — `//` is
         # DuckDB integer division, matching the numpy (10*i)//u bucketing

@@ -168,3 +168,53 @@ def dup_graph_degrees(sf_dir: str, threshold: float = 0.3,
             deg[pos] = got.column("n").to_numpy(zero_copy_only=False)
     return pa.table({"vec_id": pa.array(nodes, pa.int64()),
                      "degree": pa.array(deg, pa.int64())})
+
+
+def kcore_docs(sf_dir: str, k: int = 3, tau: float = 0.5) -> pa.Table:
+    """K-CORE of the exact token-Jaccard >= tau dup graph: the maximal
+    subgraph where every member has >= k neighbors INSIDE the subgraph
+    — the standard "densely-duplicated boilerplate family" detector
+    (degree alone overcounts: a hub with k neighbors of degree 1 is not
+    a core). Output (doc_id, core_degree) for core members, sorted;
+    core_degree = within-core degree.
+
+    Algorithm: iterative peeling (drop degree < k, recompute) on the
+    OUTPUT-SIZED exact pair table — the same driver-side contract as
+    every pairs consumer (jaccard_components et al.); each round is one
+    vectorized bincount + mask, rounds bounded by the node count and in
+    practice by the graph diameter. The oracle is a DuckDB recursive
+    CTE exploiting the shrinking-fixpoint property: a node with >= k
+    ALIVE neighbors at round r must itself be alive at r (alive sets
+    only shrink and dead nodes' neighbor counts only fall), so one
+    self-reference per recursion level suffices."""
+    from nise_ray.ops.simjoin import token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(sf_dir, tau=tau)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "core_degree": pa.array([], pa.int64())})
+    if pairs.num_rows == 0:
+        return empty
+    u = pairs.column("doc_id_u").to_numpy(zero_copy_only=False)
+    v = pairs.column("doc_id_v").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([u, v]))
+    cu = np.searchsorted(nodes, u)
+    cv = np.searchsorted(nodes, v)
+    alive = np.ones(len(nodes), dtype=bool)
+    e_alive = np.ones(len(cu), dtype=bool)
+    while True:
+        deg = np.bincount(cu[e_alive], minlength=len(nodes)) + \
+            np.bincount(cv[e_alive], minlength=len(nodes))
+        new_alive = alive & (deg >= k)
+        if new_alive.sum() == alive.sum():
+            break
+        alive = new_alive
+        e_alive = alive[cu] & alive[cv]
+    if not alive.any():
+        return empty
+    deg = np.bincount(cu[e_alive], minlength=len(nodes)) + \
+        np.bincount(cv[e_alive], minlength=len(nodes))
+    sel = np.flatnonzero(alive)
+    return pa.table({
+        "doc_id": pa.array(nodes[sel], pa.int64()),
+        "core_degree": pa.array(deg[sel].astype(np.int64), pa.int64()),
+    })

@@ -87,3 +87,40 @@ def test_distributed_cc_giant_component_bounded(ray_session):
     # large-star emits <= E edges, small-star <= E + one per group:
     # per-round rows stay linear in the input edge count
     assert stats["cc_max_round_rows"] <= 2 * e + n
+
+
+def test_kcore_peeling_crafted(ray_session):
+    """Planted graph where degree alone overcounts: a hub with k leaf
+    neighbors must NOT survive k-core peeling (its neighbors die first),
+    while a (k+1)-clique must. Kernel-checked through the public op on
+    crafted docs."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nise_ray.ops.graph import kcore_docs
+
+    # identical texts => J = 1.0 edges inside each group; distinct
+    # vocab across groups => no cross edges
+    clique = ["alpha beta gamma delta"] * 4          # 4-clique: 3-core
+    # leaf-leaf J = 3/9 < 0.5 (three unique tokens each); leaf-hub
+    # J = 3/6 = 0.5 -> hub has degree 3 but its neighbors have degree 1
+    hub = (["u%da u%db u%dc common_one common_two common_three"
+            % (i, i, i) for i in range(3)] +
+           ["common_one common_two common_three"])
+    texts = clique + hub
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        core = kcore_docs(d, k=3, tau=0.5)
+    ids = core.column("doc_id").to_pylist()
+    assert set(ids) >= {0, 1, 2, 3}          # the clique survives
+    assert all(core.column("core_degree").to_pylist()[i] == 3
+               for i, x in enumerate(ids) if x in (0, 1, 2, 3))
+    assert 7 not in ids                       # hub dies with its leaves
