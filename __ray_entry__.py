@@ -839,9 +839,16 @@ def _q_multimodal_real_image(sf_dir: str):
     from nise_ray.ops.multimodal import (RealImageFeatureExtractor,
                                          make_png_media_table,
                                          make_real_media_table)
+    import pyarrow as _pa
     bmp = ray.data.from_arrow(make_real_media_table(n=48, seed=42)) \
         .filter(lambda r: r["kind"] == "image")
-    png = ray.data.from_arrow(make_png_media_table(n=40, seed=42))
+    png_t = make_png_media_table(n=40, seed=42)
+    # disjoint media_id spaces: keyed consumers (sorts, dedups, joins)
+    # must never see two different payloads under one id
+    png_t = png_t.set_column(
+        png_t.schema.get_field_index("media_id"), "media_id",
+        _pa.compute.add(png_t.column("media_id"), 1000))
+    png = ray.data.from_arrow(png_t)
     return bmp.union(png).map_batches(
         RealImageFeatureExtractor, fn_constructor_kwargs={"fake": False},
         batch_size=16, concurrency=(1, 4), batch_format="pyarrow")

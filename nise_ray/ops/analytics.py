@@ -846,6 +846,14 @@ def prepare_training_docs(sf_dir: str, min_chars: int = 100,
         return docs.join(keys, join_type="inner", on=("doc_id",),
                          num_partitions=_join_partitions())
 
+    if ctx is None:
+        # default path stays ONE streaming plan (the documented
+        # contract): survivors flow straight into the chunk explode
+        # with no materialization barrier
+        return build_kept().map_batches(
+            _make_chunk_batch(size, stride), batch_format="pyarrow",
+            zero_copy_batch=True)
+
     _KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()),
                               ("text", pa.string())])
     kept, _ = _stage(ctx, "prep_kept", build_kept, _KEPT_SCHEMA)

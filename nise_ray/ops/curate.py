@@ -177,12 +177,18 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
                 "logprob_mean": pa.array(mean_lp, pa.float64()),
             })
 
+    def build_scored():
+        return kept.map_batches(Score, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                concurrency=default_concurrency())
+
+    # downstream of the (legitimately materialized, double-consumed)
+    # survivor set, scored and the final cut are single-consumed: the
+    # ctx=None path streams them instead of paying _stage's barrier
     _SCORED_SCHEMA = pa.schema([("doc_id", pa.int64()),
                                 ("lang", pa.string()),
                                 ("logprob_mean", pa.float64())])
-    scored, _ = _stage(ctx, "curate_scored", lambda: kept.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=default_concurrency()), _SCORED_SCHEMA)
+    scored = build_scored() if ctx is None else         _stage(ctx, "curate_scored", build_scored, _SCORED_SCHEMA)[0]
 
     tiles = perplexity_tiles_kernel(n_buckets)
 
@@ -193,13 +199,17 @@ def curate_corpus(sf_dir: str, n_buckets: int = 3,
         bk = out.column("bucket").to_numpy(zero_copy_only=False)
         return out.take(pa.array(np.flatnonzero(bk <= keep_buckets)))
 
+    def build_out():
+        return hash_group_apply(scored, ["lang"], tiles_and_trim, 0,
+                                sort=False)
+
+    if ctx is None:
+        return build_out()
     _OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
                              ("lang", pa.string()),
                              ("logprob_mean", pa.float64()),
                              ("bucket", pa.int64())])
-    out, _ = _stage(ctx, "curate_out", lambda: hash_group_apply(
-        scored, ["lang"], tiles_and_trim, 0, sort=False), _OUT_SCHEMA)
-    return out
+    return _stage(ctx, "curate_out", build_out, _OUT_SCHEMA)[0]
 
 
 def _lm_stage(ctx, kept: "ray.data.Dataset", build_ref):

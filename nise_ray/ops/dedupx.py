@@ -236,6 +236,13 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.7,
     cfg = cfg or DedupConfig(tau=tau)
     corpus = corpus_from_documents(sf_dir)
     res = dedup_pipeline(corpus, cfg)
+    if not res.stats.get("n_edges"):
+        # empty edge set: nothing to map (and an all-empty join side
+        # would hit Ray's schema-broadcast loss — see join_input)
+        return ray.data.from_arrow(pa.table({
+            "doc_id_u": pa.array([], pa.int64()),
+            "doc_id_v": pa.array([], pa.int64()),
+            "est": pa.array([], pa.float32())}))
     edges = res.edges.select_columns(["u", "v", "est"])
     assigns = res.assignments
 

@@ -136,7 +136,12 @@ def batch_token_hashes(
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = lists.flatten()
-    raw_offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    # normalize against the first physical VALUE offset, not the list-
+    # slot slice offset (the two differ on sliced/non-compacted arrays;
+    # flatten() returns exactly the values the logical slice references)
+    raw_offs = np.asarray(lists.offsets, dtype=np.int64)
+    if len(raw_offs):
+        raw_offs = raw_offs - raw_offs[0]
     enc = flat.dictionary_encode()
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     vocab = enc.dictionary.to_pylist()
@@ -225,7 +230,9 @@ def batch_sha_ngram_hashes(arr: "object", w: int,
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = lists.flatten()
-    raw_offs = np.asarray(lists.offsets, dtype=np.int64) - lists.offset
+    raw_offs = np.asarray(lists.offsets, dtype=np.int64)
+    if len(raw_offs):  # value-offset normalization — see batch_token_hashes
+        raw_offs = raw_offs - raw_offs[0]
     # drop the "" fragments split_pattern_regex yields at edges
     # (regexp_extract_all semantics), rebuild per-row counts
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -268,13 +275,11 @@ def batch_sha_ngram_hashes(arr: "object", w: int,
 
 def _ranges_starts(offs: np.ndarray, wcnt: np.ndarray) -> np.ndarray:
     """Flat indices of every valid in-row window start: for row i the
-    range [offs[i], offs[i] + wcnt[i])."""
-    total = int(wcnt.sum())
-    row = np.repeat(np.arange(len(wcnt), dtype=np.int64), wcnt)
-    first_w = np.zeros(len(wcnt) + 1, dtype=np.int64)
-    np.cumsum(wcnt, out=first_w[1:])
-    intra = np.arange(total, dtype=np.int64) - first_w[:-1][row]
-    return offs[:-1][row] + intra
+    range [offs[i], offs[i] + wcnt[i]). Delegates to the shared
+    simjoin._ranges kernel (lazy import — simjoin imports this module
+    at load time) so its zero-count corruption fix applies here too."""
+    from nise_ray.ops.simjoin import _ranges
+    return _ranges(offs[:-1], wcnt)
 
 
 def batch_normalize(arr: "object") -> "object":

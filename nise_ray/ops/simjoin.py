@@ -185,6 +185,21 @@ _UV_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 _DOCID_SCHEMA = pa.schema([("doc_id", pa.int64())])
 
 
+def distinct_uv_batch(batch: pa.Table) -> pa.Table:
+    """Block-level (u, v) distinct (typed empty on the shuffle's
+    0-column empty partitions) — the shared merge fn for every pair
+    exchange in the similarity-join family."""
+    if batch.num_rows == 0:
+        return _UV_SCHEMA.empty_table()
+    u = batch.column("u").to_numpy(zero_copy_only=False)
+    v = batch.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (u[order][1:] != u[order][:-1]) | \
+                (v[order][1:] != v[order][:-1])
+    return batch.take(pa.array(order[first]))
+
+
 def _df_merge_batch(batch: pa.Table) -> pa.Table:
     from nise_ray.ops.groupapply import segments
     if batch.num_rows == 0:
@@ -482,8 +497,6 @@ def _tokset_rows_fn(units: str = "token"):
     return fn
 
 
-_tokset_rows_task = _tokset_rows_fn("token")
-
 
 def _proj_toks_u(b: pa.Table) -> pa.Table:
     """After the u-side join: fail loud on a missing endpoint (left-
@@ -589,6 +602,11 @@ def _pair_verify_tail(docs, pairs_ds, tau: float, verify_mode: str,
     elif verify_mode == "join":
         from nise_ray.ops.groupapply import join_input
         from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        # patch the captured DataContexts BEFORE joining: a fresh process
+        # calling with verify_mode='join' directly would otherwise run
+        # the join with the library-default 200-aggregator fleet (the
+        # small-cluster deadlock use_hash_shuffle documents)
+        _hash_shuffle_on(docs, ep_ds, pairs_ds)
         np_ = _join_partitions()
         # every sparse join input goes through join_input (Ray's join
         # loses its schema broadcast when a side's first block is empty
@@ -704,19 +722,8 @@ def token_jaccard_pairs(sf_dir: str, tau: float = 0.5,
 
     cands = hash_group_apply(prefix, ["tok"], pair_gen)
 
-    def distinct_uv(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _UV_SCHEMA.empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = (u[order][1:] != u[order][:-1]) | \
-                    (v[order][1:] != v[order][:-1])
-        return batch.take(pa.array(order[first]))
-
     # pair-set-sized, consumed twice (endpoint distinct + verify input)
-    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv_batch,
                                 sort=False).materialize()
 
     # ---- pass 4: mode-gated distributed exact verification --------------
@@ -1020,18 +1027,7 @@ def containment_token_pairs(sf_dir: str, tau: float = 0.8,
 
     cands = hash_group_apply(both, ["tok"], pair_gen, sort=False)
 
-    def distinct_uv(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _UV_SCHEMA.empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = (u[order][1:] != u[order][:-1]) | \
-                    (v[order][1:] != v[order][:-1])
-        return batch.take(pa.array(order[first]))
-
-    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv_batch,
                                 sort=False).materialize()
 
     return _pair_verify_tail(docs, pairs_ds, tau, verify_mode,

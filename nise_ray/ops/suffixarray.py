@@ -166,6 +166,7 @@ def substring_pairs_sa(sf_dir: str, min_len: int = 100,
     holds or fails loudly."""
     from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.ops.normalize import normalize_text
+    from nise_ray.ops.simjoin import distinct_uv_batch
     from nise_ray.util import collect_table
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -183,20 +184,7 @@ def substring_pairs_sa(sf_dir: str, min_len: int = 100,
     pairs = ds.map_batches(block, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=batch_size)
 
-    def distinct_uv(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            # typed empty — 0-column shuffle empties poison the joins
-            return pa.schema([("u", pa.int64()),
-                              ("v", pa.int64())]).empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = (u[order][1:] != u[order][:-1]) | \
-                    (v[order][1:] != v[order][:-1])
-        return batch.take(pa.array(order[first]))
-
-    out = collect_table(hash_group_apply(pairs, ["u", "v"], distinct_uv,
+    out = collect_table(hash_group_apply(pairs, ["u", "v"], distinct_uv_batch,
                                          sort=False))
     if out.num_rows == 0:
         return _EMPTY_SA_PAIRS.empty_table()
@@ -230,7 +218,8 @@ def substring_pairs_sa_global(sf_dir: str, min_len: int = 100,
     stage's job — ops/substring.py bucket caps)."""
     from nise_ray.ops.groupapply import hash_group_apply
     from nise_ray.ops.normalize import batch_normalize
-    from nise_ray.ops.simjoin import all_bucket_size_filtered_pairs
+    from nise_ray.ops.simjoin import (all_bucket_size_filtered_pairs,
+                                      distinct_uv_batch)
     from nise_ray.ops.substring import winnow_fingerprints
     from nise_ray.util import collect_table
 
@@ -279,20 +268,7 @@ def substring_pairs_sa_global(sf_dir: str, min_len: int = 100,
 
     cands = hash_group_apply(fp_ds, ["fp"], pair_gen, sort=False)
 
-    def distinct_uv(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            # typed empty — 0-column shuffle empties poison the joins
-            return pa.schema([("u", pa.int64()),
-                              ("v", pa.int64())]).empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = (u[order][1:] != u[order][:-1]) | \
-                    (v[order][1:] != v[order][:-1])
-        return batch.take(pa.array(order[first]))
-
-    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv,
+    pairs_ds = hash_group_apply(cands, ["u", "v"], distinct_uv_batch,
                                 sort=False).materialize()
     if pairs_ds.count() == 0:
         return pa.table({"u": pa.array([], pa.int64()),

@@ -66,6 +66,24 @@ from nise_ray.ops.simjoin import (
     _ranges,
 )
 
+def _segment_sum_int64(keys: np.ndarray, vals: np.ndarray,
+                       n: int) -> np.ndarray:
+    """Sum int64 `vals` into `n` slots by NONDECREASING `keys` —
+    integer-exact (unlike bincount's float64 weights, which loses
+    exactness past 2^53) and vectorized (unlike np.add.at, whose
+    unbuffered per-element loop was an order of magnitude slower on
+    the verify hot path). keys come pre-sorted from the pair-major
+    lexsort in the verifiers."""
+    out = np.zeros(n, dtype=np.int64)
+    if len(keys) == 0:
+        return out
+    new = np.ones(len(keys), dtype=bool)
+    new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    out[keys[starts]] = np.add.reduceat(vals.astype(np.int64), starts)
+    return out
+
+
 _EMPTY_WPAIRS = pa.schema([
     ("doc_id_u", pa.int64()), ("doc_id_v", pa.int64()),
     ("w_inter", pa.int64()), ("w_union", pa.int64()),
@@ -285,11 +303,8 @@ class _VerifyWeighted:
         order = np.lexsort((all_tok, all_pair))
         ps, hs, ws = all_pair[order], all_tok[order], all_tf[order]
         dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
-        contrib = np.minimum(ws[1:], ws[:-1])
-        # int64 accumulation (np.add.at), NOT bincount(weights=) which
-        # sums in float64 — keeps m integer-exact past 2^53 shared weight
-        m = np.zeros(npair, dtype=np.int64)
-        np.add.at(m, ps[1:][dup], contrib[dup])
+        m = _segment_sum_int64(ps[1:][dup],
+                               np.minimum(ws[1:], ws[:-1])[dup], npair)
         su, sv = self.tot[iu], self.tot[iv]
         w_union = su + sv - m
         # ONE double division of exact ints — identical to the SQL
@@ -414,9 +429,8 @@ def _verify_w_lists_fn(tau: float):
         order = np.lexsort((all_tok, all_pair))
         ps, hs, ws = all_pair[order], all_tok[order], all_tf[order]
         dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
-        contrib = np.minimum(ws[1:], ws[:-1])
-        m = np.zeros(npair, dtype=np.int64)
-        np.add.at(m, ps[1:][dup], contrib[dup])
+        m = _segment_sum_int64(ps[1:][dup],
+                               np.minimum(ws[1:], ws[:-1])[dup], npair)
         w_union = su + sv - m
         jw = np.divide(m.astype(np.float64), w_union.astype(np.float64))
         keep = jw >= tau
@@ -464,7 +478,9 @@ def _verify_pairs_ds(docs, pairs_ds, tau: float,
             concurrency=default_concurrency())
     elif verify_mode == "join":
         from nise_ray.ops.groupapply import join_input
-        from nise_ray.ops.relational import _join_partitions
+        from nise_ray.ops.relational import _hash_shuffle_on, _join_partitions
+        # patch captured DataContexts before joining (see simjoin)
+        _hash_shuffle_on(docs, ep_ds, pairs_ds)
         np_ = _join_partitions()
         # sparse join inputs wrapped in join_input — see groupapply
         sel = docs.join(join_input(ep_ds), join_type="inner",
